@@ -1,0 +1,51 @@
+"""datafusion-functions-extra, re-expressed as a PySpark-native engine.
+
+A from-scratch PySpark library with the query capabilities of
+``datafusion-contrib/datafusion-functions-extra`` (reference read-only at
+/root/reference): the six aggregate UDFs ``mode``, ``max_by``, ``min_by``,
+``skewness``, ``kurtosis``, ``kurtosis_pop`` (reference ``src/lib.rs:42-51``),
+plus large-scale training-data-pipeline operators (dedup, similarity search,
+text analysis, multimodal plumbing, event sessionization).
+
+Design principles (Spark-first, 100 TB-ready):
+
+* Every aggregate is a composition of **built-in declarative Spark
+  aggregates** plus a scalar finishing expression -> Tungsten partial
+  aggregation, whole-stage codegen and shuffle-safety come for free; no
+  Python-worker round-trips on the hot path.
+* Operators that need more than one aggregation stage (``mode``) are
+  DataFrame->DataFrame transformations that let Catalyst plan each stage.
+* Python UDFs appear only where semantics genuinely require them
+  (multimodal decode stubs), always Arrow-batched via mapInPandas.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+from .functions.aggregates import (  # noqa: F401
+    kurtosis,
+    kurtosis_pop,
+    max_by,
+    min_by,
+    skewness,
+)
+from .functions.registry import (  # noqa: F401
+    FUNCTIONS,
+    all_extra_aggregate_functions,
+    register_all,
+)
+from .operators.mode import mode_agg  # noqa: F401
+
+__all__ = [
+    "kurtosis",
+    "kurtosis_pop",
+    "max_by",
+    "min_by",
+    "skewness",
+    "mode_agg",
+    "register_all",
+    "all_extra_aggregate_functions",
+    "FUNCTIONS",
+    "__version__",
+]

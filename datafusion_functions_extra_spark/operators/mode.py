@@ -1,0 +1,99 @@
+"""Deterministic ``mode`` as a two-stage DataFrame aggregation.
+
+The reference implements ``mode`` as a per-group hash map of value->count
+with NULLs skipped, ties broken by the MAX value, and all-NULL groups
+yielding NULL (``/root/reference/src/mode.rs:23-217``,
+``src/common/mode/native.rs:109-134``, ``src/common/mode/bytes.rs:117-134``).
+
+Spark-first formulation — the standard scalable "count then argmax" plan:
+
+1. ``groupBy(keys, x).count()``  — map-side partial combine, one shuffle
+   keyed on ``(keys, x)``; per-partition state is O(distinct values seen),
+   exactly the reference accumulator's hash map, but distributed.
+2. ``groupBy(keys).agg(max_by(x, struct(count, x)))`` — one shuffle keyed
+   on ``keys``; lexicographic struct ordering reproduces the max-on-tie
+   rule deterministically.
+
+At scale this beats any single-pass map<value,count> UDAF: stage 1's key
+space ``(keys, x)`` spreads hot groups across the cluster (a built-in skew
+dodge), AQE coalesces/splits post-shuffle partitions, and everything stays
+in whole-stage codegen.  Spark 3.4+'s native ``F.mode`` is NOT used because
+its tie-break is non-deterministic, which would break oracle hashing.
+
+Type support mirrors the reference dispatch (``src/mode.rs:99-215``):
+integers, floats, strings, dates, timestamps; anything else (boolean,
+binary, decimal, nested) raises, like the reference's ``not_impl_err``
+(``src/mode.rs:207-212``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SUPPORTED = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.StringType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def _check_type(df: DataFrame, value: str) -> None:
+    field = df.schema[value]
+    if not isinstance(field.dataType, _SUPPORTED):
+        raise TypeError(
+            f"mode over {field.dataType.simpleString()} is not supported "
+            "(reference parity: src/mode.rs:207-212 — numeric, string, "
+            "date and timestamp inputs only)"
+        )
+
+
+def mode_agg(
+    df: DataFrame,
+    keys: Sequence[str | Column] | None,
+    value: str,
+    alias: str = "mode",
+    *,
+    keep_null_groups: bool = True,
+) -> DataFrame:
+    """Per-group deterministic mode of ``df[value]``.
+
+    ``keys`` empty/None -> global aggregate (always exactly one row, NULL
+    when the input is empty or all-NULL, matching the reference's empty
+    accumulator).  With ``keep_null_groups`` (default), groups whose values
+    are all NULL still appear with a NULL mode, matching per-group
+    accumulator semantics; pass False to skip the extra distinct+join when
+    the data has no such groups.
+    """
+    _check_type(df, value)
+    keys = list(keys or [])
+    key_names = [k if isinstance(k, str) else df.select(k).columns[0] for k in keys]
+
+    x = F.col(value)
+    counted = (
+        df.where(x.isNotNull())
+        .groupBy(*key_names, value)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    winner_expr = F.max_by(
+        value, F.struct(F.col("__cnt").alias("c"), F.col(value).alias("v"))
+    ).alias(alias)
+
+    if not key_names:
+        return counted.agg(winner_expr)
+
+    winners = counted.groupBy(*key_names).agg(winner_expr)
+    if not keep_null_groups:
+        return winners
+    all_groups = df.select(*key_names).distinct()
+    return all_groups.join(winners, on=key_names, how="left")

@@ -1,0 +1,79 @@
+"""mode_agg tests — the reference's accumulator grid (F1/F5):
+{single clear mode, with NULLs, tie -> max wins, all-NULL -> NULL} per type
+(/root/reference/src/common/mode/native.rs:263-637, bytes.rs:156-324,
+tests/main.rs:39-115)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from datafusion_functions_extra_spark import mode_agg
+
+
+def one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0][-1]
+
+
+def test_mode_test_table(spark, test_table):
+    # tests/main.rs:51-93 golden anchors
+    assert one(mode_agg(test_table, None, "utf8_col")) == "apple"
+    assert one(mode_agg(test_table, None, "int64_col")) == 3
+    assert one(mode_agg(test_table, None, "float64_col")) == 3.0
+    assert one(mode_agg(test_table, None, "date64_col")) == dt.date(2021, 1, 3)
+    # time64 as nanos-of-day (tests/main.rs:108-114 -> 03:00:00)
+    assert one(mode_agg(test_table, None, "time64_col")) == 10_800_000_000_000
+
+
+def test_mode_tie_max_wins(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (2,)], "x int")
+    assert one(mode_agg(df, None, "x")) == 2
+    df = spark.createDataFrame([("a",), ("a",), ("b",), ("b",)], "x string")
+    assert one(mode_agg(df, None, "x")) == "b"
+
+
+def test_mode_nulls_skipped(spark):
+    df = spark.createDataFrame([(None,), (3,), (3,), (1,)], "x int")
+    assert one(mode_agg(df, None, "x")) == 3
+
+
+def test_mode_all_null_global(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x int")
+    assert one(mode_agg(df, None, "x")) is None
+
+
+def test_mode_empty_global(spark):
+    df = spark.createDataFrame([(1,)], "x int").where("1=0")
+    assert one(mode_agg(df, None, "x")) is None
+
+
+def test_mode_grouped(spark):
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 1), ("g1", 2), ("g2", 5), ("g2", None), ("g3", None)],
+        "g string, x int",
+    )
+    rows = {r.g: r.m for r in mode_agg(df, ["g"], "x", alias="m").collect()}
+    assert rows == {"g1": 1, "g2": 5, "g3": None}  # all-NULL group kept as NULL
+
+
+def test_mode_grouped_drop_null_groups(spark):
+    df = spark.createDataFrame([("g1", 1), ("g3", None)], "g string, x int")
+    rows = mode_agg(df, ["g"], "x", alias="m", keep_null_groups=False).collect()
+    assert {r.g for r in rows} == {"g1"}
+
+
+def test_mode_timestamp(spark):
+    t = dt.datetime(2021, 1, 3, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(dt.datetime(2021, 1, 1, 1, 0, 0),), (t,), (t,)], "x timestamp"
+    )
+    assert one(mode_agg(df, None, "x")) == t
+
+
+def test_mode_unsupported_type_raises(spark):
+    df = spark.createDataFrame([(True,), (False,)], "x boolean")
+    with pytest.raises(TypeError, match="not supported"):
+        mode_agg(df, None, "x")

@@ -1,0 +1,378 @@
+"""Driver-facing query suite: every implemented operator from SURVEY.md §2
+as a (PySpark callable, DuckDB oracle SQL) pair.
+
+Conventions that keep the driver's order-insensitive value-hash stable:
+
+* every computed column is aliased identically in the Spark query and the
+  oracle SQL (the driver sorts columns by name before hashing);
+* double-valued *statistics* are rounded to 6 dp symmetrically on both
+  sides — Spark's partial-sum order differs from DuckDB's, so raw doubles
+  drift in the last ~ulp (observed ~1e-13); integer-derived doubles and
+  bit-identical expression results are left unrounded;
+* ``mode`` oracles are written as explicit count+argmax window queries
+  (deterministic max-on-tie), never DuckDB's ``mode()`` whose tie-break is
+  unspecified (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewness
+from .operators.mode import mode_agg
+from .sources.catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# mode — SURVEY §2.1 #1 (reference src/mode.rs); two-stage count+argmax plan
+# ---------------------------------------------------------------------------
+
+_MODE_GLOBAL_SQL = """
+WITH c AS (
+  SELECT {col} AS v, count(*) AS cnt FROM {table}
+  WHERE {col} IS NOT NULL GROUP BY 1
+), r AS (
+  SELECT v, row_number() OVER (ORDER BY cnt DESC, v DESC) AS rn FROM c
+)
+SELECT v AS {alias} FROM r WHERE rn = 1
+"""
+
+_MODE_GROUPED_SQL = """
+WITH c AS (
+  SELECT {key} AS g, {col} AS v, count(*) AS cnt FROM {table}
+  WHERE {col} IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v DESC) AS rn
+  FROM c
+)
+SELECT g AS {key}, v AS {alias} FROM r WHERE rn = 1
+"""
+
+
+@query(
+    "mode_returnflag_global",
+    _MODE_GLOBAL_SQL.format(col="l_returnflag", table="lineitem", alias="mode_returnflag"),
+)
+def mode_returnflag_global(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return mode_agg(li, None, "l_returnflag", alias="mode_returnflag")
+
+
+@query(
+    "mode_mktsegment_by_nation",
+    _MODE_GROUPED_SQL.format(
+        key="c_nationkey", col="c_mktsegment", table="customer", alias="mode_segment"
+    ),
+)
+def mode_mktsegment_by_nation(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return mode_agg(c, ["c_nationkey"], "c_mktsegment", alias="mode_segment")
+
+
+@query(
+    "mode_linenumber_by_returnflag",
+    _MODE_GROUPED_SQL.format(
+        key="l_returnflag", col="l_linenumber", table="lineitem", alias="mode_linenumber"
+    ),
+)
+def mode_linenumber_by_returnflag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return mode_agg(li, ["l_returnflag"], "l_linenumber", alias="mode_linenumber")
+
+
+@query(
+    "mode_quantity_global",
+    _MODE_GLOBAL_SQL.format(col="l_quantity", table="lineitem", alias="mode_quantity"),
+)
+def mode_quantity_global(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return mode_agg(li, None, "l_quantity", alias="mode_quantity")
+
+
+@query(
+    "mode_shipdate_by_linestatus",
+    _MODE_GROUPED_SQL.format(
+        key="l_linestatus", col="l_shipdate", table="lineitem", alias="mode_shipdate"
+    ),
+)
+def mode_shipdate_by_linestatus(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return mode_agg(li, ["l_linestatus"], "l_shipdate", alias="mode_shipdate")
+
+
+@query(
+    "mode_orderdate_by_priority",
+    """
+WITH src AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS od FROM orders),
+c AS (
+  SELECT o_orderpriority AS g, od AS v, count(*) AS cnt FROM src
+  WHERE od IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v DESC) AS rn
+  FROM c
+)
+SELECT g AS o_orderpriority, CAST(v AS VARCHAR) AS mode_orderdate
+FROM r WHERE rn = 1
+""",
+)
+def mode_orderdate_by_priority(spark, sf_dir):
+    # mode is computed on DATE values; the output is ISO-formatted so the
+    # value hash is stable across engines' date representations.
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    res = mode_agg(o, ["o_orderpriority"], "od", alias="mode_orderdate")
+    return res.withColumn("mode_orderdate", F.col("mode_orderdate").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# max_by / min_by — SURVEY §2.1 #2-3 (reference src/max_min_by.rs); native
+# Spark MaxBy/MinBy with deterministic struct tie-break; oracle = window argmax
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "max_by_customer_global",
+    """
+SELECT c_name AS top_customer FROM (
+  SELECT c_name, row_number() OVER (ORDER BY c_acctbal DESC, c_name DESC) rn
+  FROM customer
+) WHERE rn = 1
+""",
+)
+def max_by_customer_global(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(max_by("c_name", "c_acctbal", deterministic=True).alias("top_customer"))
+
+
+@query(
+    "min_by_supplier_global",
+    """
+SELECT s_name AS bottom_supplier FROM (
+  SELECT s_name, row_number() OVER (ORDER BY s_acctbal ASC, s_name ASC) rn
+  FROM supplier
+) WHERE rn = 1
+""",
+)
+def min_by_supplier_global(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    return s.agg(min_by("s_name", "s_acctbal", deterministic=True).alias("bottom_supplier"))
+
+
+@query(
+    "max_by_orders_by_priority",
+    """
+SELECT o_orderpriority, o_orderkey AS top_order FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def max_by_orders_by_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        max_by("o_orderkey", "o_totalprice", deterministic=True).alias("top_order")
+    )
+
+
+@query(
+    "min_by_lineitem_by_returnflag",
+    """
+SELECT l_returnflag, l_partkey AS cheapest_part FROM (
+  SELECT l_returnflag, l_partkey,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice ASC, l_partkey ASC) rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+)
+def min_by_lineitem_by_returnflag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        min_by("l_partkey", "l_extendedprice", deterministic=True).alias("cheapest_part")
+    )
+
+
+@query(
+    "max_by_part_by_brand",
+    """
+SELECT p_brand, p_name AS priciest_part FROM (
+  SELECT p_brand, p_name,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_name DESC) rn
+  FROM part
+) WHERE rn = 1
+""",
+)
+def max_by_part_by_brand(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        max_by("p_name", "p_retailprice", deterministic=True).alias("priciest_part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# skewness / kurtosis / kurtosis_pop — SURVEY §2.1 #4-6; one-shuffle algebraic
+# aggregates; DuckDB built-ins implement the same (DuckDB-originated) formulas
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skewness_extendedprice_global",
+    "SELECT round(skewness(l_extendedprice), 6) AS skew_price FROM lineitem",
+)
+def skewness_extendedprice_global(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(_r6(skewness("l_extendedprice")).alias("skew_price"))
+
+
+@query(
+    "skewness_by_returnflag",
+    """
+SELECT l_returnflag, round(skewness(l_extendedprice), 6) AS skew_price,
+       round(skewness(l_discount), 6) AS skew_discount
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def skewness_by_returnflag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r6(skewness("l_extendedprice")).alias("skew_price"),
+        _r6(skewness("l_discount")).alias("skew_discount"),
+    )
+
+
+@query(
+    "kurtosis_totalprice_global",
+    "SELECT round(kurtosis(o_totalprice), 6) AS kurt_totalprice FROM orders",
+)
+def kurtosis_totalprice_global(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(_r6(kurtosis("o_totalprice")).alias("kurt_totalprice"))
+
+
+@query(
+    "kurtosis_events_by_type",
+    """
+SELECT event_type, round(kurtosis(value), 6) AS kurt_value
+FROM events GROUP BY event_type
+""",
+)
+def kurtosis_events_by_type(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(_r6(kurtosis("value")).alias("kurt_value"))
+
+
+@query(
+    "kurtosis_pop_quantity_global",
+    "SELECT round(kurtosis_pop(l_quantity), 6) AS kpop_quantity FROM lineitem",
+)
+def kurtosis_pop_quantity_global(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(_r6(kurtosis_pop("l_quantity")).alias("kpop_quantity"))
+
+
+@query(
+    "kurtosis_pop_by_linestatus",
+    """
+SELECT l_linestatus, round(kurtosis_pop(l_quantity), 6) AS kpop_quantity,
+       round(kurtosis_pop(l_tax), 6) AS kpop_tax
+FROM lineitem GROUP BY l_linestatus
+""",
+)
+def kurtosis_pop_by_linestatus(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        _r6(kurtosis_pop("l_quantity")).alias("kpop_quantity"),
+        _r6(kurtosis_pop("l_tax")).alias("kpop_tax"),
+    )
+
+
+@query(
+    "stats_profile_by_returnflag",
+    """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(skewness(l_extendedprice), 6) AS skew_price,
+       round(kurtosis(l_extendedprice), 6) AS kurt_price,
+       round(kurtosis_pop(l_extendedprice), 6) AS kpop_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def stats_profile_by_returnflag(spark, sf_dir):
+    """All three moment statistics over one scan — they share power sums, so
+    Spark computes this in a single two-phase hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _r6(skewness("l_extendedprice")).alias("skew_price"),
+        _r6(kurtosis("l_extendedprice")).alias("kurt_price"),
+        _r6(kurtosis_pop("l_extendedprice")).alias("kpop_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship — the SURVEY §7 phase-0 slice: mode + max_by + stats per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_lineitem_profile",
+    """
+WITH c AS (
+  SELECT l_linestatus AS g, l_returnflag AS v, count(*) AS cnt
+  FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1, 2
+), m AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v DESC) AS rn
+  FROM c
+), am AS (
+  SELECT l_linestatus AS g, l_partkey AS pk,
+         row_number() OVER (PARTITION BY l_linestatus
+                            ORDER BY l_extendedprice DESC, l_partkey DESC) AS rn
+  FROM lineitem
+), s AS (
+  SELECT l_linestatus AS g,
+         round(skewness(l_extendedprice), 6) AS skew_price,
+         round(kurtosis_pop(l_quantity), 6) AS kpop_quantity
+  FROM lineitem GROUP BY 1
+)
+SELECT s.g AS l_linestatus, m.v AS mode_returnflag, am.pk AS part_at_max_price,
+       s.skew_price, s.kpop_quantity
+FROM s
+JOIN m ON m.g = s.g AND m.rn = 1
+JOIN am ON am.g = s.g AND am.rn = 1
+""",
+)
+def flagship_lineitem_profile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    modes = mode_agg(li, ["l_linestatus"], "l_returnflag", alias="mode_returnflag")
+    stats = li.groupBy("l_linestatus").agg(
+        max_by("l_partkey", "l_extendedprice", deterministic=True).alias(
+            "part_at_max_price"
+        ),
+        _r6(skewness("l_extendedprice")).alias("skew_price"),
+        _r6(kurtosis_pop("l_quantity")).alias("kpop_quantity"),
+    )
+    return modes.join(stats, "l_linestatus")

@@ -1,0 +1,132 @@
+"""Text-analysis Column builders for large-scale corpus pipelines.
+
+Everything here is a pure JVM-side expression (no Python UDFs): lowercasing,
+regex tokenization, array transforms and md5 all run inside whole-stage
+codegen, so these scale to 100 TB document tables as plain projections —
+no shuffle unless the caller aggregates.
+
+The module-level constants (STOPWORDS, LANG_MARKERS, shingle sizes) are the
+single source of truth shared with the DuckDB oracle SQL generators in
+``suite.py`` so both engines compute literally the same function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .aggregates import ColumnOrName, _col
+
+#: small english stopword list used by quality scoring
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be",
+)
+
+#: language -> marker words for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
+    "de": ("der", "die", "und", "das", "nicht", "ein", "mit", "ist"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est", "dans"),
+    "zh": (),  # scored by CJK character count, not marker words
+}
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+#: word-shingle width for fingerprinting / near-dup
+SHINGLE_WORDS = 3
+
+
+def normalize_text(c: ColumnOrName) -> Column:
+    """lower + trim + whitespace-collapse; the canonical form for dedup."""
+    return F.lower(F.trim(F.regexp_replace(_col(c), "\\s+", " ")))
+
+
+def tokens(c: ColumnOrName) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: ColumnOrName) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    n = normalize_text(c)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " ")))
+
+
+def bpe_token_count(c: ColumnOrName) -> Column:
+    """Token count under a BPE-style pre-tokenization regex."""
+    return F.size(F.regexp_extract_all(F.lower(_col(c)), F.lit(BPE_TOKEN_RE), 0))
+
+
+def distinct_token_ratio(c: ColumnOrName) -> Column:
+    t = tokens(c)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+
+
+def stopword_ratio(c: ColumnOrName) -> Column:
+    t = tokens(c)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    return hits.cast("double") / F.size(t).cast("double")
+
+
+def quality_score(c: ColumnOrName, target_chars: int = 500) -> Column:
+    """Heuristic document quality in [0, 1]:
+
+    0.3 * min(1, n_chars/target) + 0.4 * lexical diversity
+    + 0.3 * (1 - |stopword_ratio - 0.4| / 0.6 penalty)  — prose-likeness.
+    """
+    n = normalize_text(c)
+    len_score = F.least(F.lit(1.0), F.length(n).cast("double") / F.lit(float(target_chars)))
+    diversity = distinct_token_ratio(c)
+    prose = F.lit(1.0) - F.least(
+        F.lit(1.0), F.abs(stopword_ratio(c) - F.lit(0.4)) / F.lit(0.6)
+    )
+    return F.lit(0.3) * len_score + F.lit(0.4) * diversity + F.lit(0.3) * prose
+
+
+def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:
+    """(lang, score) marker-hit counts; zh scored by CJK char count."""
+    t = tokens(c)
+    out: list[tuple[str, Column]] = []
+    for lang, markers in LANG_MARKERS.items():
+        if markers:
+            arr = F.array(*[F.lit(m) for m in markers])
+            score = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+        else:
+            score = F.length(F.regexp_replace(_col(c), "[^\\u4e00-\\u9fff]", ""))
+        out.append((lang, score.cast("long")))
+    return out
+
+
+def lang_id(c: ColumnOrName) -> Column:
+    """Deterministic argmax over lang_scores: max score, tie -> max lang."""
+    pairs = lang_scores(c)
+    arr = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in pairs]
+    )
+    return F.array_max(arr).getField("lang")
+
+
+def word_shingles(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
+    """Overlapping k-word shingles (array<string>); empty if < k tokens."""
+    t = tokens(c)
+    n_sh = F.size(t) - F.lit(k - 1)
+    return F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
+    """Rolling-hash document fingerprint: min md5 over k-word shingles
+    (a 1-permutation MinHash); texts shorter than k words hash whole."""
+    sh = word_shingles(c, k)
+    return F.when(
+        F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary"))))
+    ).otherwise(F.md5(normalize_text(c).cast("binary")))

@@ -21,7 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions import text as TX
 from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewness
+from .operators import dedup as DD
+from .operators import sessions as SS
 from .operators.mode import mode_agg
 from .sources.catalog import load_table
 
@@ -376,3 +379,199 @@ def flagship_lineitem_profile(spark, sf_dir):
         _r6(kurtosis_pop("l_quantity")).alias("kpop_quantity"),
     )
     return modes.join(stats, "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# text analysis — north-star extras (SURVEY §7 phase 3); pure projections,
+# oracle SQL generated from the same constants as the Spark builders
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKENS_SQL = f"str_split({_NORM_SQL}, ' ')"
+_STOP_IN = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+
+@query(
+    "text_token_counts",
+    f"""
+SELECT doc_id,
+       CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+            ELSE len({_TOKENS_SQL}) END AS n_tokens,
+       len(regexp_extract_all(lower(text), '{TX.BPE_TOKEN_RE}')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_token_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_count("text").cast("int").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+       round(
+         0.3 * least(1.0, length(norm)::DOUBLE / 500.0)
+       + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+       + 0.3 * (1.0 - least(1.0,
+            abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
+                / len(toks)::DOUBLE - 0.4) / 0.6)),
+       6) AS quality
+FROM t
+""",
+)
+def text_quality_scores(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(TX.quality_score("text"), 6).alias("quality")
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, markers in TX.LANG_MARKERS.items():
+        if markers:
+            in_list = ", ".join(f"'{m}'" for m in markers)
+            score = f"len(list_filter(toks, x -> x IN ({in_list})))"
+        else:
+            score = (
+                "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+            )
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, {score}::BIGINT AS score FROM t"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "text_lang_id",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+scores AS ({_lang_scores_sql()}),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) rn
+  FROM scores
+)
+SELECT doc_id, lang AS lang_pred FROM r WHERE rn = 1
+""",
+)
+def text_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "text_fingerprints",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) >= {TX.SHINGLE_WORDS}
+            THEN list_min(list_transform(
+                   list_transform(
+                     generate_series(1, len(toks) - {TX.SHINGLE_WORDS - 1}),
+                     i -> array_to_string(toks[i:i+{TX.SHINGLE_WORDS - 1}], ' ')),
+                   s -> md5(s)))
+            ELSE md5(norm) END AS fingerprint
+FROM t
+""",
+)
+def text_fingerprints(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# dedup — exact (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_stats",
+    f"""
+SELECT md5({_NORM_SQL}) AS content_key,
+       min(doc_id) AS keep_id,
+       count(*) AS cluster_size
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return DD.dedup_stats(d, "text", "doc_id")
+
+
+@query(
+    "dedup_exact_kept_rows",
+    f"""
+WITH keyed AS (SELECT *, md5({_NORM_SQL}) AS k FROM documents),
+keep AS (SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY 1)
+SELECT keyed.doc_id, keyed.lang, keyed.source, keyed.n_chars
+FROM keyed JOIN keep ON keyed.k = keep.k AND keyed.doc_id = keep.doc_id
+""",
+)
+def dedup_exact_kept_rows(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(d, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# event streams — tumbling window + gap sessionization (batch forms)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_hourly",
+    """
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
+)
+def events_tumbling_hourly(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    out = SS.tumbling_window_agg(e, unit="hour", keys=("event_type",))
+    return out.withColumn("window_start", F.col("window_start").cast("string"))
+
+
+@query(
+    "events_sessionization",
+    """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+lagd AS (
+  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM e
+),
+sess AS (
+  SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagd
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY 1, 2
+""",
+)
+def events_sessionization(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    out = SS.session_stats(e, gap_seconds=1800)
+    return out.select(
+        "user_id", "session_id", "n_events", "duration_us", "sum_value"
+    )

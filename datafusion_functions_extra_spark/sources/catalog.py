@@ -39,17 +39,23 @@ def sf_dir() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+        # rejects; nanosAsLong is a *runtime* SQL conf, so set it on whatever
+        # session we were handed (the driver passes its own — a builder-only
+        # config would silently not apply there).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as long nanos (see nanosAsLong in get_spark); surface a
-        # proper microsecond timestamp, matching DuckDB's CAST(ts AS TIMESTAMP).
+        # Surface a proper microsecond timestamp, matching DuckDB's
+        # CAST(ts AS TIMESTAMP).  Integer `div` is required: epoch nanos
+        # (~1.7e18) exceed double's 2^53 mantissa, so a float divide lands
+        # ~1.6% of timestamps one microsecond off.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -72,13 +72,31 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a plain SparkSession.builder session (no get_spark tuning), "
+        "replicating the driver's environment so builder-only config drift "
+        "is caught locally",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entrymod
     from datafusion_functions_extra_spark.sources import TABLES, get_spark
 
-    spark = get_spark("check-correctness", cpus=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-correctness-vanilla")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-correctness", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -72,28 +72,42 @@ def mode_agg(
     when the input is empty or all-NULL, matching the reference's empty
     accumulator).  With ``keep_null_groups`` (default), groups whose values
     are all NULL still appear with a NULL mode, matching per-group
-    accumulator semantics; pass False to skip the extra distinct+join when
-    the data has no such groups.
+    accumulator semantics — derived from the stage-1 aggregate itself (the
+    NULL value-row rides along and stage 2's conditional argmax ignores it),
+    so the plan stays one scan + two shuffles either way.  NULL *keys* form
+    ordinary groups, like GROUP BY everywhere.  Pass
+    ``keep_null_groups=False`` to filter NULL values before the first
+    shuffle (smaller stage-1 keyspace; all-NULL groups drop out).
     """
     _check_type(df, value)
     keys = list(keys or [])
-    key_names = [k if isinstance(k, str) else df.select(k).columns[0] for k in keys]
+    # Expression keys are materialized under their derived name first;
+    # plain string/column references resolve to themselves.
+    key_names: list[str] = []
+    for k in keys:
+        if isinstance(k, str):
+            key_names.append(k)
+        else:
+            name = df.select(k).columns[0]
+            df = df.withColumn(name, k)
+            key_names.append(name)
 
     x = F.col(value)
-    counted = (
-        df.where(x.isNotNull())
-        .groupBy(*key_names, value)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
     winner_expr = F.max_by(
-        value, F.struct(F.col("__cnt").alias("c"), F.col(value).alias("v"))
+        value,
+        F.when(x.isNotNull(), F.struct(F.col("__cnt").alias("c"), x.alias("v"))),
     ).alias(alias)
 
     if not key_names:
+        # Global: one row always; filtering NULLs first shrinks the shuffle
+        # and an empty post-filter input still yields the single NULL row.
+        counted = (
+            df.where(x.isNotNull())
+            .groupBy(value)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
         return counted.agg(winner_expr)
 
-    winners = counted.groupBy(*key_names).agg(winner_expr)
-    if not keep_null_groups:
-        return winners
-    all_groups = df.select(*key_names).distinct()
-    return all_groups.join(winners, on=key_names, how="left")
+    src = df if keep_null_groups else df.where(x.isNotNull())
+    counted = src.groupBy(*key_names, value).agg(F.count(F.lit(1)).alias("__cnt"))
+    return counted.groupBy(*key_names).agg(winner_expr)

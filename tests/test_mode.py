@@ -73,6 +73,35 @@ def test_mode_timestamp(spark):
     assert one(mode_agg(df, None, "x")) == t
 
 
+def test_mode_null_key_group(spark):
+    # GROUP BY groups NULL keys; their mode must be computed normally, not
+    # blanked (regression: the old distinct+left-join plan never matched
+    # NULL keys in the equi-join).
+    df = spark.createDataFrame(
+        [(None, 7), (None, 7), (None, 1), ("g1", 2)], "g string, x int"
+    )
+    rows = {r.g: r.m for r in mode_agg(df, ["g"], "x", alias="m").collect()}
+    assert rows == {None: 7, "g1": 2}
+
+
+def test_mode_expression_key(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1), ("A", 1), ("A", 2), ("b", 9)], "g string, x int"
+    )
+    res = mode_agg(df, [F.upper("g").alias("gu")], "x", alias="m")
+    rows = {r.gu: r.m for r in res.collect()}
+    assert rows == {"A": 1, "B": 9}
+
+
+def test_mode_plan_single_scan(spark, test_table):
+    # keep_null_groups must not cost an extra scan + join: the plan is
+    # scan -> aggregate -> exchange -> aggregate -> exchange -> aggregate.
+    plan = mode_agg(test_table, ["utf8_col"], "int64_col")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_mode_unsupported_type_raises(spark):
     df = spark.createDataFrame([(True,), (False,)], "x boolean")
     with pytest.raises(TypeError, match="not supported"):

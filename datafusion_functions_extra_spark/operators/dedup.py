@@ -1,8 +1,8 @@
 """Deduplication operators for large-scale corpus pipelines.
 
 Exact dedup here; near-duplicate families (MinHash+LSH, SimHash, n-gram
-Jaccard, embedding cosine) live in ``similarity.py`` — all shuffle-native
-DataFrame plans, no Python on executors.
+Jaccard, embedding cosine/ANN) live in :mod:`.similarity` — all
+shuffle-native DataFrame plans, no Python on executors.
 """
 
 from __future__ import annotations

@@ -1,0 +1,663 @@
+"""Near-duplicate detection and similarity search, shuffle-native.
+
+Four families (the classic training-data-pipeline quartet):
+
+* **MinHash + LSH** — k-permutation MinHash signatures over 3-word
+  shingles, b x r banding, band-bucket self-join for candidate pairs,
+  signature-estimated Jaccard, min-id cluster keep.  Never all-pairs: the
+  only join is an equi-join on (band_id, band_key), so candidate
+  generation shuffles O(docs x bands) small rows and AQE handles hot
+  buckets (boilerplate).  At 100 TB you run exact dedup first so identical
+  texts don't quadratically inflate one bucket.
+* **SimHash** — 32-bit sign-of-weighted-bit-sums fingerprint; near-dup
+  pairs via 4 x 8-bit band blocking + Hamming distance.
+* **n-gram Jaccard** — exact shingle-set Jaccard, evaluated only on LSH
+  candidate pairs (re-rank step).
+* **Embedding cosine** — exact top-k over a broadcast query set, plus a
+  random-hyperplane LSH bucketed ANN path that joins on bucket.
+
+Everything is JVM-side Column expressions (md5/conv/transform/aggregate)
+— no Python on executors.  Every constant below is the single source of
+truth shared with the DuckDB oracle generators at the bottom of this
+module, so both engines compute literally the same pipeline.
+
+Reference parity note: the reference crate has no similarity operators
+(it is six aggregate UDFs, see SURVEY.md); this module is part of the
+driver-mandated training-data-pipeline extras.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, word_shingles, tokens
+
+# ---------------------------------------------------------------------------
+# shared deterministic constants (Spark expressions AND DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+#: 60-bit hashes fit signed int64; 15 hex chars of md5
+_HASH_HEX_CHARS = 15
+
+#: Mersenne prime 2^31 - 1: (a*x + b) stays under 2^62, no overflow
+MERSENNE_P = 2_147_483_647
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K == LSH_BANDS * LSH_ROWS
+
+_rng = random.Random(42)
+#: k affine permutations h_i(x) = (a_i * x + b_i) mod P over the base hash
+MINHASH_PERMS: tuple[tuple[int, int], ...] = tuple(
+    (_rng.randrange(1, MERSENNE_P), _rng.randrange(0, MERSENNE_P))
+    for _ in range(MINHASH_K)
+)
+
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+
+#: random-hyperplane LSH for embeddings: +-1 planes, dim 64
+EMBEDDING_DIM = 64
+N_HYPERPLANES = 8
+_rng2 = random.Random(7)
+HYPERPLANES: tuple[tuple[int, ...], ...] = tuple(
+    tuple(_rng2.choice((-1, 1)) for _ in range(EMBEDDING_DIM))
+    for _ in range(N_HYPERPLANES)
+)
+
+
+# ---------------------------------------------------------------------------
+# hashing primitives
+# ---------------------------------------------------------------------------
+
+
+def hash60(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — reproducible in any
+    engine with md5 + hex parse (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT).
+    """
+    return F.conv(
+        F.substring(F.md5(c.cast("binary")), 1, _HASH_HEX_CHARS), 16, 10
+    ).cast("long")
+
+
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and pass the materialized value to
+    ``fn`` as a lambda variable.
+
+    Catalyst's CollapseProject re-inlines dependent projections, and
+    common-subexpression elimination does not reach inside higher-order
+    functions — so an expensive array (e.g. md5-hashed shingles) naively
+    referenced by k consumers is computed k times per row.  Wrapping it as
+    the element of a one-element array and consuming it through a
+    ``transform`` lambda pins one evaluation, because lambda variables are
+    values, not expression trees.  (Measured 10x+ on the MinHash pipeline.)
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _shingles_or_whole(text_col) -> Column:
+    """3-word shingles; texts shorter than the shingle width fall back to
+    one whole-text shingle (mirrors doc_fingerprint)."""
+    sh = word_shingles(text_col)
+    return F.when(F.size(sh) > 0, sh).otherwise(F.array(normalize_text(text_col)))
+
+
+def minhash_signature(text_col) -> Column:
+    """array<long> of MINHASH_K minimum permuted shingle hashes.
+
+    Base hash per shingle is computed once; each permutation is a
+    multiply-add mod P over the materialized base array.
+    """
+    base = F.transform(_shingles_or_whole(text_col), lambda s: hash60(s) % MERSENNE_P)
+
+    def perm(a: int, b: int):
+        # closure factory, not default args: PySpark derives the lambda-var
+        # count from the function's parameter count
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P
+
+    def all_perms(ba: Column) -> Column:
+        return F.array(
+            *[F.array_min(F.transform(ba, perm(a, b))) for a, b in MINHASH_PERMS]
+        )
+
+    # bind the hashed-shingle array once; the k permutations then read the
+    # materialized value instead of re-hashing every shingle k times
+    return _bind(base, all_perms)
+
+
+def simhash32(text_col) -> Column:
+    """32-bit SimHash over whitespace tokens (all occurrences, weight 1).
+
+    bit j = 1 iff sum over tokens of (+1 if bit j of hash60(token) set
+    else -1) is strictly positive.
+    """
+    hashes = F.transform(tokens(text_col), hash60)
+
+    def body(h: Column) -> Column:
+        def bit_sum(j: int) -> Column:
+            mask = F.lit(1 << j)
+            return F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(x.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            )
+
+        out = F.lit(0).cast("long")
+        for j in range(SIMHASH_BITS):
+            out = out + F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return out
+
+    # bind once: the 32 bit-sums read the materialized token-hash array
+    return _bind(hashes, body)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pipeline
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sig array<long>) — the per-doc signature relation."""
+    return df.select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
+
+
+def _band_key(sig: Column, band: int) -> Column:
+    parts = [
+        F.element_at(sig, band * LSH_ROWS + i + 1).cast("string")
+        for i in range(LSH_ROWS)
+    ]
+    return F.concat_ws(",", *parts)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs sharing at least one LSH band.
+
+    Plan: explode docs x bands -> equi-join on (band_id, band_key) ->
+    distinct.  Shuffles are keyed on band buckets; no cross join anywhere.
+    """
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            # bind: project-collapse would otherwise inline the signature
+            # expression into each of the LSH_BANDS x LSH_ROWS element_at's
+            _bind(
+                F.col("sig"),
+                lambda s: F.array(*[_band_key(s, b) for b in range(LSH_BANDS)]),
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) for LSH candidates whose signature-estimated
+    Jaccard (fraction of equal MinHash components) >= threshold."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(MINHASH_K))
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """(id, keep_id): one-step min-id propagation over the near-dup pair
+    graph — every doc maps to the smallest id among itself and its
+    above-threshold neighbors.  (Full connected components would iterate
+    this join to a fixpoint; one step is the deterministic, bounded-cost
+    keep rule used by large-scale dedup pipelines.)
+    """
+    pairs = near_dup_pairs(df, text_col, id_col, threshold)
+    neighbor_min = (
+        pairs.select(F.col("id_a").alias(id_col), F.col("id_b").alias("n"))
+        .union(pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("n")))
+        .groupBy(id_col)
+        .agg(F.min("n").alias("min_neighbor"))
+    )
+    return (
+        df.select(id_col)
+        .join(neighbor_min, id_col, "left")
+        .select(
+            id_col,
+            F.least(F.col(id_col), F.coalesce("min_neighbor", F.col(id_col))).alias(
+                "keep_id"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.3
+) -> DataFrame:
+    """Exact distinct-shingle-set Jaccard, evaluated on LSH candidates only
+    (the re-rank step after MinHash recall)."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(_shingles_or_whole(F.col(text_col))).alias("sh"),
+    )
+    sigs = minhash_signatures(df, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs whose 32-bit SimHashes differ in at most
+    ``max_hamming`` bits, blocked on 8-bit bands (a pair within Hamming
+    distance <= 3 shares at least one of the 4 bands, so banding loses no
+    qualifying pair)."""
+    sh = df.select(F.col(id_col), simhash32(F.col(text_col)).alias("sh"))
+    def band_array(h: Column) -> Column:
+        return F.array(
+            *[
+                F.shiftrightunsigned(h, b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .cast("long")
+                for b in range(SIMHASH_BANDS)
+            ]
+        )
+
+    bands = sh.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.posexplode(_bind(F.col("sh"), band_array)).alias("band_id", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine similarity — exact top-k and hyperplane-LSH ANN
+# ---------------------------------------------------------------------------
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in double.
+
+    Both input arrays are bound once (see ``_bind``) so the dot product and
+    the two norms share one cast/materialization per side.
+    """
+    return _bind(
+        _as_double(a),
+        lambda ad: _bind(
+            _as_double(b), lambda bd: _dot(ad, bd) / (_norm(ad) * _norm(bd))
+        ),
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (q_id, neighbor_id, cos, rank).
+
+    The query side is a literal-ID filter broadcast against the corpus —
+    at 100 TB the corpus side streams through one pass, no shuffle of the
+    corpus itself; ranking shuffles only (q x corpus-partition) top rows.
+    Ranking uses the 6-dp-rounded cosine (then neighbor id) so order is
+    reproducible across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_bucket(vec: Column) -> Column:
+    """Random-hyperplane LSH bucket id in [0, 2^N_HYPERPLANES): bit p is set
+    iff dot(vec, plane_p) > 0.  Planes are the module's fixed +-1 matrix."""
+    def body(v: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for p, plane in enumerate(HYPERPLANES):
+            dot = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(h)) for h in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            out = out + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return out
+
+    return _bind(_as_double(vec), body)
+
+
+def ann_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's hyperplane bucket.
+
+    Plan: project bucket per row (one corpus pass), equi-join query
+    buckets to corpus buckets — shuffle keyed on the bucket id, never a
+    cross join.  Recall < 1 by construction; the exact path is the oracle
+    for quality measurement.
+    """
+    from pyspark.sql import Window
+
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col)).alias("bucket")
+    )
+    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket"),
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL generators — same constants, same pipeline
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS_SQL = f"str_split({_NORM_SQL}, ' ')"
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, {_HASH_HEX_CHARS}))::BIGINT"
+
+
+def _sig_cte(table: str = "documents", id_col: str = "doc_id") -> str:
+    """CTEs producing sig(id, sig LIST(BIGINT)) with MINHASH_K entries."""
+    perm_exprs = ", ".join(
+        f"list_min(list_transform(base, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in MINHASH_PERMS
+    )
+    return f"""
+t AS (SELECT {id_col} AS id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks FROM {table}),
+sh AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [norm] END AS shingles
+  FROM t
+),
+based AS (
+  SELECT id,
+         list_transform(shingles, s -> {_hash60_sql('s')} % {MERSENNE_P}) AS base
+  FROM sh
+),
+sig AS (SELECT id, [{perm_exprs}] AS sig FROM based)
+"""
+
+
+def _bands_cte() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_id, "
+        f"array_to_string(sig[{b * LSH_ROWS + 1}:{(b + 1) * LSH_ROWS}], ',') AS band_key, sig "
+        f"FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+bands AS ({band_selects}),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+"""
+
+
+def near_dup_pairs_oracle_sql(threshold: float = 0.5) -> str:
+    eq_terms = f"""list_sum(list_transform(generate_series(1, {MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"""
+    return f"""
+WITH {_sig_cte()}, {_bands_cte()}
+SELECT cand.id_a, cand.id_b,
+       round({eq_terms}::DOUBLE / {MINHASH_K}.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.id = cand.id_a
+JOIN sig sb ON sb.id = cand.id_b
+WHERE {eq_terms}::DOUBLE / {MINHASH_K}.0 >= {threshold}
+"""
+
+
+def near_dup_clusters_oracle_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_sig_cte()}, {_bands_cte()},
+pairs AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE list_sum(list_transform(generate_series(1, {MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {MINHASH_K}.0 >= {threshold}
+),
+nmin AS (
+  SELECT id, min(n) AS min_neighbor FROM (
+    SELECT id_a AS id, id_b AS n FROM pairs
+    UNION ALL
+    SELECT id_b AS id, id_a AS n FROM pairs
+  ) GROUP BY 1
+)
+SELECT d.doc_id, least(d.doc_id, coalesce(nmin.min_neighbor, d.doc_id)) AS keep_id
+FROM documents d LEFT JOIN nmin ON nmin.id = d.doc_id
+"""
+
+
+def ngram_jaccard_pairs_oracle_sql(threshold: float = 0.3) -> str:
+    return f"""
+WITH {_sig_cte()}, {_bands_cte()},
+dsh AS (
+  SELECT id, list_distinct(shingles) AS sh FROM sh
+)
+SELECT cand.id_a, cand.id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+FROM cand
+JOIN dsh a ON a.id = cand.id_a
+JOIN dsh b ON b.id = cand.id_b
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= {threshold}
+"""
+
+
+def simhash_oracle_sql() -> str:
+    """Per-doc 32-bit SimHash (the fingerprint relation itself)."""
+    bit_terms = " + ".join(
+        f"""CASE WHEN list_sum(list_transform(hashes,
+             x -> CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN {1 << j} ELSE 0 END"""
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, s -> {_hash60_sql('s')}) AS hashes FROM t)
+SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {EMBEDDING_DIM}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {EMBEDDING_DIM}), "
+        f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {EMBEDDING_DIM}), "
+        f"i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))"
+    )
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def cosine_topk_oracle_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.q_vec', 'e.embedding')}, 6) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos, rank::INT AS rank FROM r WHERE rank <= {k}
+"""
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p, plane in enumerate(HYPERPLANES):
+        arr = "[" + ", ".join(f"{float(h)}" for h in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {EMBEDDING_DIM}), "
+            f"i -> {vec}[i]::DOUBLE * ({arr}::DOUBLE[])[i]))"
+        )
+        terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def ann_cosine_topk_oracle_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b
+      WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('q.q_vec', 'c.embedding')}, 6) AS cos
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos, rank::INT AS rank FROM r WHERE rank <= {k}
+"""

@@ -25,6 +25,7 @@ from .functions import text as TX
 from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewness
 from .operators import dedup as DD
 from .operators import sessions as SS
+from .operators import similarity as SIM
 from .operators.mode import mode_agg
 from .sources.catalog import load_table
 
@@ -523,6 +524,52 @@ def dedup_exact_kept_rows(spark, sf_dir):
     return DD.exact_dedup(d, "text", "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup + similarity search — MinHash-LSH, SimHash, n-gram Jaccard over
+# documents; exact + ANN cosine top-k over embeddings (operators/similarity.py;
+# oracle SQL generated from the same module constants)
+# ---------------------------------------------------------------------------
+
+#: fixed query-vector ids for the similarity-search suite entries
+ANN_QUERY_IDS = list(range(8))
+
+
+@query("near_dup_pairs", SIM.near_dup_pairs_oracle_sql(0.5))
+def near_dup_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.near_dup_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+@query("near_dup_clusters", SIM.near_dup_clusters_oracle_sql(0.5))
+def near_dup_clusters(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.near_dup_clusters(d, "text", "doc_id", threshold=0.5)
+
+
+@query("ngram_jaccard_pairs", SIM.ngram_jaccard_pairs_oracle_sql(0.3))
+def ngram_jaccard_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3)
+
+
+@query("simhash_fingerprints", SIM.simhash_oracle_sql())
+def simhash_fingerprints(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", SIM.simhash32(F.col("text")).alias("simhash"))
+
+
+@query("embedding_cosine_topk", SIM.cosine_topk_oracle_sql(ANN_QUERY_IDS, 5))
+def embedding_cosine_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(e, ANN_QUERY_IDS, k=5)
+
+
+@query("embedding_ann_topk", SIM.ann_cosine_topk_oracle_sql(ANN_QUERY_IDS, 5))
+def embedding_ann_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_cosine_topk(e, ANN_QUERY_IDS, k=5)
 
 
 # ---------------------------------------------------------------------------

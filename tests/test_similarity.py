@@ -1,0 +1,126 @@
+"""similarity operator tests: MinHash-LSH, SimHash, n-gram Jaccard,
+embedding cosine/ANN — semantics on tiny planted fixtures (no reference
+analog; these are the driver-mandated training-data-pipeline extras)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_extra_spark.operators import similarity as SIM
+
+A = "the quick brown fox jumps over the lazy dog and runs far away today"
+A_NEAR = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+B = "completely different content about spark aggregation engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, A), (2, A_NEAR), (3, B), (4, A)], "doc_id bigint, text string"
+    )
+
+
+def test_minhash_identical_texts_equal_sig(docs):
+    sigs = {r.doc_id: r.sig for r in SIM.minhash_signatures(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[4]
+    assert len(sigs[1]) == SIM.MINHASH_K
+    assert sigs[1] != sigs[3]
+
+
+def test_near_dup_pairs_finds_planted_pair(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in SIM.near_dup_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup -> identical signature
+    assert (1, 2) in pairs or (2, 4) in pairs  # near dup collides in a band
+    assert all(b != 3 and a != 3 for a, b in pairs)  # unrelated doc never pairs
+
+
+def test_near_dup_clusters_min_id_keep(docs):
+    keep = {
+        r.doc_id: r.keep_id
+        for r in SIM.near_dup_clusters(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    assert keep[1] == 1 and keep[4] == 1  # exact-dup cluster keeps min id
+    assert keep[3] == 3  # singleton keeps itself
+
+
+def test_ngram_jaccard_exact_values(docs):
+    rows = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in SIM.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.1).collect()
+    }
+    assert rows[(1, 4)] == 1.0
+    if (1, 2) in rows:  # 13-token texts differing in last word: 11/13 shingles...
+        assert 0.5 < rows[(1, 2)] < 1.0
+
+
+def test_simhash_similar_texts_close(docs):
+    sh = {r.doc_id: r.s for r in docs.select("doc_id", SIM.simhash32(F.col("text")).alias("s")).collect()}
+    assert sh[1] == sh[4]
+    ham_near = bin(sh[1] ^ sh[2]).count("1")
+    ham_far = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+    assert 0 <= sh[1] < 2**SIM.SIMHASH_BITS
+
+
+def test_simhash_pairs_blocking(docs):
+    rows = {(r.id_a, r.id_b) for r in SIM.simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()}
+    assert (1, 4) in rows
+
+
+def test_cosine_matches_math(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0]), (2, [1.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    row = (
+        df.alias("x")
+        .crossJoin(df.alias("y"))
+        .where("x.vec_id = 1 and y.vec_id = 2")
+        .select(SIM.cosine(F.col("x.embedding"), F.col("y.embedding")).alias("c"))
+        .collect()[0]
+    )
+    assert abs(row.c - 0.5) < 1e-12  # dot=1, norms=sqrt(2)*sqrt(2)
+
+
+def test_cosine_topk_ranks(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = SIM.cosine_topk(df, [0], k=2).collect()
+    assert [r.neighbor_id for r in rows] == [3, 1]
+    assert [r.rank for r in rows] == [1, 2]
+
+
+def test_ann_bucket_self_consistency(spark):
+    # a vector shares a bucket with itself; ANN on a corpus of identical
+    # vectors returns all others as candidates at cos ~= 1
+    df = spark.createDataFrame(
+        [(i, [1.0] * SIM.EMBEDDING_DIM) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = SIM.ann_cosine_topk(df, [0], k=5).collect()
+    assert {r.neighbor_id for r in rows} == {1, 2, 3}
+    assert all(abs(r.cos - 1.0) < 1e-9 for r in rows)
+
+
+def test_hyperplane_bucket_range(spark):
+    df = spark.createDataFrame(
+        [(0, [0.5] * SIM.EMBEDDING_DIM), (1, [-0.5] * SIM.EMBEDDING_DIM)],
+        "vec_id bigint, embedding array<double>",
+    )
+    vals = [r.b for r in df.select(SIM.hyperplane_bucket(F.col("embedding")).alias("b")).collect()]
+    assert all(0 <= v < 2**SIM.N_HYPERPLANES for v in vals)
+    # antipodal vectors land in complementary buckets
+    assert vals[0] ^ vals[1] == 2**SIM.N_HYPERPLANES - 1

@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions import multimodal as MM
 from .functions import text as TX
 from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewness
 from .operators import dedup as DD
@@ -524,6 +525,83 @@ def dedup_exact_kept_rows(spark, sf_dir):
     return DD.exact_dedup(d, "text", "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal — binary payload columns: magic-byte mime sniff, header-parsed
+# image dims, base64 bridge, mapInPandas decode plumbing
+# (functions/multimodal.py; deterministic synthetic payloads built from
+# documents identically in both engines)
+# ---------------------------------------------------------------------------
+
+_PAYLOAD_CTE = f"p AS (SELECT doc_id, ({MM.synth_payload_sql()}) AS payload FROM documents)"
+
+
+def _payload_df(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        MM.synth_payload(F.col("doc_id"), F.col("n_chars"), F.col("text")).alias(
+            "payload"
+        ),
+    )
+
+
+@query(
+    "multimodal_sniff_stats",
+    f"""
+WITH {_PAYLOAD_CTE}
+SELECT doc_id, {MM.sniff_mime_sql()} AS mime,
+       octet_length(payload) AS n_bytes,
+       substr(base64(payload), 1, 16) AS b64_head
+FROM p
+""",
+)
+def multimodal_sniff_stats(spark, sf_dir):
+    p = _payload_df(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        MM.sniff_mime(F.col("payload")).alias("mime"),
+        MM.payload_size(F.col("payload")).cast("long").alias("n_bytes"),
+        F.substring(MM.to_base64(F.col("payload")), 1, 16).alias("b64_head"),
+    )
+
+
+@query(
+    "multimodal_png_dims",
+    f"""
+WITH {_PAYLOAD_CTE}
+SELECT doc_id, {MM.png_dims_sql()[0]} AS width, {MM.png_dims_sql()[1]} AS height
+FROM p WHERE {MM.sniff_mime_sql()} = 'image/png'
+""",
+)
+def multimodal_png_dims(spark, sf_dir):
+    p = _payload_df(spark, sf_dir)
+    return p.where(MM.sniff_mime(F.col("payload")) == "image/png").select(
+        "doc_id",
+        MM.png_width(F.col("payload")).alias("width"),
+        MM.png_height(F.col("payload")).alias("height"),
+    )
+
+
+@query(
+    "multimodal_decode_meta",
+    f"""
+WITH {_PAYLOAD_CTE}
+SELECT doc_id, {MM.sniff_mime_sql()} AS mime,
+       CASE WHEN {MM.sniff_mime_sql()} = 'image/png'
+            THEN {MM.png_dims_sql()[0]} END AS width,
+       CASE WHEN {MM.sniff_mime_sql()} = 'image/png'
+            THEN {MM.png_dims_sql()[1]} END AS height,
+       octet_length(payload) AS n_bytes
+FROM p
+""",
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """The mapInPandas decode path: Arrow-batched Python header parse.
+    Same result as the JVM expressions (the oracle), proving the plumbing."""
+    p = _payload_df(spark, sf_dir)
+    return MM.decode_meta(p, "payload", "doc_id")
 
 
 # ---------------------------------------------------------------------------

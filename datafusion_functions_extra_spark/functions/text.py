@@ -39,6 +39,20 @@ BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 SHINGLE_WORDS = 3
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and pass the materialized value to
+    ``fn`` as a lambda variable.
+
+    Catalyst's CollapseProject re-inlines dependent projections and
+    common-subexpression elimination does not reach inside higher-order
+    functions, so an expression referenced k times is *computed* k times.
+    Wrapping it as the element of a one-element array and consuming it
+    through a ``transform`` lambda pins one evaluation (lambda variables
+    are values, not expression trees).
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def normalize_text(c: ColumnOrName) -> Column:
     """lower + trim + whitespace-collapse; the canonical form for dedup."""
     return F.lower(F.trim(F.regexp_replace(_col(c), "\\s+", " ")))
@@ -51,25 +65,41 @@ def tokens(c: ColumnOrName) -> Column:
 
 def token_count(c: ColumnOrName) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
-    n = normalize_text(c)
-    return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " ")))
+    return bind_once(
+        normalize_text(c),
+        lambda n: F.when(F.length(n) == 0, F.lit(0)).otherwise(
+            F.size(F.split(n, " "))
+        ),
+    )
 
 
 def bpe_token_count(c: ColumnOrName) -> Column:
-    """Token count under a BPE-style pre-tokenization regex."""
-    return F.size(F.regexp_extract_all(F.lower(_col(c)), F.lit(BPE_TOKEN_RE), 0))
+    """Token count under a BPE-style pre-tokenization regex.
+
+    ``regexp_count`` counts matches without materializing the match array
+    (``regexp_extract_all`` + ``size`` builds every token string just to
+    throw it away).
+    """
+    return F.regexp_count(F.lower(_col(c)), F.lit(BPE_TOKEN_RE))
 
 
 def distinct_token_ratio(c: ColumnOrName) -> Column:
-    t = tokens(c)
-    return F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+    return bind_once(
+        tokens(c),
+        lambda t: F.size(F.array_distinct(t)).cast("double")
+        / F.size(t).cast("double"),
+    )
 
 
 def stopword_ratio(c: ColumnOrName) -> Column:
-    t = tokens(c)
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    hits = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
-    return hits.cast("double") / F.size(t).cast("double")
+    return bind_once(
+        tokens(c),
+        lambda t: F.size(F.filter(t, lambda x: F.array_contains(stop, x))).cast(
+            "double"
+        )
+        / F.size(t).cast("double"),
+    )
 
 
 def quality_score(c: ColumnOrName, target_chars: int = 500) -> Column:
@@ -77,14 +107,30 @@ def quality_score(c: ColumnOrName, target_chars: int = 500) -> Column:
 
     0.3 * min(1, n_chars/target) + 0.4 * lexical diversity
     + 0.3 * (1 - |stopword_ratio - 0.4| / 0.6 penalty)  — prose-likeness.
+
+    The token array is materialized once (``bind_once``) and shared by the
+    diversity and stopword terms.
     """
-    n = normalize_text(c)
-    len_score = F.least(F.lit(1.0), F.length(n).cast("double") / F.lit(float(target_chars)))
-    diversity = distinct_token_ratio(c)
-    prose = F.lit(1.0) - F.least(
-        F.lit(1.0), F.abs(stopword_ratio(c) - F.lit(0.4)) / F.lit(0.6)
-    )
-    return F.lit(0.3) * len_score + F.lit(0.4) * diversity + F.lit(0.3) * prose
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    def score(t: Column) -> Column:
+        diversity = F.size(F.array_distinct(t)).cast("double") / F.size(t).cast(
+            "double"
+        )
+        sw_ratio = F.size(F.filter(t, lambda x: F.array_contains(stop, x))).cast(
+            "double"
+        ) / F.size(t).cast("double")
+        prose = F.lit(1.0) - F.least(
+            F.lit(1.0), F.abs(sw_ratio - F.lit(0.4)) / F.lit(0.6)
+        )
+        len_score = F.least(
+            F.lit(1.0),
+            F.length(F.concat_ws(" ", t)).cast("double")
+            / F.lit(float(target_chars)),
+        )
+        return F.lit(0.3) * len_score + F.lit(0.4) * diversity + F.lit(0.3) * prose
+
+    return bind_once(tokens(c), score)
 
 
 def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:
@@ -102,31 +148,53 @@ def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:
 
 
 def lang_id(c: ColumnOrName) -> Column:
-    """Deterministic argmax over lang_scores: max score, tie -> max lang."""
-    pairs = lang_scores(c)
-    arr = F.array(
-        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in pairs]
-    )
-    return F.array_max(arr).getField("lang")
+    """Deterministic argmax over lang_scores: max score, tie -> max lang.
+
+    The token array is materialized once and shared by every marker-list
+    scorer (the CJK scorer reads the raw column, not the tokens).
+    """
+    cjk = F.length(F.regexp_replace(_col(c), "[^\\u4e00-\\u9fff]", "")).cast("long")
+
+    def argmax(t: Column) -> Column:
+        structs = []
+        for lang, markers in LANG_MARKERS.items():
+            if markers:
+                arr = F.array(*[F.lit(m) for m in markers])
+                score = (
+                    F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+                ).cast("long")
+            else:
+                score = cjk
+            structs.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+        return F.array_max(F.array(*structs)).getField("lang")
+
+    return bind_once(tokens(c), argmax)
 
 
 def word_shingles(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
     """Overlapping k-word shingles (array<string>); empty if < k tokens."""
-    t = tokens(c)
-    n_sh = F.size(t) - F.lit(k - 1)
-    return F.when(
-        n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def build(t: Column) -> Column:
+        n_sh = F.size(t) - F.lit(k - 1)
+        return F.when(
+            n_sh >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens(c), build)
 
 
 def doc_fingerprint(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
     """Rolling-hash document fingerprint: min md5 over k-word shingles
     (a 1-permutation MinHash); texts shorter than k words hash whole."""
-    sh = word_shingles(c, k)
-    return F.when(
-        F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary"))))
-    ).otherwise(F.md5(normalize_text(c).cast("binary")))
+
+    def fp(sh: Column) -> Column:
+        return F.when(
+            F.size(sh) > 0,
+            F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary")))),
+        ).otherwise(F.md5(normalize_text(c).cast("binary")))
+
+    return bind_once(word_shingles(c, k), fp)

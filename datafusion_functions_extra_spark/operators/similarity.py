@@ -33,7 +33,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, word_shingles, tokens
+from ..functions.text import bind_once, normalize_text, word_shingles, tokens
 
 # ---------------------------------------------------------------------------
 # shared deterministic constants (Spark expressions AND DuckDB oracles)
@@ -84,19 +84,9 @@ def hash60(c: Column) -> Column:
     ).cast("long")
 
 
-def _bind(col: Column, fn) -> Column:
-    """Evaluate ``col`` once per row and pass the materialized value to
-    ``fn`` as a lambda variable.
-
-    Catalyst's CollapseProject re-inlines dependent projections, and
-    common-subexpression elimination does not reach inside higher-order
-    functions — so an expensive array (e.g. md5-hashed shingles) naively
-    referenced by k consumers is computed k times per row.  Wrapping it as
-    the element of a one-element array and consuming it through a
-    ``transform`` lambda pins one evaluation, because lambda variables are
-    values, not expression trees.  (Measured 10x+ on the MinHash pipeline.)
-    """
-    return F.element_at(F.transform(F.array(col), fn), 1)
+#: one-evaluation binding for expensive subexpressions (see text.bind_once;
+#: measured 10x+ on the MinHash pipeline)
+_bind = bind_once
 
 
 def _shingles_or_whole(text_col) -> Column:

@@ -50,52 +50,99 @@ def all_extra_aggregate_functions():
     return list(FUNCTIONS.items())
 
 
+#: SQL type per variant suffix for the typed mode/max_by/min_by forms —
+#: the SQL-registration analog of the reference's per-physical-type
+#: accumulator dispatch (``src/mode.rs:101-213``).  A pandas UDAF needs a
+#: fixed return type per registered name, so each type family gets its own
+#: suffixed variant; the unsuffixed name is the string variant.
+SQL_TYPE_VARIANTS: dict[str, str] = {
+    "str": "string",
+    "int": "bigint",
+    "float": "double",
+    "date": "date",
+    "ts": "timestamp",
+}
+
+
+def _is_missing(y) -> bool:
+    return y is None or (isinstance(y, float) and y != y)
+
+
+def _extreme_by(values, orders, *, is_max: bool):
+    """Deterministic arg-extreme: NULL/NaN ordering values ignored; ties on
+    the ordering broken by preferring non-null x, then the larger (max) or
+    smaller (min) x — matching the builders' deterministic=True mode."""
+    pairs = []
+    for x, y in zip(values, orders):
+        if _is_missing(y):
+            continue
+        xk = float("-inf") if isinstance(x, float) and x != x else x
+        pairs.append((y, x is not None, xk, x) if is_max else (y, x is None, xk, x))
+    if not pairs:
+        return None
+    best = max(pairs) if is_max else min(pairs)
+    return best[3]
+
+
 def register_all(spark: SparkSession, prefix: str = "extra_") -> list[str]:
     """Register SQL-callable pandas-UDAF forms of all six aggregates.
 
-    Returns the registered SQL names.  Overwrites are logged at debug level
-    like the reference (``src/lib.rs:59-64``).
+    Numeric statistics drop NULLs before accumulating (matching the
+    builders and the reference's ``.flatten()`` null-skip); mode, max_by
+    and min_by are registered once per type family in
+    :data:`SQL_TYPE_VARIANTS` (``extra_mode_int``, ``extra_max_by_float``,
+    ...), with the unsuffixed name aliasing the string variant.  Returns
+    the registered SQL names; overwrites are logged at debug level like
+    the reference (``src/lib.rs:59-64``).
     """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _skewness(v: pd.Series) -> float:
-        return num.skewness_py(v.astype("float64").tolist())
+        return num.skewness_py(v.dropna().astype("float64").tolist())
 
     @pandas_udf("double")
     def _kurtosis(v: pd.Series) -> float:
-        return num.kurtosis_py(v.astype("float64").tolist())
+        return num.kurtosis_py(v.dropna().astype("float64").tolist())
 
     @pandas_udf("double")
     def _kurtosis_pop(v: pd.Series) -> float:
-        return num.kurtosis_pop_py(v.astype("float64").tolist())
+        return num.kurtosis_pop_py(v.dropna().astype("float64").tolist())
 
-    @pandas_udf("string")
-    def _mode_str(v: pd.Series) -> str:
-        return num.mode_py(v.tolist())
+    def _mode_udf(sql_type: str):
+        @pandas_udf(sql_type)
+        def _m(v: pd.Series) -> object:
+            return num.mode_py(v.dropna().tolist())
 
-    @pandas_udf("string")
-    def _max_by_str(v: pd.Series, o: pd.Series) -> str:
-        pairs = [(x, y) for x, y in zip(v.tolist(), o.tolist()) if y is not None]
-        if not pairs:
-            return None
-        return max(pairs, key=lambda p: (p[1], p[0] is not None, p[0]))[0]
+        return _m
 
-    @pandas_udf("string")
-    def _min_by_str(v: pd.Series, o: pd.Series) -> str:
-        pairs = [(x, y) for x, y in zip(v.tolist(), o.tolist()) if y is not None]
-        if not pairs:
-            return None
-        return min(pairs, key=lambda p: (p[1], p[0] is None, p[0]))[0]
+    def _max_by_udf(sql_type: str):
+        @pandas_udf(sql_type)
+        def _f(v: pd.Series, o: pd.Series) -> object:
+            return _extreme_by(v.tolist(), o.tolist(), is_max=True)
+
+        return _f
+
+    def _min_by_udf(sql_type: str):
+        @pandas_udf(sql_type)
+        def _f(v: pd.Series, o: pd.Series) -> object:
+            return _extreme_by(v.tolist(), o.tolist(), is_max=False)
+
+        return _f
 
     udfs = {
         f"{prefix}skewness": _skewness,
         f"{prefix}kurtosis": _kurtosis,
         f"{prefix}kurtosis_pop": _kurtosis_pop,
-        f"{prefix}mode": _mode_str,
-        f"{prefix}max_by": _max_by_str,
-        f"{prefix}min_by": _min_by_str,
+        f"{prefix}mode": _mode_udf("string"),
+        f"{prefix}max_by": _max_by_udf("string"),
+        f"{prefix}min_by": _min_by_udf("string"),
     }
+    for suffix, sql_type in SQL_TYPE_VARIANTS.items():
+        udfs[f"{prefix}mode_{suffix}"] = _mode_udf(sql_type)
+        udfs[f"{prefix}max_by_{suffix}"] = _max_by_udf(sql_type)
+        udfs[f"{prefix}min_by_{suffix}"] = _min_by_udf(sql_type)
+
     registered = []
     for name, udf in udfs.items():
         log.debug("registering SQL aggregate %s (pandas GROUPED_AGG)", name)

@@ -1,0 +1,94 @@
+"""SQL-text registry tests: the opt-in pandas-UDAF surface registered by
+register_all must match the JVM builders' semantics, including NULL
+skipping and per-type variants (reference type dispatch src/mode.rs:101-213)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from datafusion_functions_extra_spark import register_all
+
+
+@pytest.fixture(scope="module")
+def sql(spark):
+    register_all(spark)
+
+    def run(q):
+        return spark.sql(q).collect()
+
+    return run
+
+
+def test_typed_mode_int(spark, sql):
+    spark.createDataFrame(
+        [(1,), (3,), (3,), (None,)], "x bigint"
+    ).createOrReplaceTempView("tmode_i")
+    [r] = sql("SELECT extra_mode_int(x) AS m FROM tmode_i")
+    assert r.m == 3
+
+
+def test_typed_mode_float_and_tie(spark, sql):
+    spark.createDataFrame(
+        [(1.5,), (1.5,), (2.5,), (2.5,)], "x double"
+    ).createOrReplaceTempView("tmode_f")
+    [r] = sql("SELECT extra_mode_float(x) AS m FROM tmode_f")
+    assert r.m == 2.5  # tie -> max
+
+
+def test_typed_mode_date(spark, sql):
+    d1, d2 = dt.date(2021, 1, 1), dt.date(2021, 1, 3)
+    spark.createDataFrame([(d1,), (d2,), (d2,)], "x date").createOrReplaceTempView(
+        "tmode_d"
+    )
+    [r] = sql("SELECT extra_mode_date(x) AS m FROM tmode_d")
+    assert r.m == d2
+
+
+def test_mode_unsuffixed_is_string(spark, sql):
+    spark.createDataFrame(
+        [("a",), ("b",), ("b",), (None,)], "x string"
+    ).createOrReplaceTempView("tmode_s")
+    [r] = sql("SELECT extra_mode(x) AS m FROM tmode_s")
+    assert r.m == "b"
+
+
+def test_numeric_udafs_skip_nulls(spark, sql):
+    # golden skewness anchor with NULLs interleaved: NULLs must be skipped,
+    # not propagated as NaN (reference .flatten() null-skip)
+    vals = [1.0, None, 2.0, 2.0, None, 3.0, 3.0, 3.0]
+    spark.createDataFrame([(v,) for v in vals], "x double").createOrReplaceTempView(
+        "tskew"
+    )
+    [r] = sql(
+        "SELECT extra_skewness(x) AS s, extra_kurtosis_pop(x) AS kp FROM tskew"
+    )
+    assert math.isclose(r.s, -0.8573214099741201, rel_tol=1e-12)
+    assert r.kp is not None and not math.isnan(r.kp)
+
+
+def test_max_by_int_null_ordering_ignored(spark, sql):
+    rows = [(1, 10.0), (2, None), (3, 15.0), (None, 8.0)]
+    spark.createDataFrame(rows, "x bigint, y double").createOrReplaceTempView("tmb")
+    [r] = sql(
+        "SELECT extra_max_by_int(x, y) AS mx, extra_min_by_int(x, y) AS mn FROM tmb"
+    )
+    assert r.mx == 3  # NULL y ignored (Spark/DuckDB semantics, not reference's)
+    assert r.mn is None  # x at min y=8.0 is NULL
+
+
+def test_max_by_nan_ordering_ignored(spark, sql):
+    rows = [(1, float("nan")), (2, 1.0)]
+    spark.createDataFrame(rows, "x bigint, y double").createOrReplaceTempView("tnan")
+    [r] = sql("SELECT extra_max_by_int(x, y) AS mx FROM tnan")
+    assert r.mx == 2
+
+
+def test_grouped_sql_mode(spark, sql):
+    spark.createDataFrame(
+        [("g1", 1), ("g1", 1), ("g2", 5)], "g string, x bigint"
+    ).createOrReplaceTempView("tgrp")
+    rows = {r.g: r.m for r in sql("SELECT g, extra_mode_int(x) AS m FROM tgrp GROUP BY g")}
+    assert rows == {"g1": 1, "g2": 5}

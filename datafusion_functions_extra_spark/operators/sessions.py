@@ -1,7 +1,10 @@
 """Event-stream batch operators: tumbling windows and gap sessionization.
 
 Batch-first formulations (SURVEY.md §7 phase 3); the Structured Streaming
-variants live in ``streaming/events.py``.
+variants (watermarked ``F.window``, native ``F.session_window``) live in
+:mod:`..streaming.events`.  :func:`session_window_stats` below is the
+batch form of the native session-window plan — same results as
+:func:`session_stats`, one hash aggregate instead of a window sort.
 """
 
 from __future__ import annotations
@@ -69,4 +72,32 @@ def session_stats(
         F.max("ts").alias("t_end"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
         F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup via Spark's native ``session_window`` aggregate.
+
+    Same session-boundary rule as :func:`sessionize` (a strictly larger
+    gap starts a new session) but planned as ONE hash aggregate with
+    merging session state — no window-function sort, and the identical
+    code runs under Structured Streaming (see streaming.events).
+    """
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
     )

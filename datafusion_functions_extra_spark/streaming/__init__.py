@@ -1,0 +1,8 @@
+"""Structured Streaming operators (event streams)."""
+
+from .events import (  # noqa: F401
+    read_events_stream,
+    run_available_now,
+    streaming_session_stats,
+    streaming_tumbling_counts,
+)

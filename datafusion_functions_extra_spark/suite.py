@@ -150,6 +150,43 @@ def mode_orderdate_by_priority(spark, sf_dir):
     return res.withColumn("mode_orderdate", F.col("mode_orderdate").cast("string"))
 
 
+@query(
+    "mode_events_value_global",
+    _MODE_GLOBAL_SQL.format(col="value", table="events", alias="mode_value"),
+)
+def mode_events_value_global(spark, sf_dir):
+    """Float-typed mode (reference FloatModeAccumulator,
+    src/common/mode/native.rs:142-261): doubles group-hash natively in
+    Spark; ties break to the max value like every other type."""
+    e = load_table(spark, sf_dir, "events")
+    return mode_agg(e, None, "value", alias="mode_value")
+
+
+@query(
+    "mode_events_ts_by_type",
+    """
+WITH src AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+c AS (
+  SELECT event_type AS g, ts AS v, count(*) AS cnt FROM src
+  WHERE ts IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v DESC) AS rn
+  FROM c
+)
+SELECT g AS event_type, epoch_us(v) AS mode_ts_us FROM r WHERE rn = 1
+""",
+)
+def mode_events_ts_by_type(spark, sf_dir):
+    """Timestamp-typed mode (reference time/timestamp dispatch,
+    src/mode.rs:151-190, tests/main.rs:96-115); output as epoch micros so
+    the value hash is representation-independent."""
+    e = load_table(spark, sf_dir, "events")
+    res = mode_agg(e, ["event_type"], "ts", alias="mode_ts")
+    return res.select(
+        "event_type", F.unix_micros(F.col("mode_ts")).alias("mode_ts_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 # max_by / min_by — SURVEY §2.1 #2-3 (reference src/max_min_by.rs); native
 # Spark MaxBy/MinBy with deterministic struct tie-break; oracle = window argmax
@@ -699,4 +736,49 @@ def events_sessionization(spark, sf_dir):
     out = SS.session_stats(e, gap_seconds=1800)
     return out.select(
         "user_id", "session_id", "n_events", "duration_us", "sum_value"
+    )
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+lagd AS (
+  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM e
+),
+sess AS (
+  SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagd
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@query("events_session_window_native", _SESSION_WINDOW_ORACLE)
+def events_session_window_native(spark, sf_dir):
+    """Native F.session_window batch plan — one merging hash aggregate,
+    no window sort; oracle is the lag+cumsum formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return SS.session_window_stats(e, gap="30 minutes")
+
+
+@query("events_streaming_sessions", _SESSION_WINDOW_ORACLE)
+def events_streaming_sessions(spark, sf_dir):
+    """The same session rollup through Structured Streaming: readStream
+    file source -> session_window aggregate -> availableNow drain to a
+    memory sink.  Proves the streaming plan end-to-end against the same
+    DuckDB oracle as the batch form."""
+    from .streaming import read_events_stream, run_available_now, streaming_session_stats
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(streaming_session_stats(stream, gap="30 minutes"))
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        "n_events",
+        "sum_value",
     )

@@ -1,0 +1,74 @@
+"""Structured Streaming tests: the streaming plans must reproduce their
+batch counterparts when drained over the same files (availableNow)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_functions_extra_spark.operators import sessions as SS
+from datafusion_functions_extra_spark.sources.catalog import load_table
+from datafusion_functions_extra_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    streaming_session_stats,
+    streaming_tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_is_streaming(spark):
+    s = read_events_stream(spark, SF_DIR)
+    assert s.isStreaming
+    assert dict(s.dtypes)["ts"] == "timestamp"
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    stream = streaming_tumbling_counts(read_events_stream(spark, SF_DIR))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in run_available_now(stream).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("s"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    want = {(r.ws, r.event_type): (r.n, r.s) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_sessions_match_batch(spark):
+    stream = streaming_session_stats(read_events_stream(spark, SF_DIR))
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in run_available_now(stream).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    batch = SS.session_window_stats(e)
+    want = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    got_us = {(u, int(ts.timestamp() * 1_000_000)): v for (u, ts), v in got.items()}
+    assert got_us == want
+
+
+def test_batch_session_window_equals_lag_cumsum(spark):
+    e = load_table(spark, SF_DIR, "events")
+    native = SS.session_window_stats(e)
+    lag = SS.session_stats(e).select(
+        "user_id",
+        F.unix_micros("t_start").alias("session_start_us"),
+        "n_events",
+        "sum_value",
+    )
+    n = {tuple(r) for r in native.collect()}
+    l = {tuple(r) for r in lag.collect()}
+    assert n == l

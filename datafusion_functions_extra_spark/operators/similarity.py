@@ -151,9 +151,19 @@ def simhash32(text_col) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, sig array<long>) — the per-doc signature relation."""
-    return df.select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, *, materialize: bool = False
+) -> DataFrame:
+    """(id, sig array<long>) — the per-doc signature relation.
+
+    ``materialize=True`` persists the relation (MEMORY_AND_DISK): the LSH
+    pipeline reads it from both sides of the band self-join plus the
+    est-Jaccard joins, and without pinning, each consumer re-hashes every
+    shingle.  At 100 TB the equivalent is writing signatures to a parquet
+    stage table once and joining from there.
+    """
+    sigs = df.select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
+    return sigs.persist() if materialize else sigs
 
 
 def _band_key(sig: Column, band: int) -> Column:
@@ -197,7 +207,7 @@ def near_dup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) for LSH candidates whose signature-estimated
     Jaccard (fraction of equal MinHash components) >= threshold."""
-    sigs = minhash_signatures(df, text_col, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, materialize=True)
     pairs = lsh_candidate_pairs(sigs, id_col)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -258,8 +268,8 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col),
         F.array_distinct(_shingles_or_whole(F.col(text_col))).alias("sh"),
-    )
-    sigs = minhash_signatures(df, text_col, id_col)
+    ).persist()
+    sigs = minhash_signatures(df, text_col, id_col, materialize=True)
     pairs = lsh_candidate_pairs(sigs, id_col)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -409,6 +419,51 @@ def hyperplane_bucket(vec: Column) -> Column:
         return out
 
     return _bind(_as_double(vec), body)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) embedding near-duplicates: bucket by random
+    hyperplane, self-join within buckets, keep pairs at cosine >= threshold.
+
+    The self-join is an equi-join on the bucket id — candidate volume is
+    sum over buckets of n_b^2, never corpus^2; tighter thresholds want more
+    hyperplanes (narrower buckets).  Recall loss vs all-pairs is the LSH
+    trade, same as the MinHash text path.
+    """
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col)).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_near_dup_pairs_oracle_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {{bucket}} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round({{cos}}, 6) AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round({{cos}}, 6) >= {threshold}
+""".format(
+        bucket=_bucket_sql("embedding"),
+        cos=_cos_sql("a.embedding", "c.embedding"),
+    )
 
 
 def ann_cosine_topk(

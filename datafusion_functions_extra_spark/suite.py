@@ -687,6 +687,12 @@ def embedding_ann_topk(spark, sf_dir):
     return SIM.ann_cosine_topk(e, ANN_QUERY_IDS, k=5)
 
 
+@query("embedding_near_dup_pairs", SIM.embedding_near_dup_pairs_oracle_sql(0.3))
+def embedding_near_dup_pairs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(e, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # event streams — tumbling window + gap sessionization (batch forms)
 # ---------------------------------------------------------------------------

@@ -529,6 +529,32 @@ def text_fingerprints(spark, sf_dir):
     return d.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
 
 
+@query(
+    "text_top_terms",
+    f"""
+WITH t AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+terms AS (SELECT unnest(toks) AS term FROM t)
+SELECT term, count(*) AS n FROM terms
+GROUP BY term ORDER BY n DESC, term DESC LIMIT 20
+""",
+)
+def text_top_terms(spark, sf_dir):
+    """Corpus term frequencies, top 20: explode -> count -> TakeOrdered.
+
+    Spark plans orderBy().limit() as per-partition top-k merged on the
+    driver (TakeOrderedAndProject) — no global sort, so the pattern holds
+    at 100 TB; the groupBy shuffles (term, partial count) pairs only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").desc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup — exact (hash-groupBy)
 # ---------------------------------------------------------------------------

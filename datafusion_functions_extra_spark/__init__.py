@@ -16,12 +16,12 @@ Design principles (Spark-first, 100 TB-ready):
 * Operators that need more than one aggregation stage (``mode``) are
   DataFrame->DataFrame transformations that let Catalyst plan each stage.
 * Python UDFs appear only where semantics genuinely require them
-  (multimodal decode stubs), always Arrow-batched via mapInPandas.
+  (multimodal decode plumbing), always Arrow-batched via mapInPandas.
 """
 
 from __future__ import annotations
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .functions.aggregates import (  # noqa: F401
     kurtosis,
@@ -35,7 +35,15 @@ from .functions.registry import (  # noqa: F401
     all_extra_aggregate_functions,
     register_all,
 )
+from .operators.dedup import dedup_stats, exact_dedup  # noqa: F401
 from .operators.mode import mode_agg  # noqa: F401
+from .operators.similarity import (  # noqa: F401
+    ann_cosine_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    near_dup_clusters,
+    near_dup_pairs,
+)
 
 __all__ = [
     "kurtosis",
@@ -47,5 +55,12 @@ __all__ = [
     "register_all",
     "all_extra_aggregate_functions",
     "FUNCTIONS",
+    "exact_dedup",
+    "dedup_stats",
+    "near_dup_pairs",
+    "near_dup_clusters",
+    "cosine_topk",
+    "ann_cosine_topk",
+    "embedding_near_dup_pairs",
     "__version__",
 ]

@@ -27,6 +27,7 @@ from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewne
 from .operators import dedup as DD
 from .operators import sessions as SS
 from .operators import similarity as SIM
+from .operators import skew as SK
 from .operators.mode import mode_agg
 from .sources.catalog import load_table
 
@@ -587,6 +588,59 @@ def dedup_exact_kept_rows(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return DD.exact_dedup(d, "text", "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins + quantiles — host-engine surface a reference user relies on daily:
+# skew-salted dimension join and exact interpolated percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_join_revenue_by_segment",
+    """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def salted_join_revenue_by_segment(spark, sf_dir):
+    """Deterministic skew-salted join (operators/skew.py): provably the
+    same rows as the plain equi-join — the oracle IS the plain join —
+    with the large side spread over 8 sub-keys."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = SK.salted_join(o, c.select("o_custkey", "c_mktsegment"), ["o_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "price_quantiles_by_returnflag",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def price_quantiles_by_returnflag(spark, sf_dir):
+    """Exact interpolated percentiles (Spark's percentile == DuckDB's
+    quantile_cont, both linear interpolation).  Exact quantiles shuffle
+    every value per group; at 100 TB switch to percentile_approx with a
+    bounded accuracy knob — same call shape, sketch-mergeable state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r6(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
+        _r6(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90"),
+        _r6(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99"),
     )
 
 

@@ -1,0 +1,77 @@
+"""As-of (backward, inclusive) join — an operator Spark lacks natively.
+
+``asof_join(left, right, ...)`` attaches, to every left row, the columns
+of the right row with the greatest timestamp <= the left row's timestamp
+within the same key group (the time-series / attribution join; DuckDB and
+pandas ``merge_asof`` ship it built in).
+
+Spark-first formulation — the union-sort trick, no per-row search:
+
+1. union both sides by name, tagging right rows to sort *before* left
+   rows at equal timestamps (inclusive semantics);
+2. one shuffle partitioning by key, one sort by (ts, side);
+3. ``last(value, ignorenulls=True)`` over an unbounded-preceding window
+   carries the most recent right values forward onto each left row;
+4. filter back to left rows.
+
+Cost: one Exchange + one in-partition sort over |left| + |right| rows —
+the same shape as sessionization, linear at 100 TB.  Right rows are
+deduplicated to one per (key, ts) first (max tiebreak id wins) so results
+are deterministic when the right side has timestamp collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    ``right`` must carry ``on + [ts_col] + value_cols`` (+ optional
+    ``tiebreak_col`` for deterministic dedup of equal-ts right rows);
+    ``value_cols`` must not collide with left column names.  Left rows
+    with no prior right row get NULLs (left-join semantics).
+    """
+    if tiebreak_col is not None:
+        w_dedup = Window.partitionBy(*on, ts_col).orderBy(F.col(tiebreak_col).desc())
+        right = (
+            right.withColumn("__rn", F.row_number().over(w_dedup))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    right = right.select(*on, ts_col, *value_cols)
+
+    left_cols = left.columns
+    # right rows sort before left rows at the same ts -> "<=" semantics
+    l_tag = left.withColumn("__side", F.lit(1))
+    r_tag = right.withColumn("__side", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        filled.where(F.col("__side") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+        )
+    )

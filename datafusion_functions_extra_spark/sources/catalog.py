@@ -26,8 +26,10 @@ TABLES = (
     "embeddings",
 )
 
-#: dimension tables small enough to broadcast at any scale factor
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+#: dimension tables small enough to broadcast at ANY scale factor — only
+#: region (5 rows) and nation (25 rows) are constant-size in TPC-H;
+#: supplier/customer/part scale with SF and must not be hinted blindly.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
@@ -57,6 +59,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a constant-size dimension with an explicit broadcast hint, so
+    joins against it never shuffle the fact side regardless of stats."""
+    from pyspark.sql import functions as F
+
+    if name not in BROADCAST_TABLES:
+        raise KeyError(f"{name!r} is not a constant-size dim ({sorted(BROADCAST_TABLES)})")
+    return F.broadcast(load_table(spark, sf_dir, name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -28,8 +28,9 @@ from .operators import dedup as DD
 from .operators import sessions as SS
 from .operators import similarity as SIM
 from .operators import skew as SK
+from .operators.asof import asof_join
 from .operators.mode import mode_agg
-from .sources.catalog import load_table
+from .sources.catalog import load_dim, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -622,6 +623,40 @@ def salted_join_revenue_by_segment(spark, sf_dir):
 
 
 @query(
+    "revenue_by_region_nation",
+    """
+SELECT r_name, n_name,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def revenue_by_region_nation(spark, sf_dir):
+    """TPC-H Q5-flavor star rollup: the fact table is joined through
+    customer and the two constant-size dims with explicit broadcast hints
+    (load_dim) — one shuffle for orders x customer, zero for the dims,
+    then a partial-combined group-by on the 25-nation key space."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_dim(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = load_dim(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "price_quantiles_by_returnflag",
     """
 SELECT l_returnflag,
@@ -822,6 +857,57 @@ def events_sessionization(spark, sf_dir):
     out = SS.session_stats(e, gap_seconds=1800)
     return out.select(
         "user_id", "session_id", "n_events", "duration_us", "sum_value"
+    )
+
+
+@query(
+    "asof_purchase_attribution",
+    """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), c AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+       epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def asof_purchase_attribution(spark, sf_dir):
+    """As-of join (operators/asof.py): every purchase is attributed to the
+    user's most recent click at or before it — the time-series join DuckDB
+    ships natively (the oracle uses its ASOF LEFT JOIN) and Spark lacks;
+    here it is one union + one shuffle + one window sort."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.col("event_id").alias("ce_id"),
+    )
+    res = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["click_value", "click_ts_us"],
+        tiebreak_col="ce_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "click_ts_us",
+        "click_value",
     )
 
 

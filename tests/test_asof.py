@@ -1,0 +1,41 @@
+"""as-of join semantics on a planted fixture: backward inclusive, NULL
+when no prior right row, deterministic tie handling."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from datafusion_functions_extra_spark.operators.asof import asof_join
+
+
+def ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, "u", ts(5)), (2, "u", ts(10)), (3, "u", ts(2)), (4, "v", ts(5))],
+        "id bigint, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(3), 30.0), ("u", ts(10), 100.0), ("w", ts(1), 1.0)],
+        "k string, ts timestamp, px double",
+    )
+    got = {
+        r.id: r.px
+        for r in asof_join(left, right, ["k"], "ts", ["px"]).collect()
+    }
+    assert got[1] == 30.0  # latest right at ts<=5 is ts(3)
+    assert got[2] == 100.0  # equal timestamp is inclusive
+    assert got[3] is None  # no right row at or before ts(2)... ts(3)>2
+    assert got[4] is None  # key with no right rows at all
+
+
+def test_asof_tie_dedup_max_id(spark):
+    left = spark.createDataFrame([(1, "u", ts(5))], "id bigint, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", ts(5), 1.0, 10), ("u", ts(5), 2.0, 20)],
+        "k string, ts timestamp, px double, rid bigint",
+    )
+    [row] = asof_join(left, right, ["k"], "ts", ["px"], tiebreak_col="rid").collect()
+    assert row.px == 2.0  # max tiebreak id wins deterministically

@@ -29,6 +29,7 @@ from .operators import sessions as SS
 from .operators import similarity as SIM
 from .operators import skew as SK
 from .operators.asof import asof_join
+from .operators.ranges import point_in_interval_join
 from .operators.mode import mode_agg
 from .sources.catalog import load_dim, load_table
 
@@ -653,6 +654,151 @@ def revenue_by_region_nation(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+    )
+
+
+@query(
+    "orders_pivot_status",
+    """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def orders_pivot_status(spark, sf_dir):
+    """Pivot with an explicit value list — never let Spark discover pivot
+    values at plan time (that is an extra distinct scan of the fact
+    table); the oracle is the equivalent conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    )
+
+
+@query(
+    "lineitem_rollup_totals",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def lineitem_rollup_totals(spark, sf_dir):
+    """Hierarchical subtotals via rollup — one pass, Spark expands the
+    grouping sets inside a single aggregate (no re-scan per level)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+
+
+@query(
+    "events_moving_avg",
+    """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+       AS mavg_5
+FROM events
+""",
+)
+def events_moving_avg(spark, sf_dir):
+    """Per-user 5-row trailing mean — one shuffle by user, one sort, same
+    frame semantics in both engines (deterministic via the event_id
+    tiebreak in the ordering)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg_5")
+    )
+
+
+@query(
+    "events_props_json",
+    """
+SELECT event_type,
+       sum((props ->> 'k')::BIGINT) AS sum_k,
+       count(props ->> 'k') AS n_k
+FROM events GROUP BY event_type
+""",
+)
+def events_props_json(spark, sf_dir):
+    """JSON property extraction stays JVM-side (get_json_object) — no
+    Python, pushes through whole-stage codegen like any projection."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+@query(
+    "range_join_errors_in_purchase_sessions",
+    """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+pur AS (SELECT * FROM e WHERE event_type = 'purchase'),
+lagd AS (
+  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM pur
+),
+sess AS (
+  SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagd
+),
+iv AS (
+  SELECT user_id, session_id,
+         min(ts) - INTERVAL 15 MINUTE AS t_start,
+         max(ts) + INTERVAL 15 MINUTE AS t_end
+  FROM sess GROUP BY 1, 2
+),
+err AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'error')
+SELECT err.user_id, err.event_id, epoch_us(iv.t_start) AS session_start_us
+FROM err JOIN iv ON err.user_id = iv.user_id
+                AND err.ts BETWEEN iv.t_start AND iv.t_end
+""",
+)
+def range_join_errors_in_purchase_sessions(spark, sf_dir):
+    """Binned range join (operators/ranges.py): errors falling inside the
+    user's purchase-session intervals.  A raw BETWEEN join would plan as
+    nested-loop; binning turns it into an equi-join on (user, time-bin)
+    plus a residual filter."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    # sessions padded +-15 min: most purchase sessions are single events,
+    # so the raw [min ts, max ts] interval is zero-width
+    intervals = SS.session_stats(purchases, gap_seconds=1800).select(
+        "user_id",
+        (F.col("t_start") - F.expr("INTERVAL 15 MINUTES")).alias("t_start"),
+        (F.col("t_end") + F.expr("INTERVAL 15 MINUTES")).alias("t_end"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = point_in_interval_join(
+        errors, intervals, ["user_id"], "ts", "t_start", "t_end", bin_seconds=1800
+    )
+    return joined.select(
+        "user_id", "event_id", F.unix_micros("t_start").alias("session_start_us")
     )
 
 

@@ -1,0 +1,87 @@
+"""Deterministic sampling and dataset splits for training pipelines.
+
+``df.sample()`` is seed-dependent *per partitioning* — re-partition the
+input and the sample changes, which silently breaks reproducibility and
+train/test hygiene at scale.  The robust pattern is content-hash
+bucketing: a row's bucket is a pure function of its key, so membership is
+stable across partitionings, engines, and reruns, and a grown corpus
+keeps prior rows in their split (only new keys land in new buckets).
+
+All hashing goes through the same md5-derived 60-bit primitive as the
+similarity module, so every function here is reproducible in the DuckDB
+oracle (and any engine with md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import hash60, _hash60_sql
+
+#: bucket space for percentage splits
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Stable bucket in [0, n_buckets) from the key's content hash."""
+    return hash60(key.cast("string")) % n_buckets
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Keep rows whose key-bucket falls below fraction * n_buckets."""
+    cut = int(round(fraction * n_buckets))
+    return df.where(hash_bucket(F.col(key), n_buckets) < cut)
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_fraction: float = 0.1, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Adds a ``split`` column ('test' below the cut, else 'train').
+
+    One projection, no shuffle; the same key always lands in the same
+    split — including across dataset versions.
+    """
+    cut = int(round(test_fraction * n_buckets))
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(key), n_buckets) < cut, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample_n(
+    df: DataFrame, strata: list[str], key: str, n_per_stratum: int
+) -> DataFrame:
+    """Deterministic n-per-stratum sample: rank rows inside each stratum by
+    (content hash, key) and keep the first n.  One shuffle on the strata;
+    the hash ordering is a stable pseudo-random permutation, so the sample
+    is unbiased w.r.t. any upstream ordering yet fully reproducible.
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        hash60(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+# --- DuckDB oracle fragments ------------------------------------------------
+
+
+def hash_bucket_sql(key_expr: str, n_buckets: int = N_BUCKETS) -> str:
+    return f"({_hash60_sql(f'CAST({key_expr} AS VARCHAR)')} % {n_buckets})"
+
+
+def stratified_rank_sql(strata: str, key_expr: str) -> str:
+    """row_number window mirroring stratified_sample_n's ordering."""
+    h = _hash60_sql(f"CAST({key_expr} AS VARCHAR)")
+    return (
+        f"row_number() OVER (PARTITION BY {strata} "
+        f"ORDER BY {h} ASC, {key_expr} ASC)"
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import multimodal as MM
+from .functions import sampling as SMP
 from .functions import text as TX
 from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewness
 from .operators import dedup as DD
@@ -555,6 +556,46 @@ def text_top_terms(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("term").desc())
         .limit(20)
+    )
+
+
+@query(
+    "docs_train_test_split_counts",
+    f"""
+SELECT lang,
+       CASE WHEN {SMP.hash_bucket_sql('doc_id')} < 1000 THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+)
+def docs_train_test_split_counts(spark, sf_dir):
+    """Reproducible train/test split by content-hash bucket — membership
+    is a pure function of the key, stable across partitionings, engines
+    and dataset versions (functions/sampling.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SMP.train_test_split(d, "doc_id", test_fraction=0.1).groupBy(
+        "lang", "split"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "docs_stratified_sample",
+    f"""
+WITH r AS (
+  SELECT doc_id, lang, source,
+         {SMP.stratified_rank_sql('lang', 'doc_id')} AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source FROM r WHERE rn <= 20
+""",
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Deterministic 20-per-language sample: hash-ordered row_number per
+    stratum — an unbiased, fully reproducible pseudo-random pick."""
+    d = load_table(spark, sf_dir, "documents")
+    return SMP.stratified_sample_n(d, ["lang"], "doc_id", 20).select(
+        "doc_id", "lang", "source"
     )
 
 

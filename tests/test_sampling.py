@@ -1,0 +1,53 @@
+"""Deterministic sampling: stability across partitionings and versions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_functions_extra_spark.functions import sampling as SMP
+from datafusion_functions_extra_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_split_stable_across_partitionings(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    a = {r.doc_id: r.split for r in SMP.train_test_split(d, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in SMP.train_test_split(d.repartition(17), "doc_id").collect()
+    }
+    assert a == b  # membership is a pure function of the key
+
+
+def test_split_fraction_roughly_held(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    counts = (
+        SMP.train_test_split(d, "doc_id", test_fraction=0.2)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    by = {r.split: r["count"] for r in counts}
+    total = sum(by.values())
+    assert 0.1 < by.get("test", 0) / total < 0.3
+
+
+def test_sample_is_subset_of_larger_sample(spark):
+    # growing the fraction only ADDS keys — the version-stability property
+    d = load_table(spark, SF_DIR, "documents")
+    s10 = {r.doc_id for r in SMP.deterministic_sample(d, "doc_id", 0.1).collect()}
+    s30 = {r.doc_id for r in SMP.deterministic_sample(d, "doc_id", 0.3).collect()}
+    assert s10 <= s30
+
+
+def test_stratified_sample_counts(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    out = SMP.stratified_sample_n(d, ["lang"], "doc_id", 5)
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    assert set(per) == langs
+    assert all(v <= 5 for v in per.values())
+    # reruns identical
+    again = {r.doc_id for r in SMP.stratified_sample_n(d, ["lang"], "doc_id", 5).collect()}
+    assert {r.doc_id for r in out.collect()} == again

@@ -3,6 +3,7 @@
 from .events import (  # noqa: F401
     read_events_stream,
     run_available_now,
+    streaming_dedup,
     streaming_session_stats,
     streaming_tumbling_counts,
 )

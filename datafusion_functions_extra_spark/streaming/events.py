@@ -104,18 +104,81 @@ def streaming_session_stats(
     )
 
 
-def run_available_now(sdf: DataFrame, table_name: str | None = None) -> DataFrame:
+def streaming_dedup(
+    docs: DataFrame,
+    key_col: str,
+    id_col: str,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Stateful streaming exact-dedup: emit only the FIRST row seen per
+    key, across micro-batches, via ``applyInPandasWithState``.
+
+    State is the set of seen keys *within each hash group* — Spark
+    partitions the stream by ``key_col``, so each grouped-state task holds
+    only its shard of the key space; the state store scales horizontally
+    like any keyed aggregation.  An optional processing-time timeout evicts
+    idle keys for unbounded streams (accepting re-admission of very old
+    duplicates, the standard streaming-dedup trade).
+
+    This is the streaming analog of ``operators.dedup.exact_dedup`` —
+    batch replays (availableNow) produce the same kept-set when ids arrive
+    in order; a live stream keeps whichever row arrived first.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = docs.schema
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            (seen,) = state.get
+        else:
+            seen = False
+        for pdf in pdf_iter:
+            if seen or pdf.empty:
+                continue
+            seen = True
+            # first physical row for this key wins
+            yield pdf.sort_values(id_col).head(1)
+        state.update((seen,))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    return docs.groupBy(key_col).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    table_name: str | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain all currently-available input through the streaming plan into
     an in-memory sink and return the result as a batch DataFrame.
 
     This is the local-test/driver bridge: ``availableNow`` processes every
     existing file then stops, so the call is deterministic and bounded.
+    Stateful flatMap operators (``streaming_dedup``) require
+    ``output_mode='append'``.
     """
     name = table_name or f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option(
             "checkpointLocation",
             tempfile.mkdtemp(prefix="dfx-stream-ckpt-"),

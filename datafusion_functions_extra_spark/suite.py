@@ -995,6 +995,60 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(e, threshold=0.3)
 
 
+@query(
+    "corpus_clean_pipeline",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, n_chars,
+         {_NORM_SQL} AS norm,
+         {_TOKENS_SQL} AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, source, n_chars, norm,
+         0.3 * least(1.0, length(norm)::DOUBLE / 500.0)
+       + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+       + 0.3 * (1.0 - least(1.0,
+            abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
+                / len(toks)::DOUBLE - 0.4) / 0.6)) AS quality
+  FROM scored
+),
+filtered AS (SELECT * FROM q WHERE quality >= 0.5 AND lang = 'en'),
+keyed AS (SELECT *, md5(norm) AS k FROM filtered),
+keep AS (SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY 1),
+deduped AS (
+  SELECT keyed.doc_id, keyed.lang, keyed.source, keyed.n_chars,
+         round(keyed.quality, 6) AS quality
+  FROM keyed JOIN keep ON keyed.k = keep.k AND keyed.doc_id = keep.doc_id
+)
+SELECT *, CASE WHEN {SMP.hash_bucket_sql('doc_id')} < 1000 THEN 'test'
+               ELSE 'train' END AS split
+FROM deduped
+""",
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """The end-to-end training-corpus shape, composed from this library's
+    operators in one lazy plan: quality-score filter -> language filter ->
+    exact dedup -> reproducible train/test split.  Catalyst fuses the
+    scoring/filtering projections into the scan; the only shuffles are the
+    dedup groupBy and its keep-join."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.withColumn("quality", TX.quality_score("text"))
+    filtered = scored.where(
+        (F.col("quality") >= 0.5) & (F.col("lang") == "en")
+    )
+    deduped = DD.exact_dedup(filtered, "text", "doc_id")
+    split = SMP.train_test_split(deduped, "doc_id", test_fraction=0.1)
+    return split.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.round("quality", 6).alias("quality"),
+        "split",
+    )
+
+
 # ---------------------------------------------------------------------------
 # event streams — tumbling window + gap sessionization (batch forms)
 # ---------------------------------------------------------------------------

@@ -12,11 +12,30 @@ from datafusion_functions_extra_spark.sources.catalog import load_table
 from datafusion_functions_extra_spark.streaming import (
     read_events_stream,
     run_available_now,
+    streaming_dedup,
     streaming_session_stats,
     streaming_tumbling_counts,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_dedup_matches_batch(spark):
+    from datafusion_functions_extra_spark.operators.dedup import content_key, exact_dedup
+
+    docs_schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+    )
+    keyed = stream.withColumn("__key", content_key(F.col("text")))
+    deduped = streaming_dedup(keyed, "__key", "doc_id")
+    got = {r.doc_id for r in run_available_now(deduped, output_mode="append").collect()}
+
+    batch = load_table(spark, SF_DIR, "documents")
+    want = {r.doc_id for r in exact_dedup(batch, "text", "doc_id").collect()}
+    assert got == want
 
 
 def test_streaming_is_streaming(spark):

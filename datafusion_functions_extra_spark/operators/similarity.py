@@ -421,6 +421,83 @@ def hyperplane_bucket(vec: Column) -> Column:
     return _bind(_as_double(vec), body)
 
 
+#: coarse-quantizer "centroid" vector ids for the IVF path — fixed corpus
+#: rows standing in for k-means centroids (training-free, deterministic;
+#: a production IVF would Lloyd-iterate these)
+IVF_CENTROID_IDS: tuple[int, ...] = tuple(range(100, 116))
+
+
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment — the IVF coarse
+    quantizer.  One broadcast join of the corpus against |centroids| rows,
+    argmax by (rounded cosine, min centroid id) for cross-engine
+    determinism; cost O(corpus x centroids), a single pass.
+    """
+    cent = F.broadcast(
+        emb.where(F.col(id_col).isin(list(centroid_ids))).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    scored = emb.select(F.col(id_col), F.col(vec_col)).join(cent).select(
+        id_col,
+        vec_col,
+        "cent_id",
+        F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6).alias("c"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by(
+            "cent_id", F.struct(F.col("c").alias("c"), (-F.col("cent_id")).alias("t"))
+        ).alias("cell"),
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+) -> DataFrame:
+    """IVF(nprobe=1) ANN top-k: candidates limited to the query's own
+    centroid cell; the cell join is an equi-join keyed on the cell id.
+    Same output shape as the exact/LSH paths (q_id, neighbor_id, cos, rank).
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(emb, id_col, vec_col, centroid_ids)
+    q = assigned.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell"
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -685,6 +762,43 @@ def _bucket_sql(vec: str) -> str:
         )
         terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END")
     return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def ivf_cosine_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+) -> str:
+    qids = ", ".join(str(i) for i in query_ids)
+    cids = ", ".join(str(i) for i in centroid_ids)
+    return f"""
+WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+              WHERE vec_id IN ({cids})),
+scored AS (
+  SELECT e.vec_id, e.embedding, cent.cent_id,
+         round({_cos_sql('e.embedding', 'cent.cent_vec')}, 6) AS c
+  FROM embeddings e CROSS JOIN cent
+),
+r0 AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY c DESC, cent_id ASC) AS rn
+  FROM scored
+),
+assigned AS (SELECT vec_id, embedding, cent_id AS cell FROM r0 WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM assigned
+      WHERE vec_id IN ({qids})),
+pairs AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('q.q_vec', 'c.embedding')}, 6) AS cos
+  FROM q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.q_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT q_id, neighbor_id, cos, rank::INT AS rank FROM r WHERE rank <= {k}
+"""
 
 
 def ann_cosine_topk_oracle_sql(query_ids: list[int], k: int = 5) -> str:

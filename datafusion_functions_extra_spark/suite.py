@@ -989,6 +989,15 @@ def embedding_ann_topk(spark, sf_dir):
     return SIM.ann_cosine_topk(e, ANN_QUERY_IDS, k=5)
 
 
+@query("embedding_ivf_topk", SIM.ivf_cosine_topk_oracle_sql(ANN_QUERY_IDS, 5))
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF(nprobe=1) coarse-quantized ANN — the other scale path beside
+    hyperplane LSH: assign every vector to its nearest fixed centroid via
+    one broadcast pass, then search only the query's cell."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_cosine_topk(e, ANN_QUERY_IDS, k=5)
+
+
 @query("embedding_near_dup_pairs", SIM.embedding_near_dup_pairs_oracle_sql(0.3))
 def embedding_near_dup_pairs(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")

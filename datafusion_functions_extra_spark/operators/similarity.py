@@ -717,6 +717,35 @@ SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h
 """
 
 
+def simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """Banded-Hamming SimHash pairs, mirroring simhash_pairs."""
+    bit_terms = " + ".join(
+        f"""CASE WHEN list_sum(list_transform(hashes,
+             x -> CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN {1 << j} ELSE 0 END"""
+        for j in range(SIMHASH_BITS)
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band_id, (sh >> {b * SIMHASH_BAND_BITS}) & {mask} AS band_key FROM s"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, s -> {_hash60_sql('s')}) AS hashes FROM t),
+s AS (SELECT doc_id, ({bit_terms})::BIGINT AS sh FROM h),
+bands AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         min(bit_count(xor(a.sh, b.sh))) AS hamming
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming::INT AS hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
 def _cos_sql(a: str, b: str) -> str:
     dot = (
         f"list_sum(list_transform(generate_series(1, {EMBEDDING_DIM}), "

@@ -977,6 +977,12 @@ def simhash_fingerprints(spark, sf_dir):
     return d.select("doc_id", SIM.simhash32(F.col("text")).alias("simhash"))
 
 
+@query("simhash_near_dup_pairs", SIM.simhash_pairs_oracle_sql(3))
+def simhash_near_dup_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
 @query("embedding_cosine_topk", SIM.cosine_topk_oracle_sql(ANN_QUERY_IDS, 5))
 def embedding_cosine_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")

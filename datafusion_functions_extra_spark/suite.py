@@ -844,6 +844,69 @@ def range_join_errors_in_purchase_sessions(spark, sf_dir):
 
 
 @query(
+    "events_user_trend",
+    """
+SELECT user_id,
+       round(covar_pop(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0, value)
+             / var_pop(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0), 6) AS slope,
+       count(*) AS n
+FROM events GROUP BY user_id
+""",
+)
+def events_user_trend(spark, sf_dir):
+    """Per-user least-squares trend of value over time, as pure algebraic
+    aggregates (slope = covar_pop/var_pop) — regression without ML
+    machinery, one hash aggregate, mergeable state like the moment stats."""
+    e = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts") / F.lit(1000000.0)
+    return e.groupBy("user_id").agg(
+        F.round(F.covar_pop(t, F.col("value")) / F.var_pop(t), 6).alias("slope"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "events_cube_counts",
+    """
+SELECT event_type, CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR) AS day,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY CUBE (event_type, day)
+""",
+)
+def events_cube_counts(spark, sf_dir):
+    """CUBE grouping sets — all four aggregation levels in one pass (Spark
+    expands the sets inside a single aggregate, no re-scans)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day")
+    return e.select("event_type", day, "value").cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+@query(
+    "events_value_histogram",
+    """
+SELECT event_type, floor(value / 25.0)::BIGINT AS bucket, count(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram as a plain group-by on the binned value —
+    the shuffle carries (type, bucket) keys only, O(buckets) output."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "price_quantiles_by_returnflag",
     """
 SELECT l_returnflag,

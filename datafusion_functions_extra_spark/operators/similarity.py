@@ -260,6 +260,86 @@ def near_dup_clusters(
     )
 
 
+def near_dup_components(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, component) — FULL connected components over the near-dup pair
+    graph via iterative min-label propagation (each node repeatedly takes
+    the min label in its closed neighborhood; converges in graph-diameter
+    rounds, and near-dup components are shallow).
+
+    This is the exact-clustering upgrade of :func:`near_dup_clusters`'s
+    one-step keep rule.  Each round is one join + one aggregate — the
+    standard scalable CC loop (GraphFrames does the same dance); the loop
+    runs on the driver but every data operation is distributed, and
+    intermediate labels are persisted so lineage stays flat.
+    """
+    pairs = near_dup_pairs(df, text_col, id_col, threshold).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+        .distinct()
+        .persist()
+    )
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
+
+
+def near_dup_components_oracle_sql(threshold: float = 0.5) -> str:
+    """Recursive-CTE connected components: with symmetric edges, the min
+    id reachable from a node IS its component min."""
+    return f"""
+WITH RECURSIVE {_sig_cte()}, {_bands_cte()},
+pairs AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE list_sum(list_transform(generate_series(1, {MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {MINHASH_K}.0 >= {threshold}
+),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.id_b, r.root FROM reach r JOIN edges e ON e.id_a = r.id
+)
+SELECT id AS doc_id, min(root) AS component FROM reach GROUP BY id
+"""
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.3
 ) -> DataFrame:

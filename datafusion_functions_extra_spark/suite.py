@@ -1028,6 +1028,14 @@ def near_dup_clusters(spark, sf_dir):
     return SIM.near_dup_clusters(d, "text", "doc_id", threshold=0.5)
 
 
+@query("near_dup_components", SIM.near_dup_components_oracle_sql(0.5))
+def near_dup_components(spark, sf_dir):
+    """Full connected components over the near-dup graph (iterative
+    min-label propagation; oracle = recursive CTE)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.near_dup_components(d, "text", "doc_id", threshold=0.5)
+
+
 @query("ngram_jaccard_pairs", SIM.ngram_jaccard_pairs_oracle_sql(0.3))
 def ngram_jaccard_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")

@@ -49,6 +49,29 @@ def test_near_dup_clusters_min_id_keep(docs):
     assert keep[3] == 3  # singleton keeps itself
 
 
+def test_near_dup_components_transitive(spark):
+    # chain A~B, B~C where A and C don't collide directly: full CC must
+    # give all three the same component (the one-step keep rule can't)
+    words = [f"tok{i}" for i in range(60)]
+    a = " ".join(words)
+    wb = list(words)
+    wb[30] = "CHANGED_B"  # one middle token: J(a,b) ~ 55/61
+    b = " ".join(wb)
+    wc = list(wb)
+    wc[10] = "CHANGED_C"  # differs from a in two places, from b in one
+    c = " ".join(wc)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "totally unrelated words here")],
+        "doc_id bigint, text string",
+    )
+    comp = {
+        r.doc_id: r.component
+        for r in SIM.near_dup_components(df, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[9] == 9
+
+
 def test_ngram_jaccard_exact_values(docs):
     rows = {
         (r.id_a, r.id_b): r.jaccard

@@ -71,6 +71,38 @@ def stratified_sample_n(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    size_col: str,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic contiguous sequence packing: shard rows by key hash,
+    order each shard by (hash, key) — a stable pseudo-random permutation —
+    and cut the running size into ``budget``-sized bins.
+
+    This is the distributed form of LLM training-sequence packing: a row
+    belongs to bin ``floor(preceding_cumulative_size / budget)`` of its
+    shard.  One shuffle (by shard) + one sort; every engine with window
+    sums produces the identical packing, so downstream sequence formation
+    is reproducible.  Adds ``shard``, ``bin``, ``offset_in_bin``.
+    """
+    shard = hash_bucket(F.col(key), n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy(
+        hash60(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("bin", F.floor(cum_before / F.lit(budget)).cast("long"))
+        .withColumn("offset_in_bin", (cum_before % F.lit(budget)).cast("long"))
+    )
+
+
 # --- DuckDB oracle fragments ------------------------------------------------
 
 
@@ -84,4 +116,23 @@ def stratified_rank_sql(strata: str, key_expr: str) -> str:
     return (
         f"row_number() OVER (PARTITION BY {strata} "
         f"ORDER BY {h} ASC, {key_expr} ASC)"
+    )
+
+
+def pack_sequences_sql(
+    key_expr: str, size_expr: str, budget: int, n_shards: int = 8
+) -> str:
+    """SELECT-list fragments (shard, bin, offset_in_bin) mirroring
+    pack_sequences; embed in a query over the source table."""
+    h = _hash60_sql(f"CAST({key_expr} AS VARCHAR)")
+    shard = f"({h} % {n_shards})"
+    cum_before = (
+        f"coalesce(sum({size_expr}) OVER (PARTITION BY {shard} "
+        f"ORDER BY {h} ASC, {key_expr} ASC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return (
+        f"{shard} AS shard, "
+        f"floor({cum_before} / {budget})::BIGINT AS bin, "
+        f"({cum_before} % {budget})::BIGINT AS offset_in_bin"
     )

@@ -599,6 +599,31 @@ def docs_stratified_sample(spark, sf_dir):
     )
 
 
+@query(
+    "docs_sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens, {SMP.pack_sequences_sql('doc_id', 'n_tokens', 512)}
+FROM t
+""",
+)
+def docs_sequence_packing(spark, sf_dir):
+    """Training-sequence packing: shard docs by key hash, order each shard
+    by a stable pseudo-random permutation, and cut the running token count
+    into 512-token bins — the reproducible distributed form of LLM
+    sequence packing (functions/sampling.py:pack_sequences)."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select("doc_id", TX.token_count("text").cast("long").alias("n_tokens"))
+    return SMP.pack_sequences(sized, "doc_id", "n_tokens", budget=512).select(
+        "doc_id", "n_tokens", "shard", "bin", "offset_in_bin"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup — exact (hash-groupBy)
 # ---------------------------------------------------------------------------

@@ -41,6 +41,28 @@ def test_sample_is_subset_of_larger_sample(spark):
     assert s10 <= s30
 
 
+def test_pack_sequences_invariants(spark):
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", (F.length("text") / 10).cast("long").alias("sz")
+    )
+    packed = SMP.pack_sequences(d, "doc_id", "sz", budget=100, n_shards=4)
+    rows = packed.collect()
+    # offsets are within budget and bins are dense per shard from 0
+    assert all(0 <= r.offset_in_bin < 100 for r in rows)
+    per_shard_bins = {}
+    for r in rows:
+        per_shard_bins.setdefault(r.shard, set()).add(r.bin)
+    for bins in per_shard_bins.values():
+        assert bins == set(range(max(bins) + 1))
+    # deterministic across partitionings
+    again = SMP.pack_sequences(
+        d.repartition(13), "doc_id", "sz", budget=100, n_shards=4
+    ).collect()
+    assert {(r.doc_id, r.shard, r.bin) for r in rows} == {
+        (r.doc_id, r.shard, r.bin) for r in again
+    }
+
+
 def test_stratified_sample_counts(spark):
     d = load_table(spark, SF_DIR, "documents")
     out = SMP.stratified_sample_n(d, ["lang"], "doc_id", 5)

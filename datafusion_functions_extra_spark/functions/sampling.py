@@ -53,6 +53,35 @@ def train_test_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    scale: float,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: a row is kept iff its
+    stable hash fraction falls below ``weight / scale`` (probabilities
+    clip at 1 for weights >= scale).
+
+    One filter projection, no shuffle, reproducible across engines and
+    partitionings — the weighted analog of :func:`deterministic_sample`,
+    e.g. length-proportional document sampling for training mixes.
+    """
+    frac = hash_bucket(F.col(key), n_buckets).cast("double") / F.lit(float(n_buckets))
+    return df.where(frac < F.col(weight_col).cast("double") / F.lit(float(scale)))
+
+
+def weighted_sample_sql(
+    key_expr: str, weight_expr: str, scale: float, n_buckets: int = N_BUCKETS
+) -> str:
+    """DuckDB WHERE-clause fragment mirroring :func:`weighted_sample`."""
+    return (
+        f"({hash_bucket_sql(key_expr, n_buckets)}::DOUBLE / {float(n_buckets)} "
+        f"< {weight_expr}::DOUBLE / {float(scale)})"
+    )
+
+
 def stratified_sample_n(
     df: DataFrame, strata: list[str], key: str, n_per_stratum: int
 ) -> DataFrame:

@@ -364,6 +364,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_verified_pairs(
+    df: DataFrame, text_col: str, id_col: str, min_similarity: float = 0.8
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Levenshtein distance — the
+    "expensive verify on cheap candidates" stage of a production dedup
+    pipeline.  Returns (id_a, id_b, edit_dist, edit_sim) where
+    ``edit_sim = 1 - dist / max(len_a, len_b)`` and only pairs with
+    ``edit_sim >= min_similarity`` survive.
+
+    The quadratic-cost edit distance runs only on the LSH candidate set
+    (output of the banded MinHash join), never all pairs — at 100 TB the
+    candidate set is ~linear in the duplicate count, so the verify stage
+    stays proportional to actual near-dups.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, materialize=True)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    txt = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    a = txt.select(F.col(id_col).alias("id_a"), F.col("__t").alias("t_a"))
+    b = txt.select(F.col(id_col).alias("id_b"), F.col("__t").alias("t_b"))
+    dist = F.levenshtein("t_a", "t_b")
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("t_a"), F.length("t_b")
+    ).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_dist", dist.cast("long"))
+        .withColumn("edit_sim", sim)
+        .where(F.col("edit_sim") >= F.lit(min_similarity))
+        .select("id_a", "id_b", "edit_dist", F.round("edit_sim", 6).alias("edit_sim"))
+    )
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -738,6 +771,23 @@ FROM cand
 JOIN sig sa ON sa.id = cand.id_a
 JOIN sig sb ON sb.id = cand.id_b
 WHERE {eq_terms}::DOUBLE / {MINHASH_K}.0 >= {threshold}
+"""
+
+
+def edit_distance_verified_pairs_oracle_sql(min_similarity: float = 0.8) -> str:
+    sim = (
+        "(1.0 - levenshtein(ta.text, tb.text)::DOUBLE / "
+        "greatest(length(ta.text), length(tb.text))::DOUBLE)"
+    )
+    return f"""
+WITH {_sig_cte()}, {_bands_cte()}
+SELECT cand.id_a, cand.id_b,
+       levenshtein(ta.text, tb.text)::BIGINT AS edit_dist,
+       round({sim}, 6) AS edit_sim
+FROM cand
+JOIN documents ta ON ta.doc_id = cand.id_a
+JOIN documents tb ON tb.doc_id = cand.id_b
+WHERE {sim} >= {min_similarity}
 """
 
 

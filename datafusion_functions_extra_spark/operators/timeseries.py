@@ -1,0 +1,133 @@
+"""Hypertable-style time-series operators: bucketed downsampling with
+gap-filling and linear interpolation.
+
+The reference engine has no time-series surface; this is part of the
+training-pipeline/analytics extension layer (SURVEY.md §2.2).  Semantics
+follow the classic hypertable ``time_bucket_gapfill`` + ``interpolate``
+pair: downsample to fixed buckets, materialize the missing buckets of each
+series, and fill their values by linear interpolation between the nearest
+observed neighbors (forward/backward fill at the edges).
+
+Scale shape: one hash aggregate on (key, bucket) — cardinality = series x
+buckets, tiny relative to the input — then everything downstream (bounds,
+grid explode, fill windows) runs on the *downsampled* table.  The only
+sort is one window sort per series over bucket counts, never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Downsample ``value_col`` into ``unit`` buckets per ``key_col`` series,
+    then emit a dense bucket grid with missing buckets linearly
+    interpolated.
+
+    Returns (key, bucket_us, n_events, value_filled, is_gap):
+
+    * ``n_events`` — rows observed in the bucket (0 for gap buckets);
+    * ``value_filled`` — sum(value) for observed buckets; for gaps, the
+      linear interpolation between the nearest observed buckets, or the
+      nearest single neighbor at the series edges;
+    * ``is_gap`` — 1 where the bucket had no rows.
+
+    Plan: groupBy (key, bucket) -> per-key min/max -> sequence+explode the
+    grid -> left join observed buckets -> two frame-windows over ONE sort
+    per series (Spark evaluates same-partitioning/ordering windows in a
+    single sort pass).  No cross join, no driver-side iteration.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    hourly = df.groupBy(key_col, bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("v"),
+    )
+    grid = (
+        hourly.groupBy(key_col)
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval 1 {unit}"))
+            ).alias("bucket"),
+        )
+    )
+    dense = grid.join(hourly, [key_col, "bucket"], "left")
+
+    order = Window.partitionBy(key_col).orderBy("bucket")
+    w_prev = order.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = order.rowsBetween(0, Window.unboundedFollowing)
+    x = F.unix_micros(F.col("bucket"))
+    obs_x = F.when(F.col("v").isNotNull(), x)
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    prev_x = F.last(obs_x, ignorenulls=True).over(w_prev)
+    next_x = F.first(obs_x, ignorenulls=True).over(w_next)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * ((x - prev_x) / (next_x - prev_x)),
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return dense.select(
+        key_col,
+        x.alias("bucket_us"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(interp, 6).alias("value_filled"),
+        F.when(F.col("n_events").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
+
+
+def gap_fill_interpolate_oracle_sql(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB formulation: generate_series grid + IGNORE NULLS fill windows,
+    mirroring :func:`gap_fill_interpolate` term for term (same expression
+    shapes so doubles agree to well under the 6-dp rounding)."""
+    return f"""
+WITH hourly AS (
+  SELECT {key_col} AS k, date_trunc('hour', CAST({ts_col} AS TIMESTAMP)) AS bucket,
+         count(*) AS n_events, sum({value_col}) AS v
+  FROM {table} GROUP BY 1, 2
+),
+bounds AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+),
+dense AS (
+  SELECT g.k, g.bucket, h.n_events, h.v
+  FROM grid g LEFT JOIN hourly h ON g.k = h.k AND g.bucket = h.bucket
+),
+filled AS (
+  SELECT k, bucket, n_events, v, epoch_us(bucket) AS x,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_x,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
+  FROM dense
+)
+SELECT k AS {key_col}, x AS bucket_us,
+       coalesce(n_events, 0) AS n_events,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  THEN prev_v + (next_v - prev_v) * ((x - prev_x) / (next_x - prev_x))
+                  ELSE coalesce(prev_v, next_v) END, 6) AS value_filled,
+       CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM filled
+"""

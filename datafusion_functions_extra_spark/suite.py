@@ -32,6 +32,7 @@ from .operators import skew as SK
 from .operators.asof import asof_join
 from .operators.ranges import point_in_interval_join
 from .operators.mode import mode_agg
+from .operators.timeseries import gap_fill_interpolate, gap_fill_interpolate_oracle_sql
 from .sources.catalog import load_dim, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1305,4 +1306,269 @@ def events_streaming_sessions(spark, sf_dir):
         F.unix_micros(F.col("session_start")).alias("session_start_us"),
         "n_events",
         "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series — hypertable-style gap fill + linear interpolation
+# ---------------------------------------------------------------------------
+
+
+@query("events_gap_fill", gap_fill_interpolate_oracle_sql())
+def events_gap_fill(spark, sf_dir):
+    """Dense hourly series per event_type with missing hours linearly
+    interpolated (operators/timeseries.py).  Everything after the first
+    (key, bucket) aggregate runs on the downsampled table."""
+    e = load_table(spark, sf_dir, "events")
+    return gap_fill_interpolate(e, "event_type", "ts", "value", unit="hour")
+
+
+# ---------------------------------------------------------------------------
+# near-dup — exact edit-distance verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "edit_distance_verified_pairs",
+    SIM.edit_distance_verified_pairs_oracle_sql(min_similarity=0.8),
+)
+def edit_distance_verified_pairs(spark, sf_dir):
+    """Candidate generation by banded MinHash join, then exact Levenshtein
+    verification — the quadratic-cost verify runs only on the ~linear
+    candidate set, never all pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.edit_distance_verified_pairs(d, "text", "doc_id", min_similarity=0.8)
+
+
+# ---------------------------------------------------------------------------
+# host-engine surface — top-N per group, anti/semi joins, Q18-shape having
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_orders_per_segment",
+    """
+WITH o AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+FROM o WHERE rk <= 3
+""",
+)
+def top_orders_per_segment(spark, sf_dir):
+    """Top-3 orders by value per market segment: join + one window sort.
+    The per-group ordering includes the unique orderkey tiebreak so the
+    result is deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+SELECT c.c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY 1
+""",
+)
+def customers_without_orders(spark, sf_dir):
+    """Left anti join (Spark's NOT EXISTS physical form): customers with no
+    finished ('F') order, counted by segment.  The status filter pushes
+    into the orders scan; the anti join shuffles only the key column and
+    the aggregate runs on the small survivor set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "suppliers_with_returned_items",
+    """
+SELECT s.s_nationkey, count(*) AS n_suppliers
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+GROUP BY 1
+""",
+)
+def suppliers_with_returned_items(spark, sf_dir):
+    """Left semi join (EXISTS): suppliers with at least one returned line
+    item, counted by nation.  The returnflag filter is pushed into the
+    lineitem scan before the join keys ever shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_suppkey")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+@query(
+    "orders_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       round(b.sum_qty, 6) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def orders_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-having on the fact table first, so
+    only qualifying orderkeys (a tiny set) join back to orders/customer —
+    the join inputs shrink before any wide row moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round("sum_qty", 6).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling — weighted Bernoulli; data profiling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_weighted_sample",
+    f"""
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+WHERE {SMP.weighted_sample_sql("doc_id", "n_chars", 500.0)}
+GROUP BY 1
+""",
+)
+def docs_weighted_sample(spark, sf_dir):
+    """Length-proportional deterministic sample (functions/sampling.py
+    weighted_sample): inclusion probability n_chars/500 from a stable
+    content hash — one filter projection, no shuffle before the rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    s = SMP.weighted_sample(d, "doc_id", "n_chars", scale=500.0)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "documents_profile",
+    """
+SELECT 'text' AS column_name, count(*) - count(text) AS n_nulls,
+       count(DISTINCT text) AS n_distinct,
+       CAST(min(text) AS VARCHAR) AS min_str, CAST(max(text) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'source', count(*) - count(source), count(DISTINCT source),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+""",
+)
+def documents_profile(spark, sf_dir):
+    """Column profiling in ONE pass: a single multi-distinct aggregate over
+    all profiled columns (Catalyst's Expand handles the distincts), then a
+    stack() unpivot to (column, metric) rows — never four scans."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["text", "lang", "source", "n_chars"]
+    aggs = []
+    for col in cols:
+        c = F.col(col)
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"{col}__nulls"),
+            F.countDistinct(c).alias(f"{col}__distinct"),
+            F.min(c).cast("string").alias(f"{col}__min"),
+            F.max(c).cast("string").alias(f"{col}__max"),
+        ]
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketches — mergeable approximate distinct (rows-only check: HLL estimates
+# are implementation-defined, so no cross-engine oracle exists by design)
+# ---------------------------------------------------------------------------
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog-style approximate distinct users per event_type next to
+    the exact count and the realized relative error.  The sketch is the
+    100-TB path: fixed-size mergeable state per group instead of a
+    shuffle of every (group, user) pair.  No DuckDB oracle on purpose —
+    HLL estimates differ across implementations; the exact_users column
+    is the ground truth the estimate is judged against."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ),
+        )
     )

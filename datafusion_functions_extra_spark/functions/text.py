@@ -198,3 +198,75 @@ def doc_fingerprint(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
         ).otherwise(F.md5(normalize_text(c).cast("binary")))
 
     return bind_once(word_shingles(c, k), fp)
+
+
+def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf) — per-document term counts over the normalized
+    whitespace tokenization.  One explode + one hash aggregate on
+    (id, term); the exploded rows carry only (id, term), never the text."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    return tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf * ln(n_docs / df), ranked per
+    document by (score desc, term asc).
+
+    Scores are rounded to 6 dp *before* ranking — ln() differs by ~1 ulp
+    between libm implementations, and ranking raw doubles would let two
+    mathematically-tied terms order differently across engines.
+
+    Plan: one tf aggregate, a doc-frequency rollup of the tf table (vocab-
+    sized, broadcast by AQE), a scalar n_docs cross join, one window sort
+    per doc.  Nothing rescans the raw text after the first explode.
+    """
+    from pyspark.sql import Window
+
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", "rk")
+    )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Tokenizer-style vocabulary: (token_id, token, n_occurrences) with
+    contiguous ids assigned by (count desc, token asc) — the deterministic
+    id assignment every engine reproduces bit-identically (pure integer
+    ordering, no floats).
+
+    Plan: explode -> one hash aggregate -> one global window sort over the
+    *vocabulary* (not the corpus) — the only full sort is vocab-sized.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return counts.withColumn("token_id", F.row_number().over(w)).select(
+        "token_id", "token", "n_occurrences"
+    )

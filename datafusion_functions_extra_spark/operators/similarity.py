@@ -656,6 +656,32 @@ WHERE round({{cos}}, 6) >= {threshold}
     )
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 scalar quantization of an embedding vector:
+    ``struct(scale, q)`` with ``scale = max(|x|)/127`` and
+    ``q_i = round(x_i / scale)`` (all-zero vectors quantize to zeros).
+
+    4x storage/shuffle shrink for ANN at 100 TB; pure JVM higher-order
+    functions, and round() on IEEE doubles agrees bit-exact across
+    engines (verified vs DuckDB).  The vector and the scale are bound as
+    lambda values (nested ``bind_once``) so neither is re-evaluated per
+    element — an inline ``array_max`` would otherwise be O(dim^2)/row."""
+    return _bind(
+        _as_double(vec),
+        lambda v: _bind(
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+            lambda s: F.struct(
+                s.alias("scale"),
+                F.when(
+                    s > 0, F.transform(v, lambda x: F.round(x / s).cast("int"))
+                )
+                .otherwise(F.transform(v, lambda x: F.lit(0)))
+                .alias("q"),
+            ),
+        ),
+    )
+
+
 def ann_cosine_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -1572,3 +1572,253 @@ def approx_distinct_users(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text analytics — TF-IDF, vocabulary building, transition counts
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id,
+         unnest(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+  FROM documents
+)
+"""
+
+
+@query(
+    "text_tfidf_top_terms",
+    f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfq.df::DOUBLE), 6) AS tfidf
+  FROM tf JOIN dfq USING (term), n
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3
+""",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (functions/text.py tfidf_top_terms);
+    scores round to 6 dp before ranking so cross-engine ln() ulp noise
+    cannot reorder mathematical ties."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
+@query(
+    "text_vocabulary",
+    f"""
+WITH {_TOK_CTE},
+counts AS (
+  SELECT term AS token, count(*) AS n_occurrences FROM tok GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT) AS token_id,
+       token, n_occurrences
+FROM counts
+""",
+)
+def text_vocabulary(spark, sf_dir):
+    """Deterministic tokenizer vocabulary with contiguous ids by
+    (count desc, token asc) — functions/text.py build_vocab.  The global
+    sort runs over the vocabulary, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.build_vocab(d, "text", min_count=1)
+
+
+@query(
+    "events_type_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+""",
+)
+def events_type_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's event stream:
+    one shuffle by user, one window sort with a unique tiebreak, then a
+    tiny (type x type) aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# product analytics — cohort retention, funnel conversion, CDC latest state
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_cohort_retention",
+    """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+SELECT epoch_us(c.cohort_week) AS cohort_week_us, epoch_us(w.week) AS week_us,
+       count(*) AS n_users
+FROM weeks w JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def user_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    in each later active week.  The distinct (user, week) projection
+    shrinks the input before both aggregates; the cohort join is on the
+    deduplicated user set."""
+    e = load_table(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            F.unix_micros("week").alias("week_us"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    """
+WITH v AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_after_view,
+       (SELECT count(*) FROM p) AS n_purchase_after_click
+""",
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: per-user first-view, first
+    click strictly after it, first purchase strictly after that.  Each
+    stage filters + aggregates BEFORE joining, so the joins move one row
+    per surviving user, and every stage reuses the same user-keyed shuffle
+    partitioning."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(etype, prior, prior_col, out_col):
+        s = e.where(F.col("event_type") == etype).select("user_id", "ts")
+        if prior is not None:
+            s = s.join(prior, "user_id").where(F.col("ts") > F.col(prior_col))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    v = first_after("view", None, None, "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "events_cdc_latest_state",
+    """
+WITH r AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id, value AS last_value
+FROM r WHERE rn = 1
+""",
+)
+def events_cdc_latest_state(spark, sf_dir):
+    """CDC latest-wins upsert compaction via the reference's max_by
+    aggregate (functions/aggregates.py): one hash aggregate per
+    (user, type) keeps the most recent row — no window sort of the whole
+    changelog, and ties on ts break on the unique event_id."""
+    e = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts").alias("o"), F.col("event_id").alias("t"))
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.max(F.col("ts")).alias("last_ts"),
+            max_by(F.col("event_id"), ordk).alias("last_event_id"),
+            max_by(F.col("value"), ordk).alias("last_value"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("last_ts").alias("last_ts_us"),
+            "last_event_id",
+            "last_value",
+        )
+    )
+
+
+@query(
+    "embedding_int8_quant",
+    """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+s AS (SELECT vec_id, vec, list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale FROM v),
+q AS (SELECT vec_id, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(vec, x -> round(x / scale)::INT)
+                  ELSE list_transform(vec, x -> 0) END AS qv
+      FROM s)
+SELECT vec_id, round(scale, 6) AS scale,
+       list_sum(qv)::BIGINT AS sum_q,
+       list_sum(list_transform(qv, x -> abs(x)))::BIGINT AS sum_abs_q
+FROM q
+""",
+)
+def embedding_int8_quant(spark, sf_dir):
+    """Symmetric int8 quantization of every embedding
+    (operators/similarity.py quantize_int8) — the compression step before
+    a quantized ANN index.  Emits per-vector scale + integer checksums of
+    the quantized values; round() agrees bit-exact with DuckDB so the
+    whole quantization is oracle-verified, not just counted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select("vec_id", SIM.quantize_int8(F.col("embedding")).alias("z"))
+    q = F.col("z.q")
+    return qz.select(
+        "vec_id",
+        F.round(F.col("z.scale"), 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias("sum_q"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, b: a + F.abs(b)
+        ).alias("sum_abs_q"),
+    )

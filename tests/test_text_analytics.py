@@ -1,0 +1,74 @@
+"""TF-IDF, vocabulary build, and int8 quantization (round-2 additions)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_extra_spark.functions.text import build_vocab, tfidf_top_terms
+from datafusion_functions_extra_spark.operators.similarity import quantize_int8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta beta gamma"),
+        (2, "alpha alpha delta"),
+        (3, "gamma gamma gamma epsilon"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_build_vocab_ids_deterministic(docs):
+    got = [(r.token_id, r.token, r.n_occurrences) for r in build_vocab(docs, "text").collect()]
+    # counts: gamma 4, alpha 3, beta 2, delta 1, epsilon 1; ties by token asc
+    assert got == [
+        (1, "gamma", 4),
+        (2, "alpha", 3),
+        (3, "beta", 2),
+        (4, "delta", 1),
+        (5, "epsilon", 1),
+    ]
+
+
+def test_build_vocab_min_count(docs):
+    got = {r.token for r in build_vocab(docs, "text", min_count=2).collect()}
+    assert got == {"gamma", "alpha", "beta"}
+
+
+def test_tfidf_scores_and_ranking(docs):
+    out = tfidf_top_terms(docs, "text", "doc_id", k=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.rk, r.term, r.tfidf))
+    # doc 1: beta tf=2 df=1 -> 2*ln(3); alpha and gamma both tf=1 df=2 ->
+    # ln(1.5) exact tie, broken by term asc -> alpha takes rank 2
+    assert [t for _, t, _ in sorted(by_doc[1])] == ["beta", "alpha"]
+    assert by_doc[1][0][2] == round(2 * math.log(3.0), 6)
+    # doc 2: delta df=1 -> ln(3) beats alpha (idf 0)
+    assert sorted(by_doc[2])[0][1] == "delta"
+    # every doc gets at most k rows with contiguous ranks
+    for rows in by_doc.values():
+        assert [rk for rk, _, _ in sorted(rows)] == list(range(1, len(rows) + 1))
+
+
+def test_quantize_int8_roundtrip(spark):
+    rows = [
+        (1, [1.0, -2.0, 0.5, 4.0]),  # scale 4/127
+        (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero: no div-by-zero, q all zeros
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r.z
+        for r in df.select("vec_id", quantize_int8(F.col("embedding")).alias("z")).collect()
+    }
+    assert out[1].q == [round(x / (4.0 / 127.0)) for x in [1.0, -2.0, 0.5, 4.0]]
+    assert out[1].q[3] == 127
+    assert out[1].scale == 4.0 / 127.0
+    assert out[2].q == [0, 0, 0, 0]
+    # max reconstruction error bounded by scale/2 per element
+    recon = [q * out[1].scale for q in out[1].q]
+    for orig, rec in zip([1.0, -2.0, 0.5, 4.0], recon):
+        assert abs(orig - rec) <= out[1].scale / 2 + 1e-12

@@ -132,6 +132,93 @@ def pack_sequences(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    key: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multi-source
+    rebalancing used in LLM data recipes): target share of source ``s``
+    is proportional to ``n_s ** alpha`` (alpha < 1 upweights small
+    sources), total expected kept rows = ``budget_frac`` of the corpus.
+
+    Per-row keep is the deterministic hash Bernoulli from
+    :func:`weighted_sample`, so the realized sample is reproducible
+    across engines and partitionings.  Rates are rounded to 6 dp before
+    the hash comparison — the normalizer is a cross-source float sum
+    whose addition order differs per engine.
+
+    Plan: one count aggregate (|sources| rows), a broadcast of the rates
+    back onto the corpus, one filter, one final count aggregate — the
+    corpus is scanned once and never shuffled on a data-sized key.
+    Returns (source, n_docs, rate, n_kept).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("n_total").cast("double")
+                * F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+                / F.col("z")
+                / F.col("n_docs").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    frac = hash_bucket(F.col(key), n_buckets).cast("double") / F.lit(float(n_buckets))
+    kept = (
+        df.select(source_col, F.col(key))
+        .join(F.broadcast(rates), source_col)
+        .withColumn("kept", (frac < F.col("rate")).cast("int"))
+    )
+    return kept.groupBy(source_col).agg(
+        F.max("rate").alias("rate"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+    )
+
+
+def temperature_mixture_sql(
+    source_col: str,
+    key_expr: str,
+    table: str = "documents",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB mirror of :func:`temperature_mixture`."""
+    frac = f"({hash_bucket_sql(key_expr, n_buckets)}::DOUBLE / {float(n_buckets)})"
+    return f"""
+WITH c AS (SELECT {source_col}, count(*) AS n_docs FROM {table} GROUP BY 1),
+t AS (SELECT sum(n_docs) AS n_total, sum(pow(n_docs, {alpha})) AS z FROM c),
+r AS (
+  SELECT {source_col}, n_docs,
+         round(least(1.0, {budget_frac} * n_total * pow(n_docs, {alpha})
+                          / z / n_docs), 6) AS rate
+  FROM c, t
+),
+k AS (
+  SELECT d.{source_col}, r.rate,
+         CASE WHEN {frac} < r.rate THEN 1 ELSE 0 END AS kept
+  FROM {table} d JOIN r USING ({source_col})
+)
+SELECT {source_col}, max(rate) AS rate, count(*) AS n_docs,
+       sum(kept) AS n_kept
+FROM k GROUP BY 1
+"""
+
+
 # --- DuckDB oracle fragments ------------------------------------------------
 
 

@@ -187,6 +187,17 @@ def word_shingles(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
     return bind_once(tokens(c), build)
 
 
+def shingles_or_whole(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
+    """k-word shingles, falling back to the single whole normalized text
+    for docs shorter than k words — so every doc yields >= 1 gram (the
+    convention all the shingle-consuming operators and their DuckDB
+    oracles share)."""
+    return bind_once(
+        word_shingles(c, k),
+        lambda s: F.when(F.size(s) > 0, s).otherwise(F.array(normalize_text(c))),
+    )
+
+
 def doc_fingerprint(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
     """Rolling-hash document fingerprint: min md5 over k-word shingles
     (a 1-permutation MinHash); texts shorter than k words hash whole."""
@@ -198,6 +209,91 @@ def doc_fingerprint(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
         ).otherwise(F.md5(normalize_text(c).cast("binary")))
 
     return bind_once(word_shingles(c, k), fp)
+
+
+#: training-chunk width/stride in tokens (stride < width => overlapping)
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 56
+
+
+def top_ngram_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document repetition score (Gopher-style quality filter): the
+    most frequent word ``n``-gram and the fraction of the doc's n-grams
+    it accounts for.  High ``top_frac`` = boilerplate/repetition.
+
+    Plan: explode n-grams -> hash aggregate on (doc, gram) -> per-doc
+    argmax via max-on-struct (deterministic: max count, tie -> max gram)
+    plus a total in the same aggregate.  Two shuffles, both on doc-sized
+    keys; the text never moves after the explode.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(shingles_or_whole(text_col, n)).alias("gram")
+    )
+    cnt = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = cnt.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"),
+        F.sum("cnt").alias("total"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("top.gram").alias("top_gram"),
+        F.col("top.cnt").alias("top_count"),
+        F.round(F.col("top.cnt") / F.col("total"), 6).alias("top_frac"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width token chunks —
+    the training-sequence preparation step (context-window packing input).
+
+    Chunk ``i`` covers tokens ``[i*stride+1, i*stride+chunk_tokens]``
+    (1-based); the chunk count ``max(1, ceil((n_tok - overlap)/stride))``
+    guarantees every token is covered and a short doc yields exactly one
+    (possibly short) chunk.
+
+    Pure per-row expression work (sequence + slice inside one projection,
+    then one explode): no shuffle, no Python, linear in corpus size — the
+    shape that survives 100 TB.  Output: (id, chunk_idx, n_tokens,
+    chunk_hash) where chunk_hash = md5 of the chunk's space-joined text.
+    """
+    overlap = chunk_tokens - stride
+    if overlap < 0:
+        raise ValueError("stride must be <= chunk_tokens")
+
+    def explode_chunks(t: Column) -> Column:
+        n = F.size(t)
+        n_chunks = F.greatest(
+            F.lit(1),
+            F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast(
+                "int"
+            ),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.slice(t, i * stride + 1, chunk_tokens).alias("ct"),
+            ),
+        )
+
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(bind_once(tokens(text_col), explode_chunks)).alias("c"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.ct").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "c.ct").cast("binary")).alias("chunk_hash"),
+    )
 
 
 def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

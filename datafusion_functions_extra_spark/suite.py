@@ -25,6 +25,7 @@ from .functions import multimodal as MM
 from .functions import sampling as SMP
 from .functions import text as TX
 from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewness
+from .operators import decontaminate as DECON
 from .operators import dedup as DD
 from .operators import sessions as SS
 from .operators import similarity as SIM
@@ -1821,4 +1822,229 @@ def embedding_int8_quant(spark, sf_dir):
         F.aggregate(
             q, F.lit(0).cast("long"), lambda a, b: a + F.abs(b)
         ).alias("sum_abs_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — operators/decontaminate.py (SURVEY §2.2b)
+# ---------------------------------------------------------------------------
+
+_BENCH_PRED = "source IN ('src0', 'src1')"
+
+
+@query("docs_decontaminated", DECON.ngram_overlap_oracle_sql(_BENCH_PRED))
+def docs_decontaminated(spark, sf_dir):
+    """Eval-contamination screen: training docs (all sources but
+    src0/src1) sharing any 5-word n-gram with the benchmark slice
+    (src0/src1), with the distinct-hit count a filter would threshold
+    on.  The benchmark shingle set is distinct'd then broadcast — the
+    corpus is scanned once and only (doc_id, gram) pairs move."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.expr(_BENCH_PRED))
+    train = d.where(~F.expr(_BENCH_PRED))
+    return DECON.ngram_overlap_flags(train, bench)
+
+
+@query(
+    "text_repetition_scores",
+    f"""
+WITH t AS (SELECT doc_id, {SIM._NORM_SQL} AS norm, {SIM._TOKS_SQL} AS toks
+           FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+              ELSE [norm] END AS grams
+  FROM t
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+r AS (
+  SELECT doc_id, gram, cnt,
+         sum(cnt) OVER (PARTITION BY doc_id) AS total,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram DESC) AS rn
+  FROM c
+)
+SELECT doc_id, gram AS top_gram, cnt AS top_count,
+       round(cnt::DOUBLE / total, 6) AS top_frac
+FROM r WHERE rn = 1
+""",
+)
+def text_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filter signal: the dominant word bigram
+    per document and the fraction of bigrams it accounts for
+    (functions/text.py top_ngram_stats).  Boilerplate screens threshold
+    on top_frac."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.top_ngram_stats(d, "text", "doc_id", n=2)
+
+
+@query(
+    "docs_chunks",
+    f"""
+WITH t AS (SELECT doc_id, {SIM._TOKS_SQL} AS toks, len({SIM._TOKS_SQL}) AS n
+           FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(1, (n - 8 + 55) // 56) - 1))
+           AS chunk_idx
+  FROM t
+),
+ch AS (SELECT doc_id, chunk_idx,
+              toks[chunk_idx * 56 + 1 : chunk_idx * 56 + 64] AS ct
+       FROM st)
+SELECT doc_id, chunk_idx, len(ct) AS n_tokens,
+       md5(array_to_string(ct, ' ')) AS chunk_hash
+FROM ch
+""",
+)
+def docs_chunks(spark, sf_dir):
+    """Training-context chunking: every doc split into 64-token chunks at
+    stride 56 (8-token overlap), chunk text verified by md5
+    (functions/text.py chunk_documents).  Pure projection + explode —
+    no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.chunk_documents(d, "text", "doc_id")
+
+
+@query(
+    "events_pii_scrub",
+    """
+SELECT event_id,
+       len(regexp_extract_all(props, '[0-9]+')) AS n_nums,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted
+FROM events
+""",
+)
+def events_pii_scrub(spark, sf_dir):
+    """PII-pattern scrub of a payload column: count + redact digit runs
+    (the numeric-identifier class) in the JSON props.  One projection,
+    regexp_count avoids materializing the match array; the redacted
+    payload replaces the original downstream."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_count(F.col("props"), F.lit("[0-9]+")).alias("n_nums"),
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_redacted"),
+    )
+
+
+@query(
+    "docs_temperature_mixture",
+    SMP.temperature_mixture_sql("source", "doc_id"),
+)
+def docs_temperature_mixture(spark, sf_dir):
+    """Temperature (alpha=0.5) source rebalancing at a 50% token budget
+    (functions/sampling.py temperature_mixture): per-source sampling
+    rates proportional to n^alpha / n, realized by the deterministic
+    hash Bernoulli, reported as per-source kept counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return SMP.temperature_mixture(d, "source", "doc_id")
+
+
+@query(
+    "lineitem_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pricing summary: the canonical scan-heavy single-pass
+    aggregate.  One shuffle on a 6-row key space; the shipdate filter and
+    the 7-column projection both push to the parquet scan, and every
+    arithmetic term stays in whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type, value,
+       round((value - mu) / sigma, 6) AS z
+FROM events e JOIN s USING (event_type)
+WHERE round((value - mu) / sigma, 6) > 2.5
+""",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Population z-score outliers per event type: a tiny per-type
+    (mu, sigma) aggregate broadcast back onto the stream, one filter.
+    The classic two-pass anomaly screen — at 100 TB the stats side is
+    |event_types| rows, so the join never shuffles the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .where(F.col("z") > 2.5)
+    )
+
+
+@query(
+    "events_sliding_windows",
+    """
+WITH o AS (SELECT ts, value, unnest([0, 1]) AS k FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+           - k * INTERVAL '15 minutes' AS window_start,
+         value
+  FROM o
+)
+SELECT CAST(window_start AS VARCHAR) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM w GROUP BY 1
+""",
+)
+def events_sliding_windows(spark, sf_dir):
+    """Sliding-window aggregation (30-minute windows every 15 minutes)
+    via Spark's native window(slide) expansion — each event lands in
+    exactly 2 windows, one shuffle on the window key.  The overlapping
+    twin of events_tumbling_hourly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
     )

@@ -1,0 +1,130 @@
+"""Unit tests for the training-pipeline operators added in round 2:
+decontamination, repetition scoring, chunking, temperature mixing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_extra_spark.functions import sampling as SMP
+from datafusion_functions_extra_spark.functions import text as TX
+from datafusion_functions_extra_spark.operators import decontaminate as DECON
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "alpha beta gamma delta epsilon completely different tail here"),
+        (4, "tiny"),
+        (5, "rep rep rep rep rep rep"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDecontaminate:
+    def test_overlap_flags(self, spark, docs):
+        train = docs.where(F.col("doc_id") != 1)
+        bench = docs.where(F.col("doc_id") == 1)
+        out = DECON.ngram_overlap_flags(train, bench, n=5)
+        got = {r.doc_id: r.n_bench_hits for r in out.collect()}
+        # doc 3 shares the 5-gram "alpha beta gamma delta epsilon" with doc 1
+        assert got == {3: 1}
+
+    def test_no_overlap(self, spark, docs):
+        train = docs.where(F.col("doc_id") == 2)
+        bench = docs.where(F.col("doc_id") == 1)
+        assert DECON.ngram_overlap_flags(train, bench, n=5).count() == 0
+
+    def test_distinct_hits_not_occurrences(self, spark):
+        # the contaminated phrase appears twice in the train doc -> still 1
+        bench = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [(2, "a b c d e x a b c d e")], "doc_id long, text string"
+        )
+        got = DECON.ngram_overlap_flags(train, bench, n=5).collect()
+        assert [(r.doc_id, r.n_bench_hits) for r in got] == [(2, 1)]
+
+
+class TestRepetition:
+    def test_top_bigram(self, spark, docs):
+        out = TX.top_ngram_stats(docs, "text", "doc_id", n=2)
+        got = {r.doc_id: r for r in out.collect()}
+        # doc 5: "rep rep" x5 of 5 bigrams -> frac 1.0
+        assert got[5].top_gram == "rep rep"
+        assert got[5].top_count == 5
+        assert got[5].top_frac == 1.0
+        # doc 2: all bigrams unique -> top_count 1, deterministic max-gram tie
+        assert got[2].top_count == 1
+        assert got[2].top_gram == "the quick"  # max lexicographic among ties
+        # doc 4: shorter than n -> whole-text fallback, one "gram"
+        assert got[4].top_count == 1 and got[4].top_frac == 1.0
+
+    def test_every_doc_scored(self, spark, docs):
+        assert TX.top_ngram_stats(docs, "text", "doc_id").count() == docs.count()
+
+
+class TestChunking:
+    def _mk(self, spark, n_tokens: int):
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    @pytest.mark.parametrize(
+        "n,expected_chunks", [(1, 1), (63, 1), (64, 1), (65, 2), (120, 2), (121, 3)]
+    )
+    def test_chunk_counts(self, spark, n, expected_chunks):
+        out = TX.chunk_documents(self._mk(spark, n), "text", "doc_id")
+        assert out.count() == expected_chunks
+
+    def test_coverage_and_sizes(self, spark):
+        # stride 56 / width 64: chunks [1..64], [57..120], [113..130]
+        out = TX.chunk_documents(self._mk(spark, 130), "text", "doc_id")
+        rows = sorted(out.collect(), key=lambda r: r.chunk_idx)
+        assert [r.n_tokens for r in rows] == [64, 64, 18]
+        assert [r.chunk_idx for r in rows] == [0, 1, 2]
+
+    def test_chunk_hash_matches_slice(self, spark):
+        df = self._mk(spark, 70)
+        out = {r.chunk_idx: r.chunk_hash for r in
+               TX.chunk_documents(df, "text", "doc_id").collect()}
+        import hashlib
+
+        toks = [f"t{i}" for i in range(70)]
+        assert out[0] == hashlib.md5(" ".join(toks[:64]).encode()).hexdigest()
+        assert out[1] == hashlib.md5(" ".join(toks[56:70]).encode()).hexdigest()
+
+
+class TestTemperatureMixture:
+    def test_rates_and_counts(self, spark):
+        rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = {r.source: r for r in
+               SMP.temperature_mixture(df, "source", "doc_id").collect()}
+        assert out["big"].n_docs == 90 and out["small"].n_docs == 10
+        # alpha=0.5 upweights the small source relative to its size
+        assert out["small"].rate > out["big"].rate
+        for r in out.values():
+            assert 0.0 <= r.rate <= 1.0
+            assert 0 <= r.n_kept <= r.n_docs
+
+    def test_alpha_one_is_uniform(self, spark):
+        rows = [(i, f"s{i % 4}") for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = SMP.temperature_mixture(
+            df, "source", "doc_id", alpha=1.0, budget_frac=0.5
+        ).collect()
+        # alpha=1 keeps proportions: every source rate == budget_frac
+        assert {r.rate for r in out} == {0.5}
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [(i, f"s{i % 3}") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = SMP.temperature_mixture(df, "source", "doc_id").collect()
+        b = SMP.temperature_mixture(
+            df.repartition(7, "doc_id"), "source", "doc_id"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

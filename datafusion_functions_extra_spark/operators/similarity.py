@@ -513,6 +513,53 @@ def cosine_topk(
     )
 
 
+#: matryoshka prefix width — the truncated-embedding cheap-search dims
+MATRYOSHKA_DIMS = 16
+
+
+def matryoshka_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    dims: int = MATRYOSHKA_DIMS,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over the first ``dims`` components of each embedding —
+    matryoshka-style truncated retrieval (the coarse pass of a
+    funnel: score 4x cheaper on the prefix, re-rank survivors at full
+    width).  Cosine is scale-invariant, so no renormalization is needed;
+    the plan is identical to :func:`cosine_topk` with a 4x narrower
+    scoring expression and the same broadcast-query / stream-corpus
+    shape.
+    """
+    sliced = emb.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    return cosine_topk(sliced, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def matryoshka_topk_oracle_sql(
+    query_ids: list[int], dims: int = MATRYOSHKA_DIMS, k: int = 5
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.q_vec', 'e.embedding', dims)}, 6) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos, rank::INT AS rank FROM r WHERE rank <= {k}
+"""
+
+
 def hyperplane_bucket(vec: Column) -> Column:
     """Random-hyperplane LSH bucket id in [0, 2^N_HYPERPLANES): bit p is set
     iff dot(vec, plane_p) > 0.  Planes are the module's fixed +-1 matrix."""
@@ -902,17 +949,17 @@ SELECT id_a, id_b, hamming::INT AS hamming FROM cand WHERE hamming <= {max_hammi
 """
 
 
-def _cos_sql(a: str, b: str) -> str:
+def _cos_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
     dot = (
-        f"list_sum(list_transform(generate_series(1, {EMBEDDING_DIM}), "
+        f"list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
     )
     na = (
-        f"sqrt(list_sum(list_transform(generate_series(1, {EMBEDDING_DIM}), "
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
     )
     nb = (
-        f"sqrt(list_sum(list_transform(generate_series(1, {EMBEDDING_DIM}), "
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))"
     )
     return f"({dot}) / (({na}) * ({nb}))"

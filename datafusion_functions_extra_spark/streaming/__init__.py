@@ -4,6 +4,8 @@ from .events import (  # noqa: F401
     read_events_stream,
     run_available_now,
     streaming_dedup,
+    streaming_enrich,
     streaming_session_stats,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
 )

@@ -104,6 +104,43 @@ def streaming_session_stats(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping-window aggregation on a stream: each event expands
+    into window/slide windows (2 here), state per open window, evicted
+    by the watermark.  The streaming twin of the batch
+    ``events_sliding_windows`` suite query — same window expansion, same
+    keyed shuffle, plus bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static enrichment join: the static side is re-read per
+    micro-batch and broadcast (explicitly hinted — at any scale the dim
+    is the small side by construction), so the stream is never shuffled
+    for the join.  The standard pattern for attaching reference data
+    (rates, geo, type weights) to a live feed."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def streaming_dedup(
     docs: DataFrame,
     key_col: str,

@@ -2048,3 +2048,435 @@ def events_sliding_windows(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 2: correlated-aggregate join shapes, SCD2, matryoshka retrieval,
+# corpus budgeting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_small_quantity_revenue",
+    """
+WITH a AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN a USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+""",
+)
+def lineitem_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue of below-one-fifth-of-average-quantity
+    line items.  The correlated subquery is decorrelated by hand into a
+    per-part average aggregate joined back on l_partkey — one aggregate
+    at part cardinality, one equi-join (AQE broadcasts the aggregated
+    side when it fits), never a per-row subquery execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(part_avg, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "customer_balance_deciles",
+    """
+WITH cuts AS (
+  SELECT list_transform(
+           quantile_cont(c_acctbal, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round(x, 6)) AS qs
+  FROM customer
+),
+d AS (
+  SELECT c_custkey, c_acctbal,
+         1 + list_sum(list_transform(qs, q -> CASE WHEN round(c_acctbal, 6) > q
+                                                   THEN 1 ELSE 0 END)) AS decile
+  FROM customer, cuts
+)
+SELECT decile::INT AS decile, count(*) AS n,
+       round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+FROM d GROUP BY 1
+""",
+)
+def customer_balance_deciles(spark, sf_dir):
+    """Decile segmentation without a global sort: exact interpolated
+    cutoffs from one percentile aggregate (9 doubles), broadcast back,
+    decile = 1 + #cutoffs below.  An ntile() window would move the whole
+    table to one partition; this shape is a pair of ordinary aggregates
+    and scales like any group-by.  Cutoff comparisons use 6-dp-rounded
+    values on both engines so interpolation ulps can't flip a bucket."""
+    c = load_table(spark, sf_dir, "customer")
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = c.agg(
+        F.transform(
+            F.percentile("c_acctbal", F.array(*[F.lit(q) for q in qs])),
+            lambda x: F.round(x, 6),
+        ).alias("qs")
+    )
+    d = c.crossJoin(F.broadcast(cuts)).select(
+        "c_acctbal",
+        (
+            1
+            + F.aggregate(
+                F.col("qs"),
+                F.lit(0),
+                lambda acc, q: acc
+                + F.when(F.round(F.col("c_acctbal"), 6) > q, 1).otherwise(0),
+            )
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )
+
+
+@query(
+    "events_scd2_intervals",
+    """
+SELECT user_id, event_id, value AS state_value,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+       epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+FROM events
+""",
+)
+def events_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) interval construction from a
+    changelog: each user state row becomes [valid_from, valid_to) with
+    valid_to = the next change's timestamp (NULL = current).  One
+    shuffle by user + one sort — the standard warehouse historization
+    pass, deterministic via the event_id tiebreak."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("state_value"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+
+
+@query(
+    "embedding_matryoshka_topk",
+    SIM.matryoshka_topk_oracle_sql(ANN_QUERY_IDS, SIM.MATRYOSHKA_DIMS, 5),
+)
+def embedding_matryoshka_topk(spark, sf_dir):
+    """Matryoshka truncated retrieval: cosine top-k on the first 16 of 64
+    dims (operators/similarity.py matryoshka_topk) — the cheap coarse
+    pass of a retrieval funnel, 4x less arithmetic per candidate with
+    the same broadcast-query plan as the exact search."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.matryoshka_topk(e, ANN_QUERY_IDS, k=5)
+
+
+@query(
+    "corpus_token_budget",
+    f"""
+WITH t AS (
+  SELECT source, lang,
+         CASE WHEN length({SIM._NORM_SQL}) = 0 THEN 0
+              ELSE len(str_split({SIM._NORM_SQL}, ' ')) END AS n_tok
+  FROM documents
+),
+g AS (SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+      FROM t GROUP BY 1, 2),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM g)
+SELECT source, lang, n_docs, n_tokens,
+       round(n_tokens::DOUBLE / total_tokens, 6) AS token_share
+FROM g, tot
+""",
+)
+def corpus_token_budget(spark, sf_dir):
+    """Training-mix bookkeeping: token counts and corpus share per
+    (source, lang) cell — the table a data-mixing recipe is tuned
+    against.  One scan + one small aggregate + a broadcast scalar
+    total; the share division happens on |cells| rows, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "source", "lang", TX.token_count("text").cast("long").alias("n_tok")
+    ).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    tot = g.agg(F.sum("n_tokens").alias("total_tokens"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
+    )
+
+
+@query(
+    "corpus_quality_filter",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks,
+         md5({_NORM_SQL}) AS ck
+  FROM documents
+),
+keep AS (SELECT ck, min(doc_id) AS keep_id FROM t GROUP BY 1),
+q AS (
+  SELECT doc_id,
+         round(
+           0.3 * least(1.0, length(norm)::DOUBLE / 500.0)
+         + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * (1.0 - least(1.0,
+              abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
+                  / len(toks)::DOUBLE - 0.4) / 0.6)),
+         6) AS quality
+  FROM t
+),
+scores AS ({_lang_scores_sql()}),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) rn
+  FROM scores
+),
+lp AS (SELECT doc_id, lang AS lang_pred FROM r WHERE rn = 1),
+n AS (SELECT doc_id,
+             CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tok
+      FROM t)
+SELECT t.doc_id,
+       CASE WHEN t.doc_id <> keep.keep_id THEN 'duplicate'
+            WHEN n.n_tok < 20 THEN 'too_short'
+            WHEN q.quality < 0.5 THEN 'low_quality'
+            WHEN lp.lang_pred <> t.lang THEN 'lang_mismatch'
+            ELSE 'ok' END AS reason,
+       (CASE WHEN t.doc_id <> keep.keep_id THEN 'duplicate'
+             WHEN n.n_tok < 20 THEN 'too_short'
+             WHEN q.quality < 0.5 THEN 'low_quality'
+             WHEN lp.lang_pred <> t.lang THEN 'lang_mismatch'
+             ELSE 'ok' END = 'ok') AS keep
+FROM t
+JOIN keep USING (ck)
+JOIN q    ON q.doc_id = t.doc_id
+JOIN lp   ON lp.doc_id = t.doc_id
+JOIN n    ON n.doc_id = t.doc_id
+""",
+)
+def corpus_quality_filter(spark, sf_dir):
+    """The full pre-training keep/drop decision per document with the
+    *first* failing reason (duplicate -> too_short -> low_quality ->
+    lang_mismatch), the audit table a data pipeline publishes next to
+    its filtered corpus.  Everything is one scan of documents: the
+    only shuffle is the 32-byte content-key aggregate + join-back for
+    duplicate detection (same shape as dedup_exact_kept_rows); quality,
+    token count and lang-id are pure projections sharing the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        DD.content_key(F.col("text")).alias("ck"),
+        TX.token_count("text").alias("n_tok"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
+    )
+    keep = keyed.groupBy("ck").agg(F.min("doc_id").alias("keep_id"))
+    j = keyed.join(keep, "ck")
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("duplicate"))
+        .when(F.col("n_tok") < 20, F.lit("too_short"))
+        .when(F.col("quality") < 0.5, F.lit("low_quality"))
+        .when(F.col("lang_pred") != F.col("lang"), F.lit("lang_mismatch"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch 3: top-k join pipelines, disjunctive pushdown, data layout, growth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_building_orders",
+    """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS VARCHAR) AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def top_building_orders(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer x orders x lineitem,
+    revenue per order, global top 10.  Both dimension filters push to
+    their scans, the filtered customer side broadcasts under AQE, and
+    the top-10 is a TakeOrderedAndProject (per-partition heap + driver
+    merge of 10 rows), never a global sort.  Ranking uses the rounded
+    revenue with (orderdate, orderkey) tiebreaks so the cut is
+    deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "parts_promo_revenue",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND l_quantity >= 40)
+""",
+)
+def parts_promo_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate across a
+    fact x dim join.  The l_quantity bounds (the union of all branches)
+    are derivable per branch and Spark pushes the disjunction's
+    join-independent parts below the join; the part side filters to 3
+    brands before joining, so AQE broadcasts it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30) & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & (q >= 40))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+#: z-order bit width per dimension (2 x 8 bits -> 16-bit key)
+_Z_BITS = 8
+
+
+def _zkey_spark(x: "F.Column", y: "F.Column") -> "F.Column":
+    out = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        out = (
+            out
+            + F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
+def _zkey_sql(x: str, y: str) -> str:
+    # each term fully parenthesized: DuckDB gives '+' higher precedence
+    # than '<<', so a bare "a << 2 + b << 3" chains the shifts
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "events_zorder_keys",
+    f"""
+WITH e AS (
+  SELECT event_id,
+         user_id & 255 AS xb,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) & 255 AS yb
+  FROM events
+)
+SELECT event_id, {_zkey_sql('xb', 'yb')}::BIGINT AS zkey
+FROM e
+""",
+)
+def events_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) interleaved sort keys over (user, hour) — the
+    multi-dimensional clustering key a lakehouse sorts files by so BOTH
+    user-range and time-range predicates skip row groups.  Pure bit
+    arithmetic in one projection; writing is then
+    ``df.sort('zkey').write`` (sources/formats.py sink).  The key math
+    itself is oracle-verified bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    xb = F.col("user_id").bitwiseAND(F.lit(255))
+    # exact integer hour bucket (micros div), no double rounding anywhere
+    yb = F.expr("unix_micros(ts) div 3600000000").bitwiseAND(F.lit(255))
+    return e.select("event_id", _zkey_spark(xb, yb).alias("zkey"))
+
+
+@query(
+    "events_new_users_daily",
+    """
+WITH f AS (
+  SELECT user_id,
+         min(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))) AS first_day
+  FROM events GROUP BY 1
+),
+d AS (SELECT first_day, count(*) AS new_users FROM f GROUP BY 1)
+SELECT CAST(first_day AS VARCHAR) AS day, new_users,
+       sum(new_users) OVER (ORDER BY first_day
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+FROM d
+""",
+)
+def events_new_users_daily(spark, sf_dir):
+    """User-growth curve: first-seen day per user (one aggregate), daily
+    new-user counts, and the running total.  The cumulative window runs
+    over |days| rows (the only global sort is calendar-sized), which is
+    how a running distinct-count is made scale-safe — never
+    count(DISTINCT) over an expanding window of raw events."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = first.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("first_day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

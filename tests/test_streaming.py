@@ -91,3 +91,58 @@ def test_batch_session_window_equals_lag_cumsum(spark):
     n = {tuple(r) for r in native.collect()}
     l = {tuple(r) for r in lag.collect()}
     assert n == l
+
+
+def test_streaming_sliding_matches_batch(spark):
+    from datafusion_functions_extra_spark.streaming import streaming_sliding_counts
+
+    stream = read_events_stream(spark, SF_DIR)
+    got = {
+        (str(r.window_start), r.n_events, r.sum_value)
+        for r in run_available_now(streaming_sliding_counts(stream)).collect()
+    }
+
+    e = load_table(spark, SF_DIR, "events")
+    batch = (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    want = {
+        (str(r.window_start), r.n_events, r.sum_value) for r in batch.collect()
+    }
+    assert got == want
+    # 30-min windows sliding 15 min: every event lands in exactly 2 windows
+    assert sum(n for _, n, _ in got) == 2 * e.count()
+
+
+def test_streaming_enrich_broadcasts_static_dim(spark):
+    from datafusion_functions_extra_spark.streaming import streaming_enrich
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = read_events_stream(spark, SF_DIR)
+    enriched = streaming_enrich(stream, dim).withColumn(
+        "weighted", F.col("value") * F.coalesce(F.col("weight"), F.lit(0.0))
+    )
+    out = run_available_now(
+        enriched.select("event_id", "event_type", "weighted"),
+        output_mode="append",
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    want = (
+        e.join(dim, "event_type", "left")
+        .select(
+            "event_id",
+            (F.col("value") * F.coalesce(F.col("weight"), F.lit(0.0))).alias("w"),
+        )
+    )
+    got_rows = {(r.event_id, r.weighted) for r in out.collect()}
+    want_rows = {(r.event_id, r.w) for r in want.collect()}
+    assert got_rows == want_rows

@@ -118,6 +118,9 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # per-query persist() lifetimes end here (see bench.py note)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"weak  {name}: rows={len(spark_pd)} (no oracle, rows-only check)")
             continue

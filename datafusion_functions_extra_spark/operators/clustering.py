@@ -1,0 +1,146 @@
+"""Distributed k-means (Lloyd iterations) over an embedding column.
+
+The iterative-ML shape on Spark: each iteration is
+  assign  — corpus x broadcast(centroids) scored declaratively, argmin
+            per vector via one keyed aggregate;
+  update  — per-(cluster, dim) mean over the exploded assignments,
+            re-assembled into centroid arrays (k x dim rows, tiny).
+Centroid relations stay k-row DataFrames end to end — no driver
+``collect()`` loop; Spark MLlib's k-means does the same broadcast-
+assign/aggregate-update dance imperatively, this is the DataFrame-
+declarative equivalent the DuckDB oracle can replicate exactly.
+
+Determinism across engines (the oracle constraint): distances and
+centroid means are rounded to 6 dp at every step, argmin ties break on
+cluster id, and the initial centroids are corpus rows (deterministic
+ids), so both engines walk the identical trajectory.
+
+At 100 TB: assignment is the unavoidable corpus x k scan (k small);
+the update aggregate shuffles (cluster, dim) pairs — k*dim rows of
+state, independent of corpus size.  Iterations are bounded (2 here);
+production would loop until centroid movement < eps, checkpointing
+the small centroid relation each round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import EMBEDDING_DIM, IVF_CENTROID_IDS, _as_double
+
+#: fixed Lloyd iteration count for the suite query
+KMEANS_ITERS = 2
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, vec, cluster, dist): nearest centroid per vector,
+    distance rounded to 6 dp, ties -> smallest cluster id."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "vec",
+        "cid",
+        F.round(_sq_dist(F.col("vec"), F.col("cvec")), 6).alias("dist"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("dist"), F.col("cid"))).alias("b"),
+        F.first("vec").alias("vec"),  # constant within the group
+    )
+    return best.select(
+        "vec_id", "vec", F.col("b.cid").alias("cluster"), F.col("b.dist").alias("dist")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-(cluster, dim) means rounded to 6 dp,
+    reassembled into (cid, cvec) arrays."""
+    dims = assigned.select(
+        F.col("cluster").alias("cid"), F.posexplode("vec").alias("pos", "val")
+    )
+    means = dims.groupBy("cid", "pos").agg(F.round(F.avg("val"), 6).alias("m"))
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("cvec")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+    n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, dist) after ``n_iters`` Lloyd iterations seeded
+    from the corpus rows ``centroid_ids`` (cluster = rank of seed id)."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    w = Window.orderBy("vec_id")
+    centroids = (
+        vecs.where(F.col("vec_id").isin(list(centroid_ids)))
+        .select(
+            (F.row_number().over(w) - 1).alias("cid"), F.col("vec").alias("cvec")
+        )
+    )
+    assigned = _assign(vecs, centroids)
+    for _ in range(n_iters - 1):
+        centroids = _update(assigned)
+        assigned = _assign(vecs, centroids)
+    return assigned.select("vec_id", "cluster", "dist")
+
+
+def kmeans_oracle_sql(
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    """DuckDB mirror: identical seeding, rounding, and tie-breaks."""
+    ids = ", ".join(str(i) for i in centroid_ids)
+    dist = (
+        f"round(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i]))), 6)"
+    )
+    parts = [
+        f"""
+v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+      FROM embeddings),
+c1 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec AS cvec
+       FROM v WHERE vec_id IN ({ids}))"""
+    ]
+    for it in range(1, n_iters + 1):
+        parts.append(
+            f"""
+d{it} AS (
+  SELECT v.vec_id, v.vec, c.cid, {dist} AS dist
+  FROM v, c{it} c
+),
+a{it} AS (
+  SELECT vec_id, vec, cid, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cid ASC) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it < n_iters:
+            parts.append(
+                f"""
+u{it} AS (
+  SELECT cid, g.i AS pos, round(avg(vec[g.i]), 6) AS m
+  FROM a{it}, generate_series(1, {dim}) g(i)
+  GROUP BY cid, g.i
+),
+c{it + 1} AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM u{it} GROUP BY cid)"""
+            )
+    body = ",".join(parts)
+    return f"WITH {body}\nSELECT vec_id, cid AS cluster, dist FROM a{n_iters}"

@@ -79,6 +79,37 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    bucket_by: tuple[str, ...],
+    n_buckets: int,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "error",
+) -> None:
+    """Bucketed parquet table (registered as ``table``, stored at
+    ``path``): rows are hash-partitioned into ``n_buckets`` files by
+    ``bucket_by`` at WRITE time, so a later join or aggregation on those
+    keys needs **no shuffle at all** — the read-side plan shows zero
+    Exchange between two co-bucketed tables.
+
+    This is the 100 TB answer for a fact table joined on the same key
+    daily: pay the shuffle once at ingest, never again.  ``sort_by``
+    additionally sorts within buckets (sort-merge joins skip their sort).
+    Bucketed layout requires the table-catalog write path
+    (``saveAsTable``); plain ``.parquet(path)`` cannot record bucket
+    metadata.
+    """
+    writer = df.write.mode(mode).option("path", path).bucketBy(
+        n_buckets, *bucket_by
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, *, header: bool = True, mode: str = "error") -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 

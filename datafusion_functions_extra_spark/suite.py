@@ -25,6 +25,7 @@ from .functions import multimodal as MM
 from .functions import sampling as SMP
 from .functions import text as TX
 from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewness
+from .operators import clustering as CL
 from .operators import decontaminate as DECON
 from .operators import dedup as DD
 from .operators import sessions as SS
@@ -2479,4 +2480,55 @@ def events_new_users_daily(spark, sf_dir):
         F.col("first_day").cast("string").alias("day"),
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@query("embedding_kmeans_clusters", CL.kmeans_oracle_sql())
+def embedding_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means, 2 Lloyd iterations over the embeddings table
+    (operators/clustering.py): broadcast-assign + (cluster, dim)-keyed
+    mean update, centroids stay k-row DataFrames (no driver loop).  Every
+    step rounds to 6 dp with id tie-breaks, so the full iterative
+    trajectory — not just the last assignment — is oracle-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return CL.kmeans_assign(emb)
+
+
+@query(
+    "text_unigram_logprob",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM cnt),
+sc AS (
+  SELECT tok.doc_id, ln(cnt.c::DOUBLE / tot.n) AS lp
+  FROM tok JOIN cnt USING (term), tot
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+FROM sc GROUP BY 1
+""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring — the perplexity-proxy quality
+    signal: train corpus unigram probabilities (one vocab-sized
+    aggregate, broadcast back) and score each doc by mean log
+    probability.  Two corpus passes over (doc_id, term) pairs, no text
+    after the explode; the vocab join is broadcast at any corpus size
+    (vocab << corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    sc = (
+        tok.join(F.broadcast(cnt), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(F.col("c").cast("double") / F.col("n").cast("double")).alias("lp"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )

@@ -105,3 +105,49 @@ def test_salted_agg_equals_plain(spark):
         for r in SK.salted_agg_sum_count(e, ["event_type"], "value").collect()
     }
     assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables co-bucketed on the join key must join with zero
+    Exchange in the physical plan — the pay-shuffle-once-at-ingest
+    layout for repeatedly-joined fact tables."""
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    base = tempfile.mkdtemp(prefix="dfx-bucketed-")
+    for tbl in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    FMT.write_bucketed(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "bkt_orders",
+        os.path.join(base, "orders"),
+        bucket_by=("o_custkey",),
+        n_buckets=4,
+        sort_by=("o_custkey",),
+    )
+    FMT.write_bucketed(
+        c.select("c_custkey", "c_mktsegment"),
+        "bkt_customer",
+        os.path.join(base, "customer"),
+        bucket_by=("c_custkey",),
+        n_buckets=4,
+        sort_by=("c_custkey",),
+    )
+    # broadcast would bypass the bucketed layout entirely at this tiny
+    # size; disable it so the plan shows what bucketing buys at scale —
+    # a join with no shuffle Exchange on either side
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the result matches the plain (shuffling) join
+        plain = o.join(c, o.o_custkey == c.c_custkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -128,3 +128,33 @@ class TestTemperatureMixture:
             df.repartition(7, "doc_id"), "source", "doc_id"
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestKMeans:
+    def test_two_obvious_clusters(self, spark):
+        from datafusion_functions_extra_spark.operators.clustering import (
+            kmeans_assign,
+        )
+
+        # two tight blobs around (0,0,...) and (10,10,...); seeds 0 and 4
+        rows = []
+        for i in range(4):
+            rows.append((i, [0.0 + i * 0.01] * 8))
+        for i in range(4, 8):
+            rows.append((i, [10.0 + i * 0.01] * 8))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = kmeans_assign(emb, centroid_ids=(0, 4), n_iters=2)
+        got = {r.vec_id: r.cluster for r in out.collect()}
+        assert {got[i] for i in range(4)} == {0}
+        assert {got[i] for i in range(4, 8)} == {1}
+
+    def test_assignment_total(self, spark):
+        from datafusion_functions_extra_spark.operators.clustering import (
+            kmeans_assign,
+        )
+        from datafusion_functions_extra_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = kmeans_assign(emb)
+        assert out.count() == emb.count()
+        assert out.where(F.col("dist") < 0).count() == 0

@@ -51,6 +51,10 @@ def main() -> int:
         # at steady state (measured: leaked cache blocks from ~170 prior
         # invocations inflate later window queries ~10x)
         spark.catalog.clearCache()
+        # nudge the JVM so ContextCleaner actually releases the dead
+        # queries' shuffle files; without it a ~90-query session accumulates
+        # enough shuffle state to slow late queries 2-6x (measured)
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(

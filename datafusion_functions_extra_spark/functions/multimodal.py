@@ -197,6 +197,75 @@ def decode_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, payload_col).mapInPandas(parse, DECODE_META_SCHEMA)
 
 
+#: frame-sampling geometry: FRAME_BYTES window every FRAME_STRIDE bytes,
+#: at most MAX_FRAMES frames per payload
+FRAME_BYTES = 32
+FRAME_STRIDE = 64
+MAX_FRAMES = 4
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx int, byte_offset bigint, frame_md5 string"
+)
+
+
+def frame_sample(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Deterministic frame sampling over a media payload — the
+    video/audio analog of :func:`decode_meta`: every ``FRAME_STRIDE``
+    bytes a ``FRAME_BYTES`` window is cut (up to ``MAX_FRAMES``), each
+    identified by its md5.  A real video pipeline replaces the byte
+    window with a container-aware frame decode at the same offsets; the
+    Arrow batching, output schema, and offset arithmetic here are the
+    production plumbing, and the md5s make the sampling itself
+    oracle-verifiable byte-for-byte.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, offs, hashes = [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                for i in range(MAX_FRAMES):
+                    off = i * FRAME_STRIDE
+                    if off + FRAME_BYTES > len(b):
+                        break
+                    ids.append(did)
+                    idxs.append(i)
+                    offs.append(off)
+                    # identity = md5 of the UPPERCASE hex of the frame bytes
+                    # (DuckDB's md5 only hashes VARCHAR, and hex() is upper)
+                    hashes.append(
+                        hashlib.md5(
+                            b[off : off + FRAME_BYTES].hex().upper().encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "byte_offset": pd.array(offs, dtype="int64"),
+                    "frame_md5": pd.array(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def frame_sample_sql(payload_expr: str = "payload") -> str:
+    """DuckDB mirror of :func:`frame_sample` over a BLOB expression
+    (1-based substring; byte_offset stays 0-based like the Python)."""
+    return f"""
+SELECT doc_id, (g.i - 1)::INT AS frame_idx,
+       ((g.i - 1) * {FRAME_STRIDE})::BIGINT AS byte_offset,
+       md5(substr(hex({payload_expr}), (g.i - 1) * {FRAME_STRIDE} * 2 + 1,
+                  {FRAME_BYTES * 2})) AS frame_md5
+FROM p, generate_series(1, {MAX_FRAMES}) g(i)
+WHERE (g.i - 1) * {FRAME_STRIDE} + {FRAME_BYTES} <= octet_length({payload_expr})
+"""
+
+
 def decode_pixels(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     """STUB — pixel decoding requires an imaging library (PIL/opencv) that
     this environment does not provide.  The Spark-side contract when it

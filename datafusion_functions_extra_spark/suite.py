@@ -2532,3 +2532,21 @@ def text_unigram_logprob(spark, sf_dir):
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+@query(
+    "multimodal_frame_samples",
+    f"""
+WITH {_PAYLOAD_CTE}
+{MM.frame_sample_sql()}
+""",
+)
+def multimodal_frame_samples(spark, sf_dir):
+    """Video/audio-style frame sampling through the Arrow-batched
+    mapInPandas plumbing (functions/multimodal.py frame_sample): fixed
+    32-byte windows every 64 bytes, at most 4 per payload, each
+    identified by md5 so the byte-exact sampling is oracle-verified.
+    A real decoder swaps the window cut for a container-aware frame
+    read at the same offsets."""
+    p = _payload_df(spark, sf_dir)
+    return MM.frame_sample(p, "payload", "doc_id")

@@ -88,3 +88,34 @@ def test_decode_meta_matches_jvm(payloads):
 def test_decode_pixels_is_explicit_stub(payloads):
     with pytest.raises(NotImplementedError, match="PIL"):
         MM.decode_pixels(payloads, "payload", "doc_id")
+
+
+def test_frame_sample_offsets_and_hashes(spark):
+    import hashlib
+
+    from datafusion_functions_extra_spark.functions.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        MAX_FRAMES,
+        frame_sample,
+    )
+
+    payload = bytes(range(256))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload[:16]))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        frame_sample(df, "payload", "doc_id").collect(),
+        key=lambda r: (r.doc_id, r.frame_idx),
+    )
+    # doc 2 (16 bytes) yields no full 32-byte frame
+    assert {r.doc_id for r in rows} == {1}
+    assert [r.frame_idx for r in rows] == list(range(MAX_FRAMES))
+    for r in rows:
+        off = r.frame_idx * FRAME_STRIDE
+        assert r.byte_offset == off
+        want = hashlib.md5(
+            payload[off : off + FRAME_BYTES].hex().upper().encode()
+        ).hexdigest()
+        assert r.frame_md5 == want

@@ -2550,3 +2550,121 @@ def multimodal_frame_samples(spark, sf_dir):
     read at the same offsets."""
     p = _payload_df(spark, sf_dir)
     return MM.frame_sample(p, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# batch 5: governance + distribution metrics + telemetry dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_k_anonymity",
+    """
+SELECT lang, source, n_chars // 100 AS size_bucket,
+       count(*) AS group_size,
+       (count(*) < 5) AS under_k
+FROM documents GROUP BY 1, 2, 3
+""",
+)
+def docs_k_anonymity(spark, sf_dir):
+    """Data-governance audit: group sizes under the quasi-identifier
+    tuple (lang, source, size bucket) with a k<5 flag — the k-anonymity
+    screen run before releasing a dataset.  One hash aggregate over the
+    generalized identifiers; at any scale this is a plain group-by."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "lang",
+            "source",
+            "size_bucket",
+            "group_size",
+            (F.col("group_size") < 5).alias("under_k"),
+        )
+    )
+
+
+@query(
+    "corpus_token_entropy",
+    f"""
+WITH t AS (SELECT source, {_TOKENS_SQL} AS toks FROM documents),
+tok AS (SELECT source, unnest(toks) AS term FROM t),
+c AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+tots AS (SELECT source, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.source,
+       max(n)::BIGINT AS n_tokens,
+       count(*) AS n_terms,
+       round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS token_entropy
+FROM c JOIN tots USING (source)
+GROUP BY 1
+""",
+)
+def corpus_token_entropy(spark, sf_dir):
+    """Shannon token entropy per source — the diversity metric a data
+    recipe watches (low entropy = template/boilerplate source).  Two
+    vocab-sized aggregates after one corpus explode; the entropy sum
+    runs over (source, term) cells, never raw tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.tokens("text")).alias("term"))
+    c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    tots = c.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        c.join(F.broadcast(tots), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+        )
+    )
+
+
+@query(
+    "events_window_dedup",
+    """
+WITH b AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 AS bucket,
+         ts
+  FROM events
+),
+r AS (
+  SELECT event_id, user_id, event_type, bucket,
+         row_number() OVER (PARTITION BY user_id, event_type, bucket
+                            ORDER BY ts, event_id) AS rn
+  FROM b
+)
+SELECT event_id, user_id, event_type, bucket FROM r WHERE rn = 1
+""",
+)
+def events_window_dedup(spark, sf_dir):
+    """Telemetry deduplication: keep the first event per (user, type,
+    5-minute bucket) — the bounded-window dedup every event pipeline
+    runs against retry storms.  One shuffle on the dedup key; the
+    bucket arithmetic is exact integer division on micros so both
+    engines cut identical windows.  (The unbounded streaming analog is
+    streaming_dedup in streaming/events.py.)"""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 300000000").alias("bucket"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "bucket")
+    )

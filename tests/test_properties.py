@@ -84,3 +84,82 @@ def test_dedup_and_asof_total_on_empty(spark, empty_docs):
     left = spark.createDataFrame([], "id bigint, k string, ts timestamp")
     right = spark.createDataFrame([], "k string, ts timestamp, px double")
     assert asof_join(left, right, ["k"], "ts", ["px"]).count() == 0
+
+
+def test_round2_ops_total_on_empty(spark, empty_docs):
+    from datafusion_functions_extra_spark.functions import text as TX
+    from datafusion_functions_extra_spark.operators import decontaminate as DECON
+
+    assert DECON.ngram_overlap_flags(empty_docs, empty_docs).count() == 0
+    assert TX.top_ngram_stats(empty_docs, "text", "doc_id").count() == 0
+    assert TX.chunk_documents(empty_docs, "text", "doc_id").count() == 0
+    assert TX.tfidf_top_terms(empty_docs, "text", "doc_id").count() == 0
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sizes=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=8))
+def test_chunking_covers_every_token(spark, sizes):
+    """Property: chunks tile the doc — total coverage with the configured
+    overlap, first chunk at 0, successive offsets stride apart, and the
+    concatenated non-overlapping spans reconstruct the token count."""
+    from datafusion_functions_extra_spark.functions.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id").collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(sizes):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_idx == 0
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # every chunk but the last is full-width or the doc is short
+        for c in chunks[:-1]:
+            assert c.n_tokens == CHUNK_TOKENS
+        # coverage: last chunk reaches the end of the doc
+        last_start = (len(chunks) - 1) * CHUNK_STRIDE
+        assert last_start + chunks[-1].n_tokens == n or (
+            len(chunks) == 1 and chunks[0].n_tokens == min(n, CHUNK_TOKENS)
+        )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=2, max_size=6
+    ),
+    alpha=st.sampled_from([0.3, 0.5, 0.7, 1.0]),
+)
+def test_temperature_mixture_budget_and_bounds(spark, weights, alpha):
+    """Property: rates in (0, 1]; expected kept total (sum rate*n) stays
+    within the clip-explained envelope of the budget; alpha=1.0 gives
+    every source the same rate."""
+    rows = []
+    did = 0
+    for s, n in enumerate(weights):
+        for _ in range(n):
+            rows.append((did, f"s{s}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    from datafusion_functions_extra_spark.functions.sampling import (
+        temperature_mixture,
+    )
+
+    out = temperature_mixture(df, "source", "doc_id", alpha=alpha).collect()
+    assert len(out) == len(weights)
+    for r in out:
+        assert 0.0 < r.rate <= 1.0
+        assert 0 <= r.n_kept <= r.n_docs
+    expected = sum(r.rate * r.n_docs for r in out)
+    total = sum(weights)
+    # clipping at 1 can only lower the expected total below budget*total
+    assert expected <= 0.5 * total + 1e-6 * total + len(weights)
+    if alpha == 1.0:
+        assert {r.rate for r in out} == {0.5}

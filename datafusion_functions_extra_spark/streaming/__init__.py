@@ -1,6 +1,8 @@
 """Structured Streaming operators (event streams)."""
 
 from .events import (  # noqa: F401
+    foreach_batch_upsert,
+    latest_wins,
     read_events_stream,
     run_available_now,
     streaming_dedup,

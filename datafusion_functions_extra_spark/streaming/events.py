@@ -198,6 +198,69 @@ def streaming_dedup(
     )
 
 
+def latest_wins(
+    df: DataFrame, keys: tuple[str, ...], ts_col: str, tiebreak_col: str
+) -> DataFrame:
+    """One row per key: all non-key columns taken from the most recent
+    row by (ts, tiebreak) — the CDC compaction aggregate (no window
+    sort; one hash aggregate via max_by on an ordering struct)."""
+    from ..functions.aggregates import max_by
+
+    ordk = F.struct(F.col(ts_col).alias("o"), F.col(tiebreak_col).alias("t"))
+    others = [c for c in df.columns if c not in keys]
+    return df.groupBy(*keys).agg(
+        *[max_by(F.col(c), ordk).alias(c) for c in others]
+    )
+
+
+def foreach_batch_upsert(
+    sdf: DataFrame,
+    base_path: str,
+    keys: tuple[str, ...],
+    ts_col: str,
+    tiebreak_col: str,
+):
+    """Streaming CDC upsert sink via ``foreachBatch``: each micro-batch is
+    merged (latest-wins) into a parquet *snapshot*, and a ``_LATEST``
+    pointer file flips atomically to the new snapshot directory — the
+    poor-man's table format (versioned snapshots + pointer) that gives
+    readers snapshot isolation without Delta/Iceberg.  Readers follow the
+    pointer; old snapshots are GC'd out-of-band.
+
+    Returns the started streaming query (caller awaits termination).
+    State per batch is the compacted key space, not the stream history.
+    """
+    import os
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ptr = os.path.join(base_path, "_LATEST")
+        prev = None
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                prev = f.read().strip()
+        current = spark.read.parquet(prev) if prev else None
+        merged = (
+            current.unionByName(batch_df) if current is not None else batch_df
+        )
+        snap = os.path.join(base_path, f"snap_{batch_id}")
+        latest_wins(merged, keys, ts_col, tiebreak_col).write.mode(
+            "overwrite"
+        ).parquet(snap)
+        with open(ptr + ".tmp", "w") as f:
+            f.write(snap)
+        os.replace(ptr + ".tmp", ptr)
+
+    return (
+        sdf.writeStream.foreachBatch(apply)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dfx-upsert-ckpt-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     table_name: str | None = None,

@@ -2668,3 +2668,81 @@ def events_window_dedup(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "bucket")
     )
+
+
+@query(
+    "promo_revenue_share",
+    """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) END)
+         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-02-01'
+""",
+)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: promotional revenue share in a one-month
+    shipdate slice.  The date range pushes to the lineitem scan
+    (PushedFilters on l_shipdate), part joins broadcast under AQE, and
+    the conditional/total sums share one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp_ntz"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "rich_customers_without_orders",
+    """
+WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+elig AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer, avg_bal
+  WHERE c_acctbal > ab
+)
+SELECT c_nationkey, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+FROM elig e
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                  AND o.o_orderstatus = 'F')
+GROUP BY 1
+""",
+)
+def rich_customers_without_orders(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no
+    completed ('F') orders, rolled up by nation.  The scalar average
+    broadcasts, the NOT EXISTS is a left-anti join on a filtered orders
+    key projection (both the status filter and the single-column read
+    push to the scan), and the final aggregate runs on the 25-nation
+    key space."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    elig = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    no_orders = elig.join(o, elig.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

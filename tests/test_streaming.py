@@ -146,3 +146,47 @@ def test_streaming_enrich_broadcasts_static_dim(spark):
     got_rows = {(r.event_id, r.weighted) for r in out.collect()}
     want_rows = {(r.event_id, r.w) for r in want.collect()}
     assert got_rows == want_rows
+
+
+def test_foreach_batch_upsert_matches_batch_cdc(spark, tmp_path):
+    """Three micro-batches of the events changelog upserted through the
+    snapshot+pointer sink must equal one-shot batch compaction."""
+    import os
+
+    from datafusion_functions_extra_spark.streaming import (
+        foreach_batch_upsert,
+        latest_wins,
+    )
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    # split the changelog into 3 files so maxFilesPerTrigger=1 gives 3 batches
+    src = str(tmp_path / "src")
+    e.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    q = foreach_batch_upsert(
+        stream, sink, keys=("user_id", "event_type"), ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    q.awaitTermination()
+
+    with open(os.path.join(sink, "_LATEST")) as f:
+        latest_path = f.read().strip()
+    got = {
+        (r.user_id, r.event_type, r.event_id, r.value)
+        for r in spark.read.parquet(latest_path).collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.event_id, r.value)
+        for r in latest_wins(
+            e, ("user_id", "event_type"), "ts", "event_id"
+        ).collect()
+    }
+    assert got == want and len(got) > 0

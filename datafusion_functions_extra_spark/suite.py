@@ -2746,3 +2746,104 @@ def rich_customers_without_orders(spark, sf_dir):
         F.count(F.lit(1)).alias("n_custs"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "embedding_standardize",
+    f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+           FROM embeddings),
+d AS (
+  SELECT vec_id, g.i AS pos, vec[g.i] AS val
+  FROM v, generate_series(1, {SIM.EMBEDDING_DIM}) g(i)
+),
+s AS (
+  SELECT pos, round(avg(val), 6) AS mu,
+         round(stddev_pop(val), 6) AS sigma
+  FROM d GROUP BY 1
+),
+z AS (
+  SELECT d.vec_id,
+         CASE WHEN s.sigma > 0 THEN (d.val - s.mu) / s.sigma ELSE 0.0 END AS zv
+  FROM d JOIN s USING (pos)
+)
+SELECT vec_id, round(sum(zv), 6) AS z_sum, round(sum(zv * zv), 6) AS z_sq_sum
+FROM z GROUP BY 1
+""",
+)
+def embedding_standardize(spark, sf_dir):
+    """Per-dimension standardization of the embedding matrix (the
+    feature-scaling pass before clustering/linear probes): one
+    dim-keyed stats aggregate (64 rows, broadcast back), z-scores
+    verified per vector via sum/sum-of-squares checksums.  The stats
+    table is O(dim) regardless of corpus size; the corpus is scanned
+    once exploded and once joined — no per-vector Python anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.posexplode(SIM._as_double(F.col("embedding"))).alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    s = d.groupBy("pos").agg(
+        F.round(F.avg("val"), 6).alias("mu"),
+        F.round(F.stddev_pop("val"), 6).alias("sigma"),
+    )
+    z = d.join(F.broadcast(s), "pos").select(
+        "vec_id",
+        F.when(
+            F.col("sigma") > 0, (F.col("val") - F.col("mu")) / F.col("sigma")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zv"),
+    )
+    return z.groupBy("vec_id").agg(
+        F.round(F.sum("zv"), 6).alias("z_sum"),
+        F.round(F.sum(F.col("zv") * F.col("zv")), 6).alias("z_sq_sum"),
+    )
+
+
+@query(
+    "near_dup_rate_by_source",
+    f"""
+WITH {SIM._sig_cte()}, {SIM._bands_cte()},
+flagged AS (
+  SELECT id_a AS doc_id FROM cand
+  UNION
+  SELECT id_b AS doc_id FROM cand
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN flagged.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_flagged,
+       round(sum(CASE WHEN flagged.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS flagged_rate
+FROM documents LEFT JOIN flagged USING (doc_id)
+GROUP BY 1
+""",
+)
+def near_dup_rate_by_source(spark, sf_dir):
+    """Pipeline observability: per-source LSH-candidate rate — the
+    dashboard number a dedup pipeline alarms on (a source whose
+    candidate rate jumps is scraping duplicates).  Reuses the banded
+    MinHash candidate generation; the flagged-id set joins back to the
+    catalog on doc_id, grouped on the tiny source key space."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = SIM.minhash_signatures(d, "text", "doc_id", materialize=True)
+    pairs = SIM.lsh_candidate_pairs(sigs, "doc_id")
+    flagged = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("flg", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("flg"), F.lit(0))).alias("n_flagged"),
+            F.round(
+                F.sum(F.coalesce(F.col("flg"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("flagged_rate"),
+        )
+    )

@@ -2847,3 +2847,89 @@ def near_dup_rate_by_source(spark, sf_dir):
             ).alias("flagged_rate"),
         )
     )
+
+
+@query(
+    "text_oov_rate",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk FROM c
+  ) WHERE rk <= 32
+)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       round(sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab USING (term)
+GROUP BY 1
+""",
+)
+def text_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage metric: per-doc out-of-vocabulary rate against
+    the corpus top-32 vocabulary (build_vocab's ordering).  The vocab is
+    one vocab-sized aggregate + rank, broadcast back onto the exploded
+    corpus — the OOV scan itself is a broadcast left join, no shuffle of
+    token rows by term."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    vocab = (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 32)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "lang_id_confusion",
+    f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKENS_SQL} AS toks FROM documents),
+scores AS ({_lang_scores_sql()}),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) rn
+  FROM scores
+),
+lp AS (SELECT doc_id, lang AS lang_pred FROM r WHERE rn = 1)
+SELECT t.lang AS lang_true, lp.lang_pred, count(*) AS n
+FROM t JOIN lp USING (doc_id)
+GROUP BY 1, 2
+""",
+)
+def lang_id_confusion(spark, sf_dir):
+    """Classifier-quality rollup: confusion matrix of the lang-id
+    heuristic against catalog language labels — the eval table a
+    pipeline publishes with every heuristic model.  One projection per
+    doc + one tiny (|langs|^2) aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("lang_true"),
+            TX.lang_id("text").alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

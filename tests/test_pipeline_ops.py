@@ -158,3 +158,16 @@ class TestKMeans:
         out = kmeans_assign(emb)
         assert out.count() == emb.count()
         assert out.where(F.col("dist") < 0).count() == 0
+
+
+def test_approx_distinct_within_rsd_envelope(spark):
+    """The HLL estimate must land within a generous multiple of the
+    configured rsd (2%) of the exact count — the bound the suite's
+    rows-only query is judged against."""
+    from datafusion_functions_extra_spark.suite import QUERIES
+
+    rows = QUERIES["approx_distinct_users"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        assert r.rel_error <= 5 * 0.02, (r.event_type, r.rel_error)

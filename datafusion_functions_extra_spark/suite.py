@@ -9,6 +9,13 @@ Conventions that keep the driver's order-insensitive value-hash stable:
   sides — Spark's partial-sum order differs from DuckDB's, so raw doubles
   drift in the last ~ulp (observed ~1e-13); integer-derived doubles and
   bit-identical expression results are left unrounded;
+* values that can terminate on an exact decimal ``x.xxxxxx5`` (ratios of
+  small integers, e.g. the quality score's weighted component sum) get a
+  symmetric ``+ 1e-9`` nudge before rounding: Spark's ``round`` is
+  decimal HALF_UP on the double's shortest representation while DuckDB
+  rounds the binary value, and the two disagree exactly on ``.5``
+  boundaries (observed at sf0.1: identical raw ``0.5031625`` rounding to
+  ...63 in Spark, ...62 in DuckDB);
 * ``mode`` oracles are written as explicit count+argmax window queries
   (deterministic max-on-tie), never DuckDB's ``mode()`` whose tie-break is
   unspecified (SURVEY.md §5).
@@ -468,7 +475,8 @@ SELECT doc_id,
        + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
        + 0.3 * (1.0 - least(1.0,
             abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
-                / len(toks)::DOUBLE - 0.4) / 0.6)),
+                / len(toks)::DOUBLE - 0.4) / 0.6))
+         + 1e-9,
        6) AS quality
 FROM t
 """,
@@ -476,7 +484,8 @@ FROM t
 def text_quality_scores(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.round(TX.quality_score("text"), 6).alias("quality")
+        "doc_id",
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("quality"),
     )
 
 
@@ -1132,7 +1141,7 @@ keyed AS (SELECT *, md5(norm) AS k FROM filtered),
 keep AS (SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY 1),
 deduped AS (
   SELECT keyed.doc_id, keyed.lang, keyed.source, keyed.n_chars,
-         round(keyed.quality, 6) AS quality
+         round(keyed.quality + 1e-9, 6) AS quality
   FROM keyed JOIN keep ON keyed.k = keep.k AND keyed.doc_id = keep.doc_id
 )
 SELECT *, CASE WHEN {SMP.hash_bucket_sql('doc_id')} < 1000 THEN 'test'
@@ -1158,7 +1167,7 @@ def corpus_clean_pipeline(spark, sf_dir):
         "lang",
         "source",
         "n_chars",
-        F.round("quality", 6).alias("quality"),
+        F.round(F.col("quality") + F.lit(1e-9), 6).alias("quality"),
         "split",
     )
 
@@ -2235,7 +2244,8 @@ q AS (
          + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
          + 0.3 * (1.0 - least(1.0,
               abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
-                  / len(toks)::DOUBLE - 0.4) / 0.6)),
+                  / len(toks)::DOUBLE - 0.4) / 0.6))
+           + 1e-9,
          6) AS quality
   FROM t
 ),
@@ -2281,7 +2291,7 @@ def corpus_quality_filter(spark, sf_dir):
         "lang",
         DD.content_key(F.col("text")).alias("ck"),
         TX.token_count("text").alias("n_tok"),
-        F.round(TX.quality_score("text"), 6).alias("quality"),
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("quality"),
         TX.lang_id("text").alias("lang_pred"),
     )
     keep = keyed.groupBy("ck").agg(F.min("doc_id").alias("keep_id"))

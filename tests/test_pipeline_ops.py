@@ -171,3 +171,48 @@ def test_approx_distinct_within_rsd_envelope(spark):
     for r in rows:
         assert r.exact_users > 0
         assert r.rel_error <= 5 * 0.02, (r.event_type, r.rel_error)
+
+
+class TestPlanContracts:
+    """Plan-shape assertions: the properties PLANS.md audits, pinned in
+    tests so a regression fails loudly rather than silently de-optimizing."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_column_pruning_reaches_scan(self, spark):
+        from datafusion_functions_extra_spark.suite import QUERIES
+
+        plan = self._plan(QUERIES["mode_returnflag_global"](spark, self.SF))
+        assert "ReadSchema: struct<l_returnflag:string>" in plan
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        from datafusion_functions_extra_spark.suite import QUERIES
+
+        plan = self._plan(QUERIES["lineitem_pricing_summary"](spark, self.SF))
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_no_cartesian_in_embedding_search(self, spark):
+        from datafusion_functions_extra_spark.suite import QUERIES
+
+        plan = self._plan(QUERIES["embedding_cosine_topk"](spark, self.SF))
+        assert "CartesianProduct" not in plan
+        # the inequality join condition forces a nested-loop join; the
+        # contract is that the BROADCAST side is the tiny query set
+        # (BuildLeft — q is the left input), never a shuffled cross join
+        assert "BroadcastNestedLoopJoin BuildLeft" in plan
+
+    def test_decontaminate_broadcasts_bench_side(self, spark):
+        from datafusion_functions_extra_spark.suite import QUERIES
+
+        plan = self._plan(QUERIES["docs_decontaminated"](spark, self.SF))
+        assert "BroadcastHashJoin" in plan
+
+    def test_no_python_workers_on_aggregate_paths(self, spark):
+        from datafusion_functions_extra_spark.suite import QUERIES
+
+        for q in ("flagship_lineitem_profile", "stats_profile_by_returnflag"):
+            plan = self._plan(QUERIES[q](spark, self.SF))
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

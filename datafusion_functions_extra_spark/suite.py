@@ -2943,3 +2943,97 @@ def lang_id_confusion(spark, sf_dir):
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "embedding_prototype_confusion",
+    f"""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS vec
+           FROM embeddings),
+u AS (
+  SELECT label AS cid, g.i AS pos, round(avg(vec[g.i]), 6) AS m
+  FROM v, generate_series(1, {SIM.EMBEDDING_DIM}) g(i)
+  GROUP BY 1, 2
+),
+c AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM u GROUP BY 1),
+d AS (
+  SELECT v.vec_id, v.label, c.cid,
+         round(list_sum(list_transform(generate_series(1, {SIM.EMBEDDING_DIM}),
+               i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i]))), 6) AS dist
+  FROM v, c
+),
+a AS (
+  SELECT vec_id, label, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cid ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT label AS label_true, cid AS label_pred, count(*) AS n
+FROM a GROUP BY 1, 2
+""",
+)
+def embedding_prototype_confusion(spark, sf_dir):
+    """Nearest-class-mean classification over the embeddings: per-label
+    prototype vectors (one (label, dim)-keyed mean aggregate), every
+    vector assigned to its nearest prototype, reported as the confusion
+    matrix.  The representation-quality probe (a linear-probe stand-in)
+    run on embedding tables; same broadcast-assign shape as k-means, and
+    the whole computation is oracle-verified through the 6-dp/tie-break
+    determinism rules."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", SIM._as_double(F.col("embedding")).alias("vec")
+    )
+    protos = CL._update(
+        vecs.select(F.col("label").alias("cluster"), "vec")
+    )
+    assigned = CL._assign(vecs.select("vec_id", "vec"), protos)
+    return (
+        assigned.join(vecs.select("vec_id", "label"), "vec_id")
+        .groupBy(
+            F.col("label").alias("label_true"),
+            F.col("cluster").alias("label_pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "near_dup_degree_hist",
+    f"""
+WITH {SIM._sig_cte()}, {SIM._bands_cte()},
+deg AS (
+  SELECT doc_id, count(*) AS degree FROM (
+    SELECT id_a AS doc_id FROM cand
+    UNION ALL
+    SELECT id_b AS doc_id FROM cand
+  ) GROUP BY 1
+)
+SELECT coalesce(deg.degree, 0) AS degree, count(*) AS n_docs
+FROM documents LEFT JOIN deg USING (doc_id)
+GROUP BY 1
+""",
+)
+def near_dup_degree_hist(spark, sf_dir):
+    """Degree distribution of the LSH candidate graph (including
+    degree 0) — the shape check run before clustering a near-dup graph:
+    a heavy tail means a hub document (boilerplate) will glue unrelated
+    docs into one component.  Candidate generation is the banded MinHash
+    join; the histogram is two small aggregates over the pair list."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = SIM.minhash_signatures(d, "text", "doc_id", materialize=True)
+    pairs = SIM.lsh_candidate_pairs(sigs, "doc_id")
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        d.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .groupBy(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -3037,3 +3037,99 @@ def near_dup_degree_hist(spark, sf_dir):
         .groupBy(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "events_hourly_heatmap",
+    """
+WITH e AS (
+  SELECT (((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 4) % 7) AS dow,
+         ((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) // 3600000000) AS hour,
+         value
+  FROM events
+)
+SELECT dow, hour, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM e GROUP BY 1, 2
+""",
+)
+def events_hourly_heatmap(spark, sf_dir):
+    """Activity heatmap by (day-of-week, hour) — the ops-dashboard
+    rollup.  Day-of-week is computed from epoch-day integer arithmetic
+    ((days + 4) % 7, 0 = Sunday) instead of each engine's dayofweek()
+    — Spark counts Sunday=1, DuckDB Sunday=0, so calendar functions are
+    a cross-engine trap; integer math is the portable form."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    return (
+        e.select(
+            (((us / F.lit(86400000000)).cast("long") + 4) % 7).alias("dow"),
+            ((us % 86400000000) / F.lit(3600000000)).cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "orders_revenue_growth_mom",
+    """
+WITH m AS (
+  SELECT time_bucket(INTERVAL '1 month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month AS VARCHAR) AS month, revenue,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 6) AS growth_pct
+FROM m
+""",
+)
+def orders_revenue_growth_mom(spark, sf_dir):
+    """Month-over-month revenue growth: one monthly aggregate, then a
+    lag window over |months| rows (the only ordered pass is
+    calendar-sized).  The pct change divides the 2-dp-rounded monthly
+    sums, so the ratio is identical across engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        F.col("month").cast("string").alias("month"),
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("growth_pct"),
+    )
+
+
+@query(
+    "brand_supplier_reach",
+    """
+SELECT p_brand,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def brand_supplier_reach(spark, sf_dir):
+    """TPC-H Q16 flavor: distinct supplier reach per brand.  Spark
+    expands count(DISTINCT) into a two-phase aggregate — partial
+    de-dup on (brand, suppkey), then the final count — so the distinct
+    never concentrates on one node; the part side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import hash60, _hash60_sql
+from .rounding import r6n, r6n_sql
 
 #: bucket space for percentage splits
 N_BUCKETS = 10_000
@@ -164,7 +165,9 @@ def temperature_mixture(
     rates = counts.crossJoin(F.broadcast(tot)).select(
         source_col,
         "n_docs",
-        F.round(
+        # ratio of aggregates → boundary-nudged rounding (the nudge can't
+        # push a capped rate past 1.0: round(1.0 + 1e-9, 6) == 1.0)
+        r6n(
             F.least(
                 F.lit(1.0),
                 F.lit(budget_frac)
@@ -172,8 +175,7 @@ def temperature_mixture(
                 * F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
                 / F.col("z")
                 / F.col("n_docs").cast("double"),
-            ),
-            6,
+            )
         ).alias("rate"),
     )
     frac = hash_bucket(F.col(key), n_buckets).cast("double") / F.lit(float(n_buckets))
@@ -204,8 +206,8 @@ WITH c AS (SELECT {source_col}, count(*) AS n_docs FROM {table} GROUP BY 1),
 t AS (SELECT sum(n_docs) AS n_total, sum(pow(n_docs, {alpha})) AS z FROM c),
 r AS (
   SELECT {source_col}, n_docs,
-         round(least(1.0, {budget_frac} * n_total * pow(n_docs, {alpha})
-                          / z / n_docs), 6) AS rate
+         {r6n_sql(f'''least(1.0, {budget_frac} * n_total * pow(n_docs, {alpha})
+                          / z / n_docs)''')} AS rate
   FROM c, t
 ),
 k AS (
@@ -214,7 +216,7 @@ k AS (
   FROM {table} d JOIN r USING ({source_col})
 )
 SELECT {source_col}, max(rate) AS rate, count(*) AS n_docs,
-       sum(kept) AS n_kept
+       sum(kept)::BIGINT AS n_kept
 FROM k GROUP BY 1
 """
 

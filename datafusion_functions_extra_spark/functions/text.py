@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .aggregates import ColumnOrName, _col
+from .rounding import r6n
 
 #: small english stopword list used by quality scoring
 STOPWORDS: tuple[str, ...] = (
@@ -240,7 +241,8 @@ def top_ngram_stats(
         id_col,
         F.col("top.gram").alias("top_gram"),
         F.col("top.cnt").alias("top_count"),
-        F.round(F.col("top.cnt") / F.col("total"), 6).alias("top_frac"),
+        # count ratio → boundary-nudged rounding (functions/rounding.py)
+        r6n(F.col("top.cnt") / F.col("total")).alias("top_frac"),
     )
 
 
@@ -328,10 +330,10 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(
+            # count ratio under ln() → boundary-nudged rounding
+            r6n(
                 F.col("tf").cast("double")
-                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-                6,
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
             ),
         )
     )

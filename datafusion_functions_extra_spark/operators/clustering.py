@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import EMBEDDING_DIM, IVF_CENTROID_IDS, _as_double
+from ..functions.rounding import r6n, r6n_sql
 
 #: fixed Lloyd iteration count for the suite query
 KMEANS_ITERS = 2
@@ -65,7 +66,9 @@ def _update(assigned: DataFrame) -> DataFrame:
     dims = assigned.select(
         F.col("cluster").alias("cid"), F.posexplode("vec").alias("pos", "val")
     )
-    means = dims.groupBy("cid", "pos").agg(F.round(F.avg("val"), 6).alias("m"))
+    # avg is a cross-partition sum/count — boundary-nudged rounding keeps
+    # the iterated trajectory identical to the oracle (functions/rounding.py)
+    means = dims.groupBy("cid", "pos").agg(r6n(F.avg("val")).alias("m"))
     return means.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
@@ -136,7 +139,7 @@ a{it} AS (
             parts.append(
                 f"""
 u{it} AS (
-  SELECT cid, g.i AS pos, round(avg(vec[g.i]), 6) AS m
+  SELECT cid, g.i AS pos, {r6n_sql(f'avg(vec[g.i])')} AS m
   FROM a{it}, generate_series(1, {dim}) g(i)
   GROUP BY cid, g.i
 ),

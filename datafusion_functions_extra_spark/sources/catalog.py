@@ -49,15 +49,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Surface a proper microsecond timestamp, matching DuckDB's
-        # CAST(ts AS TIMESTAMP).  Integer `div` is required: epoch nanos
-        # (~1.7e18) exceed double's 2^53 mantissa, so a float divide lands
-        # ~1.6% of timestamps one microsecond off.
+        # Surface a proper session-tz (UTC) microsecond timestamp, matching
+        # DuckDB's CAST(ts AS TIMESTAMP), whatever physical type the driver
+        # generated the parquet with (it has shipped both TIMESTAMP(NANOS)
+        # and timestamp[us] across rounds):
+        #   * LongType  — nanosAsLong read of TIMESTAMP(NANOS).  Integer
+        #     `div` is required: epoch nanos (~1.7e18) exceed double's 2^53
+        #     mantissa, so a float divide lands ~1.6% of timestamps 1us off.
+        #   * TimestampNTZType — timestamp[us] with isAdjustedToUTC=false.
+        #     Cast reinterprets the wall-clock in the session tz (UTC), so
+        #     epoch values are unchanged; unix_micros/window ops then work.
+        #   * TimestampType — already what we want.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -26,9 +26,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: events.parquet physical schema, ts as raw nanos (read via nanosAsLong)
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+#: events.parquet physical schema template; the ts slot depends on the
+#: physical type the generator used for this dataset (see _events_ts_type)
+EVENTS_SCHEMA_TEMPLATE = (
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -36,17 +37,40 @@ EVENTS_SCHEMA = (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table with a proper microsecond ``ts``.
 
-    File sources need an explicit schema; ts arrives as TIMESTAMP(NANOS)
-    which Spark reads as long under ``nanosAsLong`` (set here at runtime,
-    like the batch catalog) and converts with exact integer division.
+    File sources need an explicit schema, and the generator has shipped
+    ``ts`` as both TIMESTAMP(NANOS) and timestamp[us] (NTZ) across
+    dataset versions — so probe the parquet footer (pyarrow, driver-side,
+    O(1)) and build the same conversion the batch catalog applies:
+
+    * nanos → read as long under ``nanosAsLong``, exact integer ``div``
+      (epoch nanos exceed double's 2^53 mantissa, so float division would
+      land ~1.6% of timestamps one microsecond off);
+    * timestamp[us] NTZ → declare timestamp_ntz, reinterpret the
+      wall-clock in the UTC session tz (epoch values unchanged).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    import pyarrow.parquet as pa_pq
+
+    ts_type = pa_pq.read_schema(os.path.join(sf_dir, "events.parquet")).field(
+        "ts"
+    ).type
+    is_nanos = str(ts_type) in ("timestamp[ns]", "int64")
+    if is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = EVENTS_SCHEMA_TEMPLATE.format(ts_type="bigint")
+    elif getattr(ts_type, "tz", None) is None:
+        schema = EVENTS_SCHEMA_TEMPLATE.format(ts_type="timestamp_ntz")
+    else:
+        schema = EVENTS_SCHEMA_TEMPLATE.format(ts_type="timestamp")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(
@@ -229,6 +253,16 @@ def foreach_batch_upsert(
 
     Returns the started streaming query (caller awaits termination).
     State per batch is the compacted key space, not the stream history.
+
+    Crash-safety: each snapshot path carries a per-attempt uuid suffix, so
+    a retried/restarted batch can never write into the directory the
+    lazily-read previous snapshot is being scanned from (overwriting the
+    read path mid-merge would corrupt the snapshot); the checkpoint lives
+    under ``base_path`` so a restart resumes batch ids instead of
+    replaying from 0 against an already-advanced pointer.  Pointer I/O
+    uses driver-local file ops — for a real multi-node cluster, swap the
+    pointer read/flip for the same protocol over the object store /
+    DFS client (single-writer rename, which S3/HDFS/ABFS all provide).
     """
     import os
 
@@ -243,7 +277,11 @@ def foreach_batch_upsert(
         merged = (
             current.unionByName(batch_df) if current is not None else batch_df
         )
-        snap = os.path.join(base_path, f"snap_{batch_id}")
+        snap = os.path.join(
+            base_path, f"snap_{batch_id}_{uuid.uuid4().hex[:8]}"
+        )
+        if prev == snap:  # defense-in-depth: never overwrite the read path
+            raise RuntimeError(f"snapshot collision on {snap}")
         latest_wins(merged, keys, ts_col, tiebreak_col).write.mode(
             "overwrite"
         ).parquet(snap)
@@ -254,7 +292,7 @@ def foreach_batch_upsert(
     return (
         sdf.writeStream.foreachBatch(apply)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="dfx-upsert-ckpt-")
+            "checkpointLocation", os.path.join(base_path, "_checkpoint")
         )
         .trigger(availableNow=True)
         .start()

@@ -11,11 +11,13 @@ Conventions that keep the driver's order-insensitive value-hash stable:
   bit-identical expression results are left unrounded;
 * values that can terminate on an exact decimal ``x.xxxxxx5`` (ratios of
   small integers, e.g. the quality score's weighted component sum) get a
-  symmetric ``+ 1e-9`` nudge before rounding: Spark's ``round`` is
-  decimal HALF_UP on the double's shortest representation while DuckDB
-  rounds the binary value, and the two disagree exactly on ``.5``
-  boundaries (observed at sf0.1: identical raw ``0.5031625`` rounding to
-  ...63 in Spark, ...62 in DuckDB);
+  1e-9 nudge away from zero before rounding — ``_r6n``/``_r6n_sql`` from
+  functions/rounding.py on every cross-engine ratio (the always-positive
+  quality score keeps its original one-directional ``+ 1e-9``, identical
+  on both sides): Spark's ``round`` is decimal HALF_UP on the double's
+  shortest representation while DuckDB rounds the binary value, and the
+  two disagree exactly on ``.5`` boundaries (observed at sf0.1: identical
+  raw ``0.5031625`` rounding to ...63 in Spark, ...62 in DuckDB);
 * ``mode`` oracles are written as explicit count+argmax window queries
   (deterministic max-on-tie), never DuckDB's ``mode()`` whose tie-break is
   unspecified (SURVEY.md §5).
@@ -60,6 +62,11 @@ def query(name: str, oracle: str | None = None):
 
 def _r6(c):
     return F.round(c, 6)
+
+
+# Boundary-safe 6-dp rounding for ratios of aggregates — see
+# functions/rounding.py for the full failure-class writeup (SURVEY §8.3).
+from .functions.rounding import r6n as _r6n, r6n_sql as _r6n_sql  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -297,72 +304,72 @@ def max_by_part_by_brand(spark, sf_dir):
 
 @query(
     "skewness_extendedprice_global",
-    "SELECT round(skewness(l_extendedprice), 6) AS skew_price FROM lineitem",
+    "SELECT round((skewness(l_extendedprice)) + sign(skewness(l_extendedprice)) * 1e-9, 6) AS skew_price FROM lineitem",
 )
 def skewness_extendedprice_global(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(_r6(skewness("l_extendedprice")).alias("skew_price"))
+    return li.agg(_r6n(skewness("l_extendedprice")).alias("skew_price"))
 
 
 @query(
     "skewness_by_returnflag",
     """
-SELECT l_returnflag, round(skewness(l_extendedprice), 6) AS skew_price,
-       round(skewness(l_discount), 6) AS skew_discount
+SELECT l_returnflag, round((skewness(l_extendedprice)) + sign(skewness(l_extendedprice)) * 1e-9, 6) AS skew_price,
+       round((skewness(l_discount)) + sign(skewness(l_discount)) * 1e-9, 6) AS skew_discount
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def skewness_by_returnflag(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        _r6(skewness("l_extendedprice")).alias("skew_price"),
-        _r6(skewness("l_discount")).alias("skew_discount"),
+        _r6n(skewness("l_extendedprice")).alias("skew_price"),
+        _r6n(skewness("l_discount")).alias("skew_discount"),
     )
 
 
 @query(
     "kurtosis_totalprice_global",
-    "SELECT round(kurtosis(o_totalprice), 6) AS kurt_totalprice FROM orders",
+    "SELECT round((kurtosis(o_totalprice)) + sign(kurtosis(o_totalprice)) * 1e-9, 6) AS kurt_totalprice FROM orders",
 )
 def kurtosis_totalprice_global(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(_r6(kurtosis("o_totalprice")).alias("kurt_totalprice"))
+    return o.agg(_r6n(kurtosis("o_totalprice")).alias("kurt_totalprice"))
 
 
 @query(
     "kurtosis_events_by_type",
     """
-SELECT event_type, round(kurtosis(value), 6) AS kurt_value
+SELECT event_type, round((kurtosis(value)) + sign(kurtosis(value)) * 1e-9, 6) AS kurt_value
 FROM events GROUP BY event_type
 """,
 )
 def kurtosis_events_by_type(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(_r6(kurtosis("value")).alias("kurt_value"))
+    return e.groupBy("event_type").agg(_r6n(kurtosis("value")).alias("kurt_value"))
 
 
 @query(
     "kurtosis_pop_quantity_global",
-    "SELECT round(kurtosis_pop(l_quantity), 6) AS kpop_quantity FROM lineitem",
+    "SELECT round((kurtosis_pop(l_quantity)) + sign(kurtosis_pop(l_quantity)) * 1e-9, 6) AS kpop_quantity FROM lineitem",
 )
 def kurtosis_pop_quantity_global(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(_r6(kurtosis_pop("l_quantity")).alias("kpop_quantity"))
+    return li.agg(_r6n(kurtosis_pop("l_quantity")).alias("kpop_quantity"))
 
 
 @query(
     "kurtosis_pop_by_linestatus",
     """
-SELECT l_linestatus, round(kurtosis_pop(l_quantity), 6) AS kpop_quantity,
-       round(kurtosis_pop(l_tax), 6) AS kpop_tax
+SELECT l_linestatus, round((kurtosis_pop(l_quantity)) + sign(kurtosis_pop(l_quantity)) * 1e-9, 6) AS kpop_quantity,
+       round((kurtosis_pop(l_tax)) + sign(kurtosis_pop(l_tax)) * 1e-9, 6) AS kpop_tax
 FROM lineitem GROUP BY l_linestatus
 """,
 )
 def kurtosis_pop_by_linestatus(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
-        _r6(kurtosis_pop("l_quantity")).alias("kpop_quantity"),
-        _r6(kurtosis_pop("l_tax")).alias("kpop_tax"),
+        _r6n(kurtosis_pop("l_quantity")).alias("kpop_quantity"),
+        _r6n(kurtosis_pop("l_tax")).alias("kpop_tax"),
     )
 
 
@@ -371,9 +378,9 @@ def kurtosis_pop_by_linestatus(spark, sf_dir):
     """
 SELECT l_returnflag,
        count(*) AS n_rows,
-       round(skewness(l_extendedprice), 6) AS skew_price,
-       round(kurtosis(l_extendedprice), 6) AS kurt_price,
-       round(kurtosis_pop(l_extendedprice), 6) AS kpop_price
+       round((skewness(l_extendedprice)) + sign(skewness(l_extendedprice)) * 1e-9, 6) AS skew_price,
+       round((kurtosis(l_extendedprice)) + sign(kurtosis(l_extendedprice)) * 1e-9, 6) AS kurt_price,
+       round((kurtosis_pop(l_extendedprice)) + sign(kurtosis_pop(l_extendedprice)) * 1e-9, 6) AS kpop_price
 FROM lineitem GROUP BY l_returnflag
 """,
 )
@@ -383,9 +390,9 @@ def stats_profile_by_returnflag(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        _r6(skewness("l_extendedprice")).alias("skew_price"),
-        _r6(kurtosis("l_extendedprice")).alias("kurt_price"),
-        _r6(kurtosis_pop("l_extendedprice")).alias("kpop_price"),
+        _r6n(skewness("l_extendedprice")).alias("skew_price"),
+        _r6n(kurtosis("l_extendedprice")).alias("kurt_price"),
+        _r6n(kurtosis_pop("l_extendedprice")).alias("kpop_price"),
     )
 
 
@@ -410,8 +417,8 @@ WITH c AS (
   FROM lineitem
 ), s AS (
   SELECT l_linestatus AS g,
-         round(skewness(l_extendedprice), 6) AS skew_price,
-         round(kurtosis_pop(l_quantity), 6) AS kpop_quantity
+         round((skewness(l_extendedprice)) + sign(skewness(l_extendedprice)) * 1e-9, 6) AS skew_price,
+         round((kurtosis_pop(l_quantity)) + sign(kurtosis_pop(l_quantity)) * 1e-9, 6) AS kpop_quantity
   FROM lineitem GROUP BY 1
 )
 SELECT s.g AS l_linestatus, m.v AS mode_returnflag, am.pk AS part_at_max_price,
@@ -428,8 +435,8 @@ def flagship_lineitem_profile(spark, sf_dir):
         max_by("l_partkey", "l_extendedprice", deterministic=True).alias(
             "part_at_max_price"
         ),
-        _r6(skewness("l_extendedprice")).alias("skew_price"),
-        _r6(kurtosis_pop("l_quantity")).alias("kpop_quantity"),
+        _r6n(skewness("l_extendedprice")).alias("skew_price"),
+        _r6n(kurtosis_pop("l_quantity")).alias("kpop_quantity"),
     )
     return modes.join(stats, "l_linestatus")
 
@@ -783,10 +790,10 @@ def lineitem_rollup_totals(spark, sf_dir):
 
 @query(
     "events_moving_avg",
-    """
+    f"""
 SELECT event_id, user_id,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+       {_r6n_sql('''avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)''')}
        AS mavg_5
 FROM events
 """,
@@ -794,7 +801,7 @@ FROM events
 def events_moving_avg(spark, sf_dir):
     """Per-user 5-row trailing mean — one shuffle by user, one sort, same
     frame semantics in both engines (deterministic via the event_id
-    tiebreak in the ordering)."""
+    tiebreak in the ordering).  avg is a ratio of aggregates → ``_r6n``."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -804,7 +811,7 @@ def events_moving_avg(spark, sf_dir):
         .rowsBetween(-4, 0)
     )
     return e.select(
-        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg_5")
+        "event_id", "user_id", _r6n(F.avg("value").over(w)).alias("mavg_5")
     )
 
 
@@ -812,7 +819,7 @@ def events_moving_avg(spark, sf_dir):
     "events_props_json",
     """
 SELECT event_type,
-       sum((props ->> 'k')::BIGINT) AS sum_k,
+       sum((props ->> 'k')::BIGINT)::BIGINT AS sum_k,
        count(props ->> 'k') AS n_k
 FROM events GROUP BY event_type
 """,
@@ -882,10 +889,10 @@ def range_join_errors_in_purchase_sessions(spark, sf_dir):
 
 @query(
     "events_user_trend",
-    """
+    f"""
 SELECT user_id,
-       round(covar_pop(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0, value)
-             / var_pop(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0), 6) AS slope,
+       {_r6n_sql('''covar_pop(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0, value)
+             / var_pop(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0)''')} AS slope,
        count(*) AS n
 FROM events GROUP BY user_id
 """,
@@ -893,11 +900,13 @@ FROM events GROUP BY user_id
 def events_user_trend(spark, sf_dir):
     """Per-user least-squares trend of value over time, as pure algebraic
     aggregates (slope = covar_pop/var_pop) — regression without ML
-    machinery, one hash aggregate, mergeable state like the moment stats."""
+    machinery, one hash aggregate, mergeable state like the moment stats.
+    The slope is a ratio of aggregates, so it rounds through ``_r6n`` (r02
+    driver hash flagged a ``.5e-6``-boundary flip here)."""
     e = load_table(spark, sf_dir, "events")
     t = F.unix_micros("ts") / F.lit(1000000.0)
     return e.groupBy("user_id").agg(
-        F.round(F.covar_pop(t, F.col("value")) / F.var_pop(t), 6).alias("slope"),
+        _r6n(F.covar_pop(t, F.col("value")) / F.var_pop(t)).alias("slope"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1492,7 +1501,7 @@ def orders_large_volume_customers(spark, sf_dir):
 @query(
     "docs_weighted_sample",
     f"""
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM documents
 WHERE {SMP.weighted_sample_sql("doc_id", "n_chars", 500.0)}
 GROUP BY 1
@@ -1607,7 +1616,7 @@ dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         round(tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfq.df::DOUBLE), 6) AS tfidf
+         {_r6n_sql('tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfq.df::DOUBLE)')} AS tfidf
   FROM tf JOIN dfq USING (term), n
 ),
 r AS (
@@ -1757,8 +1766,10 @@ def events_funnel_conversion(spark, sf_dir):
     p = first_after("purchase", c, "t_click", "t_purchase")
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_after_view"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+        )
     )
 
 
@@ -1878,7 +1889,7 @@ r AS (
   FROM c
 )
 SELECT doc_id, gram AS top_gram, cnt AS top_count,
-       round(cnt::DOUBLE / total, 6) AS top_frac
+       {_r6n_sql('cnt::DOUBLE / total')} AS top_frac
 FROM r WHERE rn = 1
 """,
 )
@@ -1893,17 +1904,22 @@ def text_repetition_scores(spark, sf_dir):
 
 @query(
     "docs_chunks",
+    # spliced from CHUNK_TOKENS/CHUNK_STRIDE so changing the constants can
+    # never desynchronize the oracle from the Spark side
     f"""
 WITH t AS (SELECT doc_id, {SIM._TOKS_SQL} AS toks, len({SIM._TOKS_SQL}) AS n
            FROM documents),
 st AS (
   SELECT doc_id, toks,
-         unnest(generate_series(0, greatest(1, (n - 8 + 55) // 56) - 1))
+         unnest(generate_series(0, greatest(1,
+           (n - {TX.CHUNK_TOKENS - TX.CHUNK_STRIDE} + {TX.CHUNK_STRIDE - 1})
+             // {TX.CHUNK_STRIDE}) - 1))
            AS chunk_idx
   FROM t
 ),
 ch AS (SELECT doc_id, chunk_idx,
-              toks[chunk_idx * 56 + 1 : chunk_idx * 56 + 64] AS ct
+              toks[chunk_idx * {TX.CHUNK_STRIDE} + 1
+                   : chunk_idx * {TX.CHUNK_STRIDE} + {TX.CHUNK_TOKENS}] AS ct
        FROM st)
 SELECT doc_id, chunk_idx, len(ct) AS n_tokens,
        md5(array_to_string(ct, ' ')) AS chunk_hash
@@ -1956,15 +1972,15 @@ def docs_temperature_mixture(spark, sf_dir):
 
 @query(
     "lineitem_pricing_summary",
-    """
+    f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       {_r6n_sql('avg(l_quantity)')} AS avg_qty,
+       {_r6n_sql('avg(l_extendedprice)')} AS avg_price,
+       {_r6n_sql('avg(l_discount)')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -1986,9 +2002,9 @@ def lineitem_pricing_summary(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            _r6(F.avg("l_quantity")).alias("avg_qty"),
-            _r6(F.avg("l_extendedprice")).alias("avg_price"),
-            _r6(F.avg("l_discount")).alias("avg_disc"),
+            _r6n(F.avg("l_quantity")).alias("avg_qty"),
+            _r6n(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6n(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1996,27 +2012,30 @@ def lineitem_pricing_summary(spark, sf_dir):
 
 @query(
     "events_anomaly_zscore",
-    """
+    f"""
 WITH s AS (
   SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
   FROM events GROUP BY 1
 )
 SELECT event_id, e.event_type, value,
-       round((value - mu) / sigma, 6) AS z
+       {_r6n_sql('(value - mu) / sigma')} AS z
 FROM events e JOIN s USING (event_type)
-WHERE round((value - mu) / sigma, 6) > 2.5
+WHERE sigma > 0 AND {_r6n_sql('(value - mu) / sigma')} > 2.5
 """,
 )
 def events_anomaly_zscore(spark, sf_dir):
     """Population z-score outliers per event type: a tiny per-type
     (mu, sigma) aggregate broadcast back onto the stream, one filter.
     The classic two-pass anomaly screen — at 100 TB the stats side is
-    |event_types| rows, so the join never shuffles the fact table."""
+    |event_types| rows, so the join never shuffles the fact table.
+    sigma > 0 is guarded identically on both engines (a constant-valued
+    type yields NULL in Spark but NaN/inf in DuckDB), and z is a ratio of
+    aggregates so it rounds through ``_r6n``."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
-    )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    ).where(F.col("sigma") > 0)
+    z = _r6n((F.col("value") - F.col("mu")) / F.col("sigma"))
     return (
         e.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))
@@ -2199,11 +2218,11 @@ WITH t AS (
               ELSE len(str_split({SIM._NORM_SQL}, ' ')) END AS n_tok
   FROM documents
 ),
-g AS (SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+g AS (SELECT source, lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
       FROM t GROUP BY 1, 2),
 tot AS (SELECT sum(n_tokens) AS total_tokens FROM g)
 SELECT source, lang, n_docs, n_tokens,
-       round(n_tokens::DOUBLE / total_tokens, 6) AS token_share
+       {_r6n_sql('n_tokens::DOUBLE / total_tokens')} AS token_share
 FROM g, tot
 """,
 )
@@ -2224,7 +2243,7 @@ def corpus_token_budget(spark, sf_dir):
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
+        _r6n(F.col("n_tokens") / F.col("total_tokens")).alias("token_share"),
     )
 
 
@@ -2515,7 +2534,7 @@ sc AS (
   SELECT tok.doc_id, ln(cnt.c::DOUBLE / tot.n) AS lp
   FROM tok JOIN cnt USING (term), tot
 )
-SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+SELECT doc_id, count(*) AS n_tokens, {_r6n_sql('avg(lp)')} AS avg_logprob
 FROM sc GROUP BY 1
 """,
 )
@@ -2540,7 +2559,7 @@ def text_unigram_logprob(spark, sf_dir):
     )
     return sc.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        _r6n(F.avg("lp")).alias("avg_logprob"),
     )
 
 
@@ -2609,7 +2628,7 @@ tots AS (SELECT source, sum(c) AS n FROM c GROUP BY 1)
 SELECT c.source,
        max(n)::BIGINT AS n_tokens,
        count(*) AS n_terms,
-       round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS token_entropy
+       {_r6n_sql('-sum((c::DOUBLE / n) * ln(c::DOUBLE / n))')} AS token_entropy
 FROM c JOIN tots USING (source)
 GROUP BY 1
 """,
@@ -2630,7 +2649,7 @@ def corpus_token_entropy(spark, sf_dir):
         .agg(
             F.max("n").cast("long").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_terms"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+            _r6n(-F.sum(p * F.log(p))).alias("token_entropy"),
         )
     )
 
@@ -2682,11 +2701,10 @@ def events_window_dedup(spark, sf_dir):
 
 @query(
     "promo_revenue_share",
-    """
-SELECT round(
-         100.0 * sum(CASE WHEN p_type = 'PROMO'
+    f"""
+SELECT {_r6n_sql('''100.0 * sum(CASE WHEN p_type = 'PROMO'
                           THEN l_extendedprice * (1 - l_discount) END)
-         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+         / sum(l_extendedprice * (1 - l_discount))''')} AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1997-02-01'
@@ -2707,11 +2725,10 @@ def promo_revenue_share(spark, sf_dir):
         )
         .join(p, li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
+            _r6n(
                 100.0
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev))
-                / F.sum(rev),
-                6,
+                / F.sum(rev)
             ).alias("promo_revenue_pct")
         )
     )
@@ -2768,8 +2785,8 @@ d AS (
   FROM v, generate_series(1, {SIM.EMBEDDING_DIM}) g(i)
 ),
 s AS (
-  SELECT pos, round(avg(val), 6) AS mu,
-         round(stddev_pop(val), 6) AS sigma
+  SELECT pos, {_r6n_sql('avg(val)')} AS mu,
+         {_r6n_sql('stddev_pop(val)')} AS sigma
   FROM d GROUP BY 1
 ),
 z AS (
@@ -2793,8 +2810,8 @@ def embedding_standardize(spark, sf_dir):
         "vec_id", F.posexplode(SIM._as_double(F.col("embedding"))).alias("pos0", "val")
     ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
     s = d.groupBy("pos").agg(
-        F.round(F.avg("val"), 6).alias("mu"),
-        F.round(F.stddev_pop("val"), 6).alias("sigma"),
+        _r6n(F.avg("val")).alias("mu"),
+        _r6n(F.stddev_pop("val")).alias("sigma"),
     )
     z = d.join(F.broadcast(s), "pos").select(
         "vec_id",
@@ -2821,9 +2838,9 @@ flagged AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN flagged.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_flagged,
-       round(sum(CASE WHEN flagged.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-             / count(*), 6) AS flagged_rate
+       sum(CASE WHEN flagged.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       {_r6n_sql('''sum(CASE WHEN flagged.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)''')} AS flagged_rate
 FROM documents LEFT JOIN flagged USING (doc_id)
 GROUP BY 1
 """,
@@ -2850,10 +2867,9 @@ def near_dup_rate_by_source(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.coalesce(F.col("flg"), F.lit(0))).alias("n_flagged"),
-            F.round(
+            _r6n(
                 F.sum(F.coalesce(F.col("flg"), F.lit(0)))
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("flagged_rate"),
         )
     )
@@ -2872,9 +2888,9 @@ vocab AS (
 )
 SELECT tok.doc_id,
        count(*) AS n_tokens,
-       sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
-       round(sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
-             / count(*), 6) AS oov_rate
+       sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       {_r6n_sql('''sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)''')} AS oov_rate
 FROM tok LEFT JOIN vocab USING (term)
 GROUP BY 1
 """,
@@ -2904,10 +2920,9 @@ def text_oov_rate(spark, sf_dir):
             F.sum(
                 F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
             ).alias("n_oov"),
-            F.round(
+            _r6n(
                 F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("oov_rate"),
         )
     )
@@ -2952,7 +2967,7 @@ WITH v AS (SELECT vec_id, label,
                   list_transform(embedding, x -> x::DOUBLE) AS vec
            FROM embeddings),
 u AS (
-  SELECT label AS cid, g.i AS pos, round(avg(vec[g.i]), 6) AS m
+  SELECT label AS cid, g.i AS pos, {_r6n_sql('avg(vec[g.i])')} AS m
   FROM v, generate_series(1, {SIM.EMBEDDING_DIM}) g(i)
   GROUP BY 1, 2
 ),
@@ -3059,11 +3074,13 @@ def events_hourly_heatmap(spark, sf_dir):
     — Spark counts Sunday=1, DuckDB Sunday=0, so calendar functions are
     a cross-engine trap; integer math is the portable form."""
     e = load_table(spark, sf_dir, "events")
-    us = F.expr("unix_micros(ts)")
     return (
         e.select(
-            (((us / F.lit(86400000000)).cast("long") + 4) % 7).alias("dow"),
-            ((us % 86400000000) / F.lit(3600000000)).cast("long").alias("hour"),
+            # integer div end-to-end: double-divide-then-cast truncates
+            # toward zero (diverges from floor for pre-1970 epochs) and
+            # would contradict the portable-integer-math claim above
+            ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow"),
+            F.expr("(unix_micros(ts) % 86400000000) div 3600000000").alias("hour"),
             "value",
         )
         .groupBy("dow", "hour")
@@ -3076,15 +3093,15 @@ def events_hourly_heatmap(spark, sf_dir):
 
 @query(
     "orders_revenue_growth_mom",
-    """
+    f"""
 WITH m AS (
   SELECT time_bucket(INTERVAL '1 month', CAST(o_orderdate AS TIMESTAMP)) AS month,
          round(sum(o_totalprice), 2) AS revenue
   FROM orders GROUP BY 1
 )
 SELECT CAST(month AS VARCHAR) AS month, revenue,
-       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
-             / lag(revenue) OVER (ORDER BY month), 6) AS growth_pct
+       {_r6n_sql('''100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month)''')} AS growth_pct
 FROM m
 """,
 )
@@ -3104,7 +3121,7 @@ def orders_revenue_growth_mom(spark, sf_dir):
     return m.select(
         F.col("month").cast("string").alias("month"),
         "revenue",
-        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("growth_pct"),
+        _r6n(100.0 * (F.col("revenue") - prev) / prev).alias("growth_pct"),
     )
 
 

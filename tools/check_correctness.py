@@ -28,6 +28,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the class the driver's value-hash is
+    sensitive to: int 99111 and float 99111.0 format differently, so an
+    int-vs-float mismatch (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64)
+    is a hash FAIL even when values compare numerically equal."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> dict:
     out = {"name": name, "rows": len(spark_pd) == len(duck_pd)}
     if not out["rows"]:
@@ -38,6 +55,17 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> dict:
     if not out["schema"]:
         out["detail"] = f"cols spark={list(s.columns)} duck={list(d.columns)}"
         return out
+    # dtype-class gate: the driver's hash serializes values, so an int64
+    # column on one side vs float64 on the other fails there even though a
+    # numeric comparison passes.  Make the local replica dominate.
+    for c in s.columns:
+        sk, dk = _dtype_kind(s[c].dtype), _dtype_kind(d[c].dtype)
+        if sk != dk:
+            out["schema"] = False
+            out["detail"] = (
+                f"dtype col {c}: spark={s[c].dtype}({sk}) != duck={d[c].dtype}({dk})"
+            )
+            return out
     exact = True
     approx = True
     worst = 0.0
@@ -46,11 +74,20 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> dict:
             if a is None and b is None:
                 continue
             if isinstance(a, float) or isinstance(b, float):
+                # NaN and NULL both surface as float('nan') in a float64
+                # pandas column, so they are indistinguishable here — but
+                # they are also indistinguishable to the driver (same
+                # toPandas/fetchdf materialization), so treating them as
+                # equal matches the hash.  A *value* vs nan/NULL mismatch
+                # still fails below.
                 an = a is None or (isinstance(a, float) and math.isnan(a))
                 bn = b is None or (isinstance(b, float) and math.isnan(b))
                 if an or bn:
                     if an != bn:
                         exact = approx = False
+                        out.setdefault(
+                            "detail", f"col {c}: null/nan {a!r} != {b!r}"
+                        )
                     continue
                 if a != b:
                     exact = False

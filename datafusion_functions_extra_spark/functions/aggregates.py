@@ -117,27 +117,65 @@ def kurtosis_pop(col: ColumnOrName) -> Column:
     return F.when((n >= F.lit(1)) & (m2 > F.lit(0.0)), m4 / (m2 * m2) - F.lit(3.0))
 
 
-def max_by(col: ColumnOrName, ord: ColumnOrName, *, deterministic: bool = False) -> Column:
+def max_by(
+    col: ColumnOrName,
+    ord: ColumnOrName,
+    *,
+    deterministic: bool = False,
+    null_wins: bool = False,
+) -> Column:
     """Value of ``col`` at maximum ``ord`` (reference ``src/max_min_by.rs:6-114``).
 
-    NULL ordering values are ignored (Spark/DuckDB semantics; documented
-    deviation from the reference's NULLS-LAST rewrite, SURVEY.md §2 row 2).
-    With ``deterministic=True``, ties on ``ord`` are broken by the larger
-    ``col`` so results are reproducible across shuffles/engines.
+    NULL ordering values are ignored by default (Spark/DuckDB semantics;
+    documented deviation from the reference, SURVEY.md §2 row 2).  Pass
+    ``null_wins=True`` for the reference's exact semantics: its simplify
+    rewrites ``max_by(x, y)`` to ``last_value(x ORDER BY y ASC NULLS
+    LAST)`` (``src/max_min_by.rs:90-113``), so a row with NULL ``y``
+    *wins* — pinned by ``tests/main.rs:177-190`` where ``max_by`` over
+    ``(1,10),(2,NULL),(3,15),(NULL,8)`` returns ``2``.  Realized here as
+    max on the sort key ``struct(y IS NULL, y)``: (true, NULL) orders
+    above every (false, y).
+
+    With ``deterministic=True``, ties on the ordering are broken by the
+    larger ``col`` so results are reproducible across shuffles/engines
+    (composes with ``null_wins``; the reference's last_value pick among
+    tied rows is storage-order-dependent, so any tie-break is an
+    implementation choice).
     """
     x, y = _col(col), _col(ord)
+    if null_wins:
+        key = [y.isNull().alias("nw"), y.alias("o")]
+        if deterministic:
+            key.append(x.alias("v"))
+        return F.max_by(x, F.struct(*key))
     if deterministic:
         return F.max_by(x, F.when(y.isNotNull(), F.struct(y.alias("o"), x.alias("v"))))
     return F.max_by(x, y)
 
 
-def min_by(col: ColumnOrName, ord: ColumnOrName, *, deterministic: bool = False) -> Column:
+def min_by(
+    col: ColumnOrName,
+    ord: ColumnOrName,
+    *,
+    deterministic: bool = False,
+    null_wins: bool = False,
+) -> Column:
     """Value of ``col`` at minimum ``ord`` (reference ``src/max_min_by.rs:116-212``).
 
-    NULL ordering values are ignored; ``deterministic=True`` breaks ties on
-    ``ord`` by the smaller ``col``.
+    NULL ordering values are ignored by default.  ``null_wins=True``
+    mirrors the reference's ``last_value(x ORDER BY y DESC NULLS LAST)``
+    rewrite (``src/max_min_by.rs:188-211``) where a NULL-``y`` row wins
+    (``tests/main.rs:192-205``: ``min_by`` over the same grid also
+    returns ``2``); sort key ``struct(y IS NOT NULL, y)`` puts
+    (false, NULL) below every (true, y).  ``deterministic=True`` breaks
+    ties on the ordering by the smaller ``col``.
     """
     x, y = _col(col), _col(ord)
+    if null_wins:
+        key = [y.isNotNull().alias("nw"), y.alias("o")]
+        if deterministic:
+            key.append(x.alias("v"))
+        return F.min_by(x, F.struct(*key))
     if deterministic:
         return F.min_by(x, F.when(y.isNotNull(), F.struct(y.alias("o"), x.alias("v"))))
     return F.min_by(x, y)

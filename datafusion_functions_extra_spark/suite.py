@@ -965,13 +965,32 @@ FROM lineitem GROUP BY l_returnflag
 def price_quantiles_by_returnflag(spark, sf_dir):
     """Exact interpolated percentiles (Spark's percentile == DuckDB's
     quantile_cont, both linear interpolation).  Exact quantiles shuffle
-    every value per group; at 100 TB switch to percentile_approx with a
-    bounded accuracy knob — same call shape, sketch-mergeable state."""
+    every value per group; price_quantiles_approx below is the declared
+    100 TB path — same call shape, sketch-mergeable state."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         _r6(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
         _r6(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90"),
         _r6(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99"),
+    )
+
+
+@query("price_quantiles_approx")
+def price_quantiles_approx(spark, sf_dir):
+    """The 100 TB sibling of price_quantiles_by_returnflag: Spark's
+    percentile_approx (Greenwald-Khanna sketch, accuracy=10000 → rank
+    error ≤ n/10000) keeps fixed-size mergeable state per group instead
+    of sorting every value.  Like the HLL query, no DuckDB oracle on
+    purpose — sketch estimates are implementation-defined (DuckDB's
+    approx_quantile is T-Digest), so the driver records the rows/schema
+    check and pytest pins the rank-error bound against the exact
+    percentiles (tests/test_aggregates.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("p90"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("p99"),
     )
 
 
@@ -3150,3 +3169,57 @@ def brand_supplier_reach(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# driver-window rotation
+# ---------------------------------------------------------------------------
+
+#: queries with a green row in a driver CORRECTNESS file (r01 ∪ r02).  The
+#: driver's hard correctness gate covers only the first ~50 queries in
+#: registration order, so each round we rotate never-driver-verified
+#: queries to the front of the dict; already-verified ones (their code
+#: unchanged) fall to the back.  Union this set with each round's green
+#: rows so the window keeps advancing until every query has seen the
+#: hard signal.
+_DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # CORRECTNESS_r01.json (27) ∪ CORRECTNESS_r02.json (50), hash-green only
+    "dedup_exact_kept_rows", "dedup_exact_stats", "docs_sequence_packing",
+    "docs_stratified_sample", "docs_train_test_split_counts",
+    "events_cube_counts", "events_moving_avg", "events_sessionization",
+    "events_tumbling_hourly", "events_value_histogram",
+    "flagship_lineitem_profile", "kurtosis_events_by_type",
+    "kurtosis_pop_by_linestatus", "kurtosis_pop_quantity_global",
+    "kurtosis_totalprice_global", "lineitem_rollup_totals",
+    "max_by_customer_global", "max_by_orders_by_priority",
+    "max_by_part_by_brand", "min_by_lineitem_by_returnflag",
+    "min_by_supplier_global", "mode_events_ts_by_type",
+    "mode_events_value_global", "mode_linenumber_by_returnflag",
+    "mode_mktsegment_by_nation", "mode_orderdate_by_priority",
+    "mode_quantity_global", "mode_returnflag_global",
+    "mode_shipdate_by_linestatus", "multimodal_decode_meta",
+    "multimodal_png_dims", "multimodal_sniff_stats", "near_dup_clusters",
+    "near_dup_components", "near_dup_pairs", "ngram_jaccard_pairs",
+    "orders_pivot_status", "price_quantiles_by_returnflag",
+    "range_join_errors_in_purchase_sessions", "revenue_by_region_nation",
+    "salted_join_revenue_by_segment", "simhash_fingerprints",
+    "skewness_by_returnflag", "skewness_extendedprice_global",
+    "stats_profile_by_returnflag", "text_fingerprints", "text_lang_id",
+    "text_quality_scores", "text_token_counts", "text_top_terms",
+    # r02 hash-FAILs (events_props_json, events_user_trend) stay out so
+    # their round-3 fixes land inside the verified window again
+})
+
+
+def _rotate_for_driver_window() -> None:
+    """Reorder QUERIES/ORACLES: never-driver-verified queries first (in
+    registration order), driver-verified ones after.  Pure reordering —
+    the key sets are untouched, so name lookups and full sweeps are
+    unaffected; only the driver's first-N window shifts."""
+    global QUERIES, ORACLES
+    order = sorted(QUERIES, key=lambda n: (n in _DRIVER_VERIFIED,))
+    QUERIES = {n: QUERIES[n] for n in order}
+    ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
+
+
+_rotate_for_driver_window()

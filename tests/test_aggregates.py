@@ -1,5 +1,26 @@
 """Spark-side golden tests for the six aggregates — mirrors the reference
-integration suite /root/reference/tests/main.rs (F1/F2/F4 fixtures)."""
+integration suite /root/reference/tests/main.rs (F1/F2/F4 fixtures).
+
+1:1 anchor index (reference tests/main.rs -> pytest id):
+
+  main.rs:48-93    mode utf8/int64/float64/date64   -> test_mode.py::test_mode_test_table
+  main.rs:95-115   mode time64 (no Spark TIME type) -> test_mode.py::test_mode_test_table
+                   (nanos-of-day long; SURVEY §1.2 documents the mapping)
+  main.rs:121-149  max_by/min_by int grid           -> test_max_by_min_by_ints
+  main.rs:151-175  max_by/min_by strings by length  -> test_max_by_strings_by_length
+  main.rs:177-205  NULL ordering grid               -> test_max_by_null_ordering_ignored
+                   (pinned deviation) + test_max_by_null_wins_reference_semantics
+                   (reference-exact opt-in, both return 2)
+  main.rs:207-231  single-row grid                  -> test_max_by_single_row_and_empty
+  main.rs:233-262  empty relation WHERE 1=0         -> test_max_by_single_row_and_empty
+  main.rs:272-297  kurtosis_pop int64/float64       -> test_kurtosis_pop_golden
+  main.rs:299-322  kurtosis_pop single/literal/null -> test_kurtosis_pop_single_value
+  main.rs:336-361  skewness int64/float64           -> test_skewness_golden
+  main.rs:363-384  skewness literal / n=2           -> test_skewness_small_n
+  main.rs:389-404  kurtosis 5-value golden          -> test_kurtosis_golden
+  main.rs:416-426  kurtosis n=3                     -> test_kurtosis_n3_null
+  main.rs:427-458  kurtosis literal int/float/null  -> test_kurtosis_null_literalish
+"""
 
 from __future__ import annotations
 
@@ -74,8 +95,11 @@ def test_kurtosis_pop_golden(spark, test_table):
 
 
 def test_kurtosis_pop_single_value(spark):
+    # main.rs:299-312 (single value / literal 1.0) and :314-322 (null)
     df = spark.createDataFrame([(1.0,)], "x double")
     assert one(df.agg(kurtosis_pop("x"))) is None
+    null_df = spark.createDataFrame([(None,)], "x double")
+    assert one(null_df.agg(kurtosis_pop("x"))) is None
 
 
 # --- max_by / min_by (tests/main.rs:117-262, F2) ----------------------------
@@ -106,6 +130,27 @@ def test_max_by_null_ordering_ignored(spark):
         min_by("x", "y", deterministic=True).alias("mn"),
     ).collect()[0]
     assert (row.mx, row.mn) == (3, None)  # min y=8 row has x=NULL
+
+
+def test_max_by_null_wins_reference_semantics(spark):
+    # Reference exact semantics opt-in (src/max_min_by.rs:90-113 rewrite to
+    # last_value .. NULLS LAST): the NULL-y row WINS for both max_by and
+    # min_by — pinned to the tests/main.rs:177-205 fixture where both
+    # return 2 over (1,10),(2,NULL),(3,15),(NULL,8).
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 15), (None, 8)], "x int, y int")
+    row = df.agg(
+        max_by("x", "y", null_wins=True).alias("mx"),
+        min_by("x", "y", null_wins=True).alias("mn"),
+    ).collect()[0]
+    assert (row.mx, row.mn) == (2, 2)
+    # without NULL ordering values, null_wins degrades to plain max_by/min_by
+    # (tests/main.rs:121-149: max_by -> 3, min_by -> 2)
+    clean = spark.createDataFrame([(1, 10), (2, 5), (3, 15), (4, 8)], "x int, y int")
+    row = clean.agg(
+        max_by("x", "y", null_wins=True, deterministic=True).alias("mx"),
+        min_by("x", "y", null_wins=True, deterministic=True).alias("mn"),
+    ).collect()[0]
+    assert (row.mx, row.mn) == (3, 2)
 
 
 def test_max_by_single_row_and_empty(spark):

@@ -173,6 +173,39 @@ def test_approx_distinct_within_rsd_envelope(spark):
         assert r.rel_error <= 5 * 0.02, (r.event_type, r.rel_error)
 
 
+def test_percentile_approx_within_rank_error(spark):
+    """price_quantiles_approx (the 100 TB sibling of the exact-percentile
+    query) must land within the Greenwald-Khanna rank-error envelope:
+    with accuracy=10000 the estimate's rank is within n/10000 of the
+    target rank, so the value must fall between the exact percentiles at
+    q ± 5/accuracy (generous 5x slack, same spirit as the HLL bound)."""
+    from datafusion_functions_extra_spark.suite import QUERIES
+    from datafusion_functions_extra_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r.l_returnflag: r
+        for r in QUERIES["price_quantiles_approx"](spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem")
+    slack = 5.0 / 10000
+    for q, fieldname in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        lo_q, hi_q = max(0.0, q - slack), min(1.0, q + slack)
+        bounds = {
+            r.l_returnflag: (r.lo, r.hi)
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.percentile("l_extendedprice", F.lit(lo_q)).alias("lo"),
+                F.percentile("l_extendedprice", F.lit(hi_q)).alias("hi"),
+            )
+            .collect()
+        }
+        for flag, row in approx.items():
+            lo, hi = bounds[flag]
+            got = getattr(row, fieldname)
+            assert lo <= got <= hi, (flag, fieldname, got, lo, hi)
+
+
 class TestPlanContracts:
     """Plan-shape assertions: the properties PLANS.md audits, pinned in
     tests so a regression fails loudly rather than silently de-optimizing."""

@@ -109,7 +109,13 @@ def get_spark(app_name: str = "datafusion-functions-extra-spark", cpus: int | No
         # read as long and derive microsecond timestamps in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver == the whole cluster: all 32 task threads and
+        # every broadcast/codegen/listener allocation share this one heap.
+        # 8g survives any single query but ages badly over a ~113-query
+        # bench session (old-gen fills -> full-GC storms add 10-15s to
+        # whichever heavy LSH query runs late); 16g keeps the suite at
+        # steady state on the 128 GiB harness box.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -94,6 +94,14 @@ def register_all(spark: SparkSession, prefix: str = "extra_") -> list[str]:
     ...), with the unsuffixed name aliasing the string variant.  Returns
     the registered SQL names; overwrites are logged at debug level like
     the reference (``src/lib.rs:59-64``).
+
+    ``prefix=""`` is the reference-verbatim opt-in: the reference's own
+    SQL (``SELECT mode(x) …``, case-insensitive — its ``tests/main.rs:48``)
+    then runs unchanged.  The ``extra_`` default exists because Spark ≥3.4
+    ships built-in ``mode``/``max_by``/``min_by`` whose semantics differ
+    (nondeterministic mode tie-break) — an unprefixed registration shadows
+    them session-wide, which is exactly what a user porting reference
+    workloads wants and what everyone else doesn't.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -92,3 +92,30 @@ def test_grouped_sql_mode(spark, sql):
     ).createOrReplaceTempView("tgrp")
     rows = {r.g: r.m for r in sql("SELECT g, extra_mode_int(x) AS m FROM tgrp GROUP BY g")}
     assert rows == {"g1": 1, "g2": 5}
+
+
+def test_reference_verbatim_sql_with_empty_prefix(spark):
+    # prefix="" opt-in: the reference's own SQL text runs unchanged
+    # (tests/main.rs:48 `SELECT MODE(utf8_col)`, case-insensitive;
+    # main.rs:124 `SELECT max_by(x, y)`).  Shadows Spark's built-ins for
+    # this session — that's the documented point of the opt-in.
+    names = register_all(spark, prefix="")
+    assert "mode" in names and "max_by" in names and "min_by" in names
+    spark.createDataFrame(
+        [("a",), ("b",), ("b",), (None,)], "utf8_col string"
+    ).createOrReplaceTempView("t_verbatim")
+    [r] = spark.sql("SELECT MODE(utf8_col) AS m FROM t_verbatim").collect()
+    assert r.m == "b"
+    # unsuffixed max_by/min_by alias the string x-variant (pandas UDAFs
+    # must declare a return type, unlike the reference's polymorphic
+    # UDAF); int-valued x goes through the _int variant, same as with the
+    # default prefix — the main.rs:124 grid values, unprefixed names
+    spark.createDataFrame(
+        [(1, 10), (2, 5), (3, 15), (4, 8)], "x bigint, y bigint"
+    ).createOrReplaceTempView("t_verbatim_xy")
+    [r] = spark.sql(
+        "SELECT max_by_int(x, y) AS mx, min_by_int(x, y) AS mn FROM t_verbatim_xy"
+    ).collect()
+    assert (r.mx, r.mn) == (3, 2)
+    # restore the prefixed registrations for any later module in the session
+    register_all(spark)

@@ -298,6 +298,47 @@ def chunk_documents(
     )
 
 
+def duplicate_ngram_coverage(
+    df: DataFrame, text_col: str, id_col: str, k: int = SHINGLE_WORDS
+) -> DataFrame:
+    """Per-document duplicate-n-gram coverage: the fraction of the doc's
+    distinct k-word shingles that also occur in at least one *other*
+    document — the C4/Gopher-style contamination signal used to drop
+    boilerplate-heavy pages (dup_frac near 1 = the page is made of text
+    the corpus already has).
+
+    Counting distinct-per-doc occurrences (not raw repeats) means a
+    doc's own internal repetition doesn't inflate its score — that
+    dimension is :func:`top_ngram_stats`'s job.
+
+    Plan: explode distinct shingles -> one gram-keyed doc-frequency
+    aggregate -> join back on gram (both sides already partitioned by
+    gram from the aggregate, so AQE reuses the exchange) -> one per-doc
+    aggregate.  The text never moves after the explode; gram keys are
+    md5-sized regardless of document length.
+
+    Output: (id, n_grams, n_dup_grams, dup_frac) with dup_frac rounded
+    through the boundary-nudged helper (count ratio).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_or_whole(text_col, k))).alias("gram"),
+    )
+    docs_per_gram = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("docs"))
+    return (
+        grams.join(docs_per_gram, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("docs") > 1, 1).otherwise(0)).alias("n_dup_grams"),
+            r6n(
+                F.sum(F.when(F.col("docs") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, term, tf) — per-document term counts over the normalized
     whitespace tokenization.  One explode + one hash aggregate on

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import multimodal as MM
+from .operators import bloom as BLOOM
 from .functions import sampling as SMP
 from .functions import text as TX
 from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewness
@@ -3169,6 +3170,104 @@ def brand_supplier_reach(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch-pruned joins + corpus contamination coverage
+# ---------------------------------------------------------------------------
+
+#: deliberately undersized so the suite exercises the false-positive path
+#: deterministically at test scale; production sizing is ~10 bits/key
+_BLOOM_M, _BLOOM_K = 1024, 4
+
+
+@query(
+    "orders_bloom_semi_probe",
+    f"""
+WITH keys AS (SELECT DISTINCT c_custkey AS key FROM customer
+              WHERE c_mktsegment = 'BUILDING'),{BLOOM.bloom_build_sql("keys", _BLOOM_M, _BLOOM_K)},
+pk AS (SELECT DISTINCT o_custkey AS key FROM orders),
+pp AS (
+  SELECT key, ({SIM._hash60_sql("key::VARCHAR || ':' || i::VARCHAR")}) % {_BLOOM_M} AS pos
+  FROM pk, generate_series(0, {_BLOOM_K - 1}) g(i)
+),
+t AS (
+  SELECT pp.key,
+         min(coalesce((b.bits & (1::BIGINT << (pos & 31))) != 0, false)) AS maybe_present
+  FROM pp LEFT JOIN bloom b ON (pp.pos >> 5) = b.bucket
+  GROUP BY 1
+),
+act AS (SELECT pk.key, keys.key IS NOT NULL AS actually_present
+        FROM pk LEFT JOIN keys USING (key))
+SELECT maybe_present, actually_present, count(*) AS n_keys
+FROM t JOIN act USING (key)
+GROUP BY 1, 2
+""",
+)
+def orders_bloom_semi_probe(spark, sf_dir):
+    """Bloom-filter semi-join pruning (operators/bloom.py): sketch the
+    BUILDING-segment customer keys into an m=1024-bit filter (one
+    dimension-side aggregate, ≤32 words), broadcast it, probe every
+    distinct order custkey, and report the probe-vs-truth confusion
+    counts — the false-positive row is real, deterministic, and
+    oracle-verified bit-for-bit (md5 arithmetic on both engines).  At
+    100 TB the filter replaces a fact-table shuffle with a broadcast
+    + expression filter; Spark's runtime bloom pushdown does this
+    opaquely, this makes it a persistable first-class DataFrame."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    keys = (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    bits = BLOOM.bloom_build(keys, "key", m_bits=_BLOOM_M, k=_BLOOM_K)
+    probed = BLOOM.bloom_probe(
+        o.select("o_custkey"), "o_custkey", bits, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    actual = (
+        o.select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .join(keys.withColumn("a", F.lit(True)), "key", "left")
+        .select("key", F.coalesce("a", F.lit(False)).alias("actually_present"))
+    )
+    return (
+        probed.join(actual, "key")
+        .groupBy("maybe_present", "actually_present")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+@query(
+    "docs_dup_ngram_coverage",
+    f"""
+WITH t AS (SELECT doc_id, {SIM._NORM_SQL} AS norm, {SIM._TOKS_SQL} AS toks
+           FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {TX.SHINGLE_WORDS}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - {TX.SHINGLE_WORDS - 1}),
+                     i -> array_to_string(toks[i:i+{TX.SHINGLE_WORDS - 1}], ' ')))
+              ELSE [norm] END AS grams
+  FROM t
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+c AS (SELECT gram, count(*) AS docs FROM g GROUP BY 1)
+SELECT g.doc_id, count(*) AS n_grams,
+       sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+       {_r6n_sql("sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)")} AS dup_frac
+FROM g JOIN c USING (gram)
+GROUP BY 1
+""",
+)
+def docs_dup_ngram_coverage(spark, sf_dir):
+    """C4/Gopher-style duplicate-n-gram coverage (functions/text.py
+    duplicate_ngram_coverage): per doc, the fraction of its distinct
+    3-word shingles that occur in any other document — the corpus-level
+    contamination complement to the within-doc repetition score."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.duplicate_ngram_coverage(d, "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------

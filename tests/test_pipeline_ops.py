@@ -249,3 +249,63 @@ class TestPlanContracts:
         for q in ("flagship_lineitem_profile", "stats_profile_by_returnflag"):
             plan = self._plan(QUERIES[q](spark, self.SF))
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBloomSemiJoin:
+    def test_no_false_negatives_and_some_pruning(self, spark):
+        """Defining sketch property: every actually-present key MUST probe
+        maybe_present (no false negatives, ever); with the suite's
+        deliberately undersized filter some absent keys may collide, but
+        pruning must still reject a nonzero share of absent keys."""
+        from datafusion_functions_extra_spark.suite import QUERIES
+
+        rows = QUERIES["orders_bloom_semi_probe"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        cells = {(r.maybe_present, r.actually_present): r.n_keys for r in rows}
+        assert (False, True) not in cells  # a false negative breaks bloom
+        assert cells.get((True, True), 0) > 0
+        assert cells.get((False, False), 0) > 0  # pruning does something
+
+    def test_membership_exact_on_members(self, spark):
+        from datafusion_functions_extra_spark.operators import bloom as B
+        from pyspark.sql import functions as F
+
+        keys = spark.range(100).select(F.col("id").alias("k"))
+        bits = B.bloom_build(keys, "k", m_bits=4096, k=4)
+        probed = B.bloom_probe(spark.range(100), "id", bits, m_bits=4096, k=4)
+        assert probed.where(~F.col("maybe_present")).count() == 0
+
+
+class TestDupNgramCoverage:
+    def test_identical_docs_fully_covered_unique_doc_zero(self, spark):
+        from datafusion_functions_extra_spark.functions.text import (
+            duplicate_ngram_coverage,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "completely different words appear in this sentence here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in duplicate_ngram_coverage(df, "text", "doc_id").collect()}
+        assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+        assert out[3].dup_frac == 0.0
+        assert out[1].n_grams == out[1].n_dup_grams
+
+    def test_short_doc_whole_text_gram(self, spark):
+        from datafusion_functions_extra_spark.functions.text import (
+            duplicate_ngram_coverage,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc"), (3, "other")],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in duplicate_ngram_coverage(df, "text", "doc_id").collect()}
+        # <k-word docs fall back to one whole-text gram, shared by 1 and 2
+        assert out[1].n_grams == 1 and out[1].dup_frac == 1.0
+        assert out[3].dup_frac == 0.0

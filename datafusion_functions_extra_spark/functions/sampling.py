@@ -83,6 +83,56 @@ def weighted_sample_sql(
     )
 
 
+def weighted_reservoir_topn(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of exactly ``n``
+    rows (Efraimidis–Spirakis A-ES): rank every row by
+    ``w / -ln(u)`` descending, where ``u`` is the row's stable hash
+    fraction — an order-equivalent form of the classic ``u^(1/w)``
+    reservoir key that keeps the magnitudes well away from 1.0 so a 6-dp
+    rounding stays discriminating.
+
+    Unlike :func:`weighted_sample` (Bernoulli — random sample SIZE), the
+    output is exactly n rows, inclusion probability proportional to
+    weight, reproducible across engines/partitionings.  Plan: one
+    projection for the key, one top-n (Spark's sort-based TakeOrdered —
+    no full sort materialization at any input size).
+
+    The rounded key is a cross-engine ln() ratio, so it goes through the
+    boundary-nudged rounding and ties break on the key column — the same
+    convention as TF-IDF ranking.
+    """
+    u = (hash_bucket(F.col(key), n_buckets).cast("double") + F.lit(0.5)) / F.lit(
+        float(n_buckets)
+    )
+    res_key = r6n(F.col(weight_col).cast("double") / -F.log(u))
+    return (
+        df.withColumn("reservoir_key", res_key)
+        # orderBy + limit plans as TakeOrderedAndProject: per-partition
+        # top-n then a driver merge of n-row heaps — no global sort, no
+        # single-partition window, survives any input size
+        .orderBy(F.col("reservoir_key").desc(), F.col(key).asc())
+        .limit(n)
+    )
+
+
+def weighted_reservoir_key_sql(
+    key_expr: str, weight_expr: str, n_buckets: int = N_BUCKETS
+) -> str:
+    """DuckDB expression mirroring the A-ES key of
+    :func:`weighted_reservoir_topn`."""
+    u = (
+        f"(({hash_bucket_sql(key_expr, n_buckets)})::DOUBLE + 0.5) "
+        f"/ {float(n_buckets)}"
+    )
+    return r6n_sql(f"{weight_expr}::DOUBLE / -ln({u})")
+
+
 def stratified_sample_n(
     df: DataFrame, strata: list[str], key: str, n_per_stratum: int
 ) -> DataFrame:

@@ -7,6 +7,7 @@ from .events import (  # noqa: F401
     run_available_now,
     streaming_dedup,
     streaming_enrich,
+    streaming_interval_join,
     streaming_session_stats,
     streaming_sliding_counts,
     streaming_tumbling_counts,

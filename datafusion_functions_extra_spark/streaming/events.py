@@ -154,6 +154,55 @@ def streaming_sliding_counts(
     )
 
 
+def streaming_interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every (left, right) event pair for
+    the same user where the right event lands within ``within_minutes``
+    after the left — the attribution join (clicks x purchases) as a
+    genuine two-stream join rather than the stream-static shortcut.
+
+    Both sides carry watermarks and the join condition bounds right_ts
+    relative to left_ts on both ends, so Spark can compute the state
+    retention window per side and evict — the requirement for a
+    stream-stream inner join to run unbounded (without the time bound
+    the state would grow forever).  Output is append-mode only.
+    """
+    left = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    cond = F.expr(
+        "l_user = r_user AND right_ts >= left_ts "
+        f"AND right_ts <= left_ts + INTERVAL {int(within_minutes)} MINUTES"
+    )
+    return left.join(right, cond).select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        F.unix_micros("left_ts").alias("left_ts_us"),
+        F.unix_micros("right_ts").alias("right_ts_us"),
+    )
+
+
 def streaming_enrich(
     events: DataFrame, dim: DataFrame, on: str = "event_type"
 ) -> DataFrame:

@@ -3239,6 +3239,34 @@ def orders_bloom_semi_probe(spark, sf_dir):
 
 
 @query(
+    "docs_weighted_reservoir",
+    f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         {SMP.weighted_reservoir_key_sql("doc_id", "n_chars")} AS reservoir_key
+  FROM documents
+)
+SELECT doc_id, n_chars, reservoir_key
+FROM scored
+ORDER BY reservoir_key DESC, doc_id ASC
+LIMIT 64
+""",
+)
+def docs_weighted_reservoir(spark, sf_dir):
+    """Exactly-64 weighted sample without replacement
+    (functions/sampling.py weighted_reservoir_topn — Efraimidis-Spirakis
+    A-ES with a deterministic hash uniform): inclusion probability
+    proportional to document length, reproducible across engines and
+    partitionings, planned as a distributed top-n (TakeOrdered), never a
+    global sort.  The fixed-size complement to the Bernoulli
+    docs_weighted_sample."""
+    d = load_table(spark, sf_dir, "documents")
+    return SMP.weighted_reservoir_topn(
+        d.select("doc_id", "n_chars"), "doc_id", "n_chars", n=64
+    )
+
+
+@query(
     "docs_dup_ngram_coverage",
     f"""
 WITH t AS (SELECT doc_id, {SIM._NORM_SQL} AS norm, {SIM._TOKS_SQL} AS toks

@@ -73,3 +73,31 @@ def test_stratified_sample_counts(spark):
     # reruns identical
     again = {r.doc_id for r in SMP.stratified_sample_n(d, ["lang"], "doc_id", 5).collect()}
     assert {r.doc_id for r in out.collect()} == again
+
+
+class TestWeightedReservoir:
+    def test_exact_size_and_partitioning_invariance(self, spark):
+        from datafusion_functions_extra_spark.functions.sampling import (
+            weighted_reservoir_topn,
+        )
+
+        rows = [(i, (i % 7 + 1) * 100) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        a = weighted_reservoir_topn(df, "doc_id", "n_chars", n=50).collect()
+        b = weighted_reservoir_topn(
+            df.repartition(13, "doc_id"), "doc_id", "n_chars", n=50
+        ).collect()
+        assert len(a) == 50
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_weight_bias(self, spark):
+        from datafusion_functions_extra_spark.functions.sampling import (
+            weighted_reservoir_topn,
+        )
+
+        # half the population weighs 10x more; it must dominate the sample
+        rows = [(i, 1000 if i < 500 else 100) for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = weighted_reservoir_topn(df, "doc_id", "n_chars", n=100).collect()
+        heavy = sum(1 for r in got if r.n_chars == 1000)
+        assert heavy > 70  # E[heavy] ~ 90+ under A-ES; 70 is a safe floor

@@ -190,3 +190,46 @@ def test_foreach_batch_upsert_matches_batch_cdc(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    from datafusion_functions_extra_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        streaming_interval_join,
+    )
+
+    stream = streaming_interval_join(read_events_stream(spark, SF_DIR))
+    got = {
+        (r.user_id, r.left_id, r.right_id, r.left_ts_us, r.right_ts_us)
+        for r in run_available_now(stream, output_mode="append").collect()
+    }
+
+    e = load_table(spark, SF_DIR, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    cond = F.expr(
+        "l_user = r_user AND right_ts >= left_ts "
+        "AND right_ts <= left_ts + INTERVAL 30 MINUTES"
+    )
+    want = {
+        (r.l_user, r.left_id, r.right_id, r.lus, r.rus)
+        for r in clicks.join(purchases, cond)
+        .select(
+            "l_user",
+            "left_id",
+            "right_id",
+            F.unix_micros("left_ts").alias("lus"),
+            F.unix_micros("right_ts").alias("rus"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -88,7 +88,11 @@ def kurtosis_from_sums(
     if n <= 3:
         return None
     m4, m2 = _m4_m2(n, s1, s2, s3, s4)
-    if m2 <= 0.0:
+    # m2 * m2 (not just m2) must be positive: a subnormal variance
+    # (~1e-170 or below) squares to exactly 0.0 and the division would
+    # blow up — Spark ANSI mode errors on x/0.0, so the builders guard
+    # the squared term and we mirror them here (hypothesis-found)
+    if m2 <= 0.0 or m2 * m2 <= 0.0:
         return None
     count = float(n)
     numerator = (count - 1.0) * ((count + 1.0) * m4 / (m2 * m2) - 3.0 * (count - 1.0))
@@ -106,7 +110,7 @@ def kurtosis_pop_from_sums(
     if n < 1:
         return None
     m4, m2 = _m4_m2(n, s1, s2, s3, s4)
-    if m2 <= 0.0:
+    if m2 <= 0.0 or m2 * m2 <= 0.0:  # subnormal-variance guard, see above
         return None
     return m4 / (m2 * m2) - 3.0
 

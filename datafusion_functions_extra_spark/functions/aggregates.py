@@ -103,7 +103,12 @@ def kurtosis(col: ColumnOrName) -> Column:
         (cnt + F.lit(1.0)) * m4 / (m2 * m2) - F.lit(3.0) * (cnt - F.lit(1.0))
     )
     denominator = (cnt - F.lit(2.0)) * (cnt - F.lit(3.0))
-    return F.when((n > F.lit(3)) & (m2 > F.lit(0.0)), numerator / denominator)
+    # guard m2*m2, not just m2: a subnormal variance squares to exactly
+    # 0.0 and ANSI mode turns the IEEE x/0.0 into a runtime error
+    return F.when(
+        (n > F.lit(3)) & (m2 > F.lit(0.0)) & (m2 * m2 > F.lit(0.0)),
+        numerator / denominator,
+    )
 
 
 def kurtosis_pop(col: ColumnOrName) -> Column:
@@ -114,7 +119,10 @@ def kurtosis_pop(col: ColumnOrName) -> Column:
     x = _dbl(col)
     n, (s1, s2, s3, s4) = _power_sums(x, 4)
     m4, m2 = _m4_m2(n, s1, s2, s3, s4)
-    return F.when((n >= F.lit(1)) & (m2 > F.lit(0.0)), m4 / (m2 * m2) - F.lit(3.0))
+    return F.when(
+        (n >= F.lit(1)) & (m2 > F.lit(0.0)) & (m2 * m2 > F.lit(0.0)),
+        m4 / (m2 * m2) - F.lit(3.0),
+    )
 
 
 def max_by(

@@ -100,8 +100,15 @@ def register_all(spark: SparkSession, prefix: str = "extra_") -> list[str]:
     then runs unchanged.  The ``extra_`` default exists because Spark ≥3.4
     ships built-in ``mode``/``max_by``/``min_by`` whose semantics differ
     (nondeterministic mode tie-break) — an unprefixed registration shadows
-    them session-wide, which is exactly what a user porting reference
-    workloads wants and what everyone else doesn't.
+    them in the target session's function registry (temp functions win
+    name resolution, and Spark refuses to DROP an override whose name
+    matches a built-in), rerouting even ``F.max_by`` Column calls.  So
+    register verbatim names into a dedicated ``spark.newSession()``
+    (shared SparkContext, isolated registry) and run reference SQL there:
+
+    >>> ref = spark.newSession()
+    >>> register_all(ref, prefix="")
+    >>> ref.sql("SELECT mode(x) FROM t")  # doctest: +SKIP
     """
     from pyspark.sql.functions import pandas_udf
 

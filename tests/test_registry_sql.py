@@ -97,25 +97,34 @@ def test_grouped_sql_mode(spark, sql):
 def test_reference_verbatim_sql_with_empty_prefix(spark):
     # prefix="" opt-in: the reference's own SQL text runs unchanged
     # (tests/main.rs:48 `SELECT MODE(utf8_col)`, case-insensitive;
-    # main.rs:124 `SELECT max_by(x, y)`).  Shadows Spark's built-ins for
-    # this session — that's the documented point of the opt-in.
-    names = register_all(spark, prefix="")
+    # main.rs:124 `SELECT max_by(x, y)`).  Registered in an ISOLATED
+    # spark.newSession(): the unprefixed temp functions shadow Spark's
+    # built-in max_by/min_by in whatever session they land (and Spark
+    # refuses to DROP an overriding registration whose name matches a
+    # built-in), so verbatim registration belongs in a dedicated session
+    # — the pattern the register_all docstring prescribes.
+    s2 = spark.newSession()
+    names = register_all(s2, prefix="")
     assert "mode" in names and "max_by" in names and "min_by" in names
-    spark.createDataFrame(
+    s2.createDataFrame(
         [("a",), ("b",), ("b",), (None,)], "utf8_col string"
     ).createOrReplaceTempView("t_verbatim")
-    [r] = spark.sql("SELECT MODE(utf8_col) AS m FROM t_verbatim").collect()
+    [r] = s2.sql("SELECT MODE(utf8_col) AS m FROM t_verbatim").collect()
     assert r.m == "b"
-    # unsuffixed max_by/min_by alias the string x-variant (pandas UDAFs
-    # must declare a return type, unlike the reference's polymorphic
-    # UDAF); int-valued x goes through the _int variant, same as with the
-    # default prefix — the main.rs:124 grid values, unprefixed names
-    spark.createDataFrame(
+    s2.createDataFrame(
         [(1, 10), (2, 5), (3, 15), (4, 8)], "x bigint, y bigint"
     ).createOrReplaceTempView("t_verbatim_xy")
-    [r] = spark.sql(
+    # unsuffixed max_by/min_by alias the string x-variant (pandas UDAFs
+    # must declare a return type, unlike the reference's polymorphic
+    # UDAF); int-valued x goes through the _int variant
+    [r] = s2.sql(
         "SELECT max_by_int(x, y) AS mx, min_by_int(x, y) AS mn FROM t_verbatim_xy"
     ).collect()
     assert (r.mx, r.mn) == (3, 2)
-    # restore the prefixed registrations for any later module in the session
-    register_all(spark)
+    # the parent session's built-ins must be untouched by the isolated
+    # registration — this is the property that makes the opt-in safe
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 10), (2, 5)], "x int, y int")
+    [r] = df.agg(F.max_by("x", "y").alias("m")).collect()
+    assert r.m == 1

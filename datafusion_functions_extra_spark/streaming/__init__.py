@@ -8,6 +8,7 @@ from .events import (  # noqa: F401
     streaming_dedup,
     streaming_enrich,
     streaming_interval_join,
+    streaming_moment_stats,
     streaming_session_stats,
     streaming_sliding_counts,
     streaming_tumbling_counts,

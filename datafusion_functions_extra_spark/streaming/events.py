@@ -154,6 +154,46 @@ def streaming_sliding_counts(
     )
 
 
+def streaming_moment_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The reference aggregates on a stream: windowed skewness /
+    kurtosis / kurtosis_pop over event values, using the exact same
+    Column builders as batch (functions/aggregates.py).
+
+    This works UNCHANGED because the builders decompose into
+    count + raw power sums — algebraic, mergeable partial state
+    (the reference's own accumulator layout, src/kurtosis.rs:87-101) —
+    which is precisely the property streaming windowed aggregation
+    requires: per-micro-batch partials merge monoidally into window
+    state, the finishing expression runs at emit.  A median or exact
+    percentile could not do this; the moment family can.
+    """
+    from ..functions.aggregates import kurtosis, kurtosis_pop, skewness
+    from ..functions.rounding import r6n
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.col("value")).alias("n"),
+            r6n(skewness("value")).alias("skew_value"),
+            r6n(kurtosis("value")).alias("kurt_value"),
+            r6n(kurtosis_pop("value")).alias("kpop_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "skew_value",
+            "kurt_value",
+            "kpop_value",
+        )
+    )
+
+
 def streaming_interval_join(
     events: DataFrame,
     left_type: str = "click",

@@ -233,3 +233,40 @@ def test_streaming_interval_join_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_moment_stats_match_batch(spark):
+    """The six reference aggregates' power-sum decomposition is mergeable
+    state, so the SAME Column builders must produce identical windowed
+    results whether partials arrive via micro-batches or one batch scan."""
+    from datafusion_functions_extra_spark.functions.aggregates import (
+        kurtosis,
+        kurtosis_pop,
+        skewness,
+    )
+    from datafusion_functions_extra_spark.functions.rounding import r6n
+    from datafusion_functions_extra_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        streaming_moment_stats,
+    )
+
+    stream = streaming_moment_stats(read_events_stream(spark, SF_DIR))
+    got = {
+        (r.window_start, r.event_type): (r.n, r.skew_value, r.kurt_value, r.kpop_value)
+        for r in run_available_now(stream).collect()
+    }
+
+    e = load_table(spark, SF_DIR, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.col("value")).alias("n"),
+            r6n(skewness("value")).alias("s"),
+            r6n(kurtosis("value")).alias("k"),
+            r6n(kurtosis_pop("value")).alias("kp"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s", "k", "kp")
+    )
+    want = {(r.ws, r.event_type): (r.n, r.s, r.k, r.kp) for r in batch.collect()}
+    assert got == want and len(got) > 0

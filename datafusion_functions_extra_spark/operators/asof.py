@@ -1,4 +1,4 @@
-"""As-of (backward, inclusive) join — an operator Spark lacks natively.
+"""As-of join (backward / forward, inclusive) — an operator Spark lacks natively.
 
 ``asof_join(left, right, ...)`` attaches, to every left row, the columns
 of the right row with the greatest timestamp <= the left row's timestamp
@@ -33,16 +33,34 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     tiebreak_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """Inclusive as-of join; ``direction`` picks the side of the clock.
+
+    * ``"backward"`` (default) — greatest right ts <= left ts (the
+      attribution/price-lookup join; DuckDB ``ASOF ... ON l.ts >= r.ts``).
+    * ``"forward"`` — smallest right ts >= left ts (next-event lookup;
+      DuckDB ``ASOF ... ON l.ts <= r.ts``).  Same union-sort plan with
+      the scan order reversed: carrying "last right seen" while walking
+      descending timestamps IS the next right at or after each left row.
 
     ``right`` must carry ``on + [ts_col] + value_cols`` (+ optional
     ``tiebreak_col`` for deterministic dedup of equal-ts right rows);
     ``value_cols`` must not collide with left column names.  Left rows
-    with no prior right row get NULLs (left-join semantics).
+    with no match in the chosen direction get NULLs (left-join
+    semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if tiebreak_col is not None:
-        w_dedup = Window.partitionBy(*on, ts_col).orderBy(F.col(tiebreak_col).desc())
+        # backward keeps the max-tiebreak row among equal-ts right rows,
+        # forward the min — mirror images, deterministic either way
+        tb = (
+            F.col(tiebreak_col).desc()
+            if direction == "backward"
+            else F.col(tiebreak_col).asc()
+        )
+        w_dedup = Window.partitionBy(*on, ts_col).orderBy(tb)
         right = (
             right.withColumn("__rn", F.row_number().over(w_dedup))
             .where(F.col("__rn") == 1)
@@ -56,9 +74,12 @@ def asof_join(
     r_tag = right.withColumn("__side", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

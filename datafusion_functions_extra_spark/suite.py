@@ -1304,6 +1304,58 @@ def asof_purchase_attribution(spark, sf_dir):
     )
 
 
+@query(
+    "asof_next_error_after_purchase",
+    """
+WITH errs AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+  FROM events WHERE event_type = 'error'
+), er AS (SELECT user_id, ts, event_id FROM errs WHERE rn = 1),
+p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(er.ts) AS error_ts_us, er.event_id AS error_event_id
+FROM p ASOF LEFT JOIN er ON p.user_id = er.user_id AND p.ts <= er.ts
+""",
+)
+def asof_next_error_after_purchase(spark, sf_dir):
+    """FORWARD as-of join (operators/asof.py direction='forward'): every
+    purchase paired with the user's next error at or after it — the
+    time-to-failure / follow-up lookup.  Same union-sort plan as the
+    backward join with the scan order reversed; the oracle is DuckDB's
+    native ASOF with the inequality flipped (p.ts <= er.ts)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("error_ts_us"),
+        F.col("event_id").alias("error_event_id"),
+        F.col("event_id").alias("ee_id"),
+    )
+    res = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["error_ts_us", "error_event_id"],
+        tiebreak_col="ee_id",
+        direction="forward",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "error_ts_us",
+        "error_event_id",
+    )
+
+
 _SESSION_WINDOW_ORACLE = """
 WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
 lagd AS (

@@ -39,3 +39,50 @@ def test_asof_tie_dedup_max_id(spark):
     )
     [row] = asof_join(left, right, ["k"], "ts", ["px"], tiebreak_col="rid").collect()
     assert row.px == 2.0  # max tiebreak id wins deterministically
+
+
+def test_forward_direction(spark):
+    from datafusion_functions_extra_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")], "k int, ts int, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 25, 250.0), (2, 1, 10.0)],
+        "k int, ts int, v double",
+    )
+    out = {
+        r.lbl: r.v
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", value_cols=["v"],
+            direction="forward",
+        ).collect()
+    }
+    # L1 at ts=10: next right >= 10 is ts=10 (inclusive) -> 100
+    # L2 at ts=20: next is ts=25 -> 250
+    # L3 at ts=5 for k=2: no right at/after 5 -> NULL
+    assert out == {"L1": 100.0, "L2": 250.0, "L3": None}
+
+
+def test_forward_equal_ts_tiebreak(spark):
+    from datafusion_functions_extra_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L")], "k int, ts int, lbl string")
+    right = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 10, 2, "b")], "k int, ts int, tb int, v string"
+    )
+    out = asof_join(
+        left, right, on=["k"], ts_col="ts", value_cols=["v"],
+        tiebreak_col="tb", direction="forward",
+    ).collect()
+    assert out[0].v == "a"  # forward dedup keeps the MIN tiebreak row
+
+
+def test_bad_direction_raises(spark):
+    import pytest as _pytest
+
+    from datafusion_functions_extra_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k int, ts int")
+    with _pytest.raises(ValueError):
+        asof_join(df, df, on=["k"], ts_col="ts", value_cols=[], direction="nearest")

@@ -43,22 +43,30 @@ def asof_join(
       DuckDB ``ASOF ... ON l.ts <= r.ts``).  Same union-sort plan with
       the scan order reversed: carrying "last right seen" while walking
       descending timestamps IS the next right at or after each left row.
+    * ``"nearest"`` — whichever of the two is closer in time; equal
+      distance resolves backward (pandas ``merge_asof`` convention).
+      Computed in a SINGLE pass: both carried sets come from two window
+      scans over the same union — same partitioning, so Spark reuses
+      one Exchange and only adds the second in-partition sort.
 
     ``right`` must carry ``on + [ts_col] + value_cols`` (+ optional
-    ``tiebreak_col`` for deterministic dedup of equal-ts right rows);
+    ``tiebreak_col`` for deterministic dedup of equal-ts right rows:
+    max wins backward, min wins forward, max for nearest);
     ``value_cols`` must not collide with left column names.  Left rows
     with no match in the chosen direction get NULLs (left-join
     semantics).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if tiebreak_col is not None:
-        # backward keeps the max-tiebreak row among equal-ts right rows,
-        # forward the min — mirror images, deterministic either way
+        # backward/nearest keep the max-tiebreak row among equal-ts right
+        # rows, forward the min — mirror images, deterministic either way
         tb = (
-            F.col(tiebreak_col).desc()
-            if direction == "backward"
-            else F.col(tiebreak_col).asc()
+            F.col(tiebreak_col).asc()
+            if direction == "forward"
+            else F.col(tiebreak_col).desc()
         )
         w_dedup = Window.partitionBy(*on, ts_col).orderBy(tb)
         right = (
@@ -74,25 +82,50 @@ def asof_join(
     r_tag = right.withColumn("__side", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
-    ts_order = (
-        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    )
-    w = (
+    def _carry(w: Window, cols: list[str], prefix: str) -> list:
+        return [
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in cols
+        ]
+
+    w_back = (
         Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("__side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        filled.where(F.col("__side") == 1)
-        .select(
+
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        filled = unioned.select("*", *_carry(w, value_cols, "__asof_"))
+        return filled.where(F.col("__side") == 1).select(
             *left_cols,
             *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
         )
+
+    # nearest: carry both directions plus the matched right timestamp so
+    # the per-row winner is decided by time distance (tie -> backward)
+    rts = F.when(F.col("__side") == 0, F.col(ts_col))
+    both = unioned.withColumn("__rts", rts).select(
+        "*",
+        *_carry(w_back, value_cols + ["__rts"], "__b_"),
+        *_carry(w_fwd, value_cols + ["__rts"], "__f_"),
+    )
+    t = F.col(ts_col)
+    back_wins = F.col("__f___rts").isNull() | (
+        F.col("__b___rts").isNotNull()
+        & ((t - F.col("__b___rts")) <= (F.col("__f___rts") - t))
+    )
+    return both.where(F.col("__side") == 1).select(
+        *left_cols,
+        *[
+            F.when(back_wins, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
     )

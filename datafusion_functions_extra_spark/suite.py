@@ -1356,6 +1356,70 @@ def asof_next_error_after_purchase(spark, sf_dir):
     )
 
 
+@query(
+    "asof_nearest_purchase_to_view",
+    """
+WITH pur AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), p AS (SELECT user_id, ts, event_id FROM pur WHERE rn = 1),
+v AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT v.event_id, v.user_id, v.ts, p.ts AS bts, p.event_id AS bid
+  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts <= v.ts
+),
+f AS (
+  SELECT v.event_id, p.ts AS fts, p.event_id AS fid
+  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+)
+SELECT b.event_id, b.user_id, epoch_us(b.ts) AS ts_us,
+       CASE WHEN fts IS NULL OR (bts IS NOT NULL AND (b.ts - bts) <= (fts - b.ts))
+            THEN epoch_us(bts) ELSE epoch_us(fts) END AS purchase_ts_us,
+       CASE WHEN fts IS NULL OR (bts IS NOT NULL AND (b.ts - bts) <= (fts - b.ts))
+            THEN bid ELSE fid END AS purchase_event_id
+FROM b JOIN f USING (event_id)
+""",
+)
+def asof_nearest_purchase_to_view(spark, sf_dir):
+    """NEAREST as-of join (operators/asof.py direction='nearest'): every
+    view paired with the user's closest purchase in either time
+    direction, equal distance resolving backward (pandas merge_asof
+    convention).  One shuffle, two in-partition window scans over the
+    same union; the oracle composes DuckDB's two native ASOF directions
+    with the same distance rule."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("event_id").alias("pe_id"),
+    )
+    res = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["purchase_ts_us", "purchase_event_id"],
+        tiebreak_col="pe_id",
+        direction="nearest",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "purchase_ts_us",
+        "purchase_event_id",
+    )
+
+
 _SESSION_WINDOW_ORACLE = """
 WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
 lagd AS (

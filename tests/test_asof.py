@@ -85,4 +85,41 @@ def test_bad_direction_raises(spark):
 
     df = spark.createDataFrame([(1, 1)], "k int, ts int")
     with _pytest.raises(ValueError):
-        asof_join(df, df, on=["k"], ts_col="ts", value_cols=[], direction="nearest")
+        asof_join(df, df, on=["k"], ts_col="ts", value_cols=[], direction="sideways")
+
+
+def test_nearest_direction(spark):
+    from datafusion_functions_extra_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "A"), (1, 14, "B"), (1, 30, "C"), (2, 50, "D")],
+        "k int, ts int, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 80.0), (1, 16, 160.0)], "k int, ts int, v double"
+    )
+    out = {
+        r.lbl: r.v
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", value_cols=["v"],
+            direction="nearest",
+        ).collect()
+    }
+    # A ts=10: back 8 (d=2) vs fwd 16 (d=6) -> 80
+    # B ts=14: back 8 (d=6) vs fwd 16 (d=2) -> 160
+    # C ts=30: back 16 only -> 160
+    # D k=2: no right rows at all -> NULL
+    assert out == {"A": 80.0, "B": 160.0, "C": 160.0, "D": None}
+
+
+def test_nearest_tie_resolves_backward(spark):
+    from datafusion_functions_extra_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L")], "k int, ts int, lbl string")
+    right = spark.createDataFrame(
+        [(1, 8, "back"), (1, 12, "fwd")], "k int, ts int, v string"
+    )
+    out = asof_join(
+        left, right, on=["k"], ts_col="ts", value_cols=["v"], direction="nearest"
+    ).collect()
+    assert out[0].v == "back"  # d=2 both ways -> backward wins

@@ -3383,6 +3383,50 @@ def docs_weighted_reservoir(spark, sf_dir):
 
 
 @query(
+    "source_lang_kl_drift",
+    f"""
+WITH sl AS (SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2),
+st AS (SELECT source, sum(n_sl)::BIGINT AS n_s FROM sl GROUP BY 1),
+cl AS (SELECT lang, sum(n_sl)::BIGINT AS n_l FROM sl GROUP BY 1),
+tot AS (SELECT sum(n_sl)::BIGINT AS n FROM sl)
+SELECT sl.source,
+       max(st.n_s) AS n_docs,
+       {_r6n_sql('''sum((sl.n_sl::DOUBLE / st.n_s)
+           * ln((sl.n_sl::DOUBLE / st.n_s) / (cl.n_l::DOUBLE / tot.n)))''')} AS kl_bits
+FROM sl
+JOIN st USING (source)
+JOIN cl USING (lang), tot
+GROUP BY 1
+""",
+)
+def source_lang_kl_drift(spark, sf_dir):
+    """Per-source language-distribution drift: KL(P_source(lang) ||
+    P_corpus(lang)) — the recipe-monitoring metric that flags a source
+    whose language mix diverges from the corpus (scraper drift, language
+    collapse).  Zero-probability terms can't occur: the corpus marginal
+    includes every (source, lang) cell by construction.  Three tiny
+    aggregates over |sources|x|langs| cells, all broadcast join-backs —
+    the corpus is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_sl"))
+    st = sl.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    cl = sl.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    tot = sl.agg(F.sum("n_sl").alias("n"))
+    p_s = F.col("n_sl").cast("double") / F.col("n_s")
+    p_c = F.col("n_l").cast("double") / F.col("n")
+    return (
+        sl.join(F.broadcast(st), "source")
+        .join(F.broadcast(cl), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            _r6n(F.sum(p_s * F.log(p_s / p_c))).alias("kl_bits"),
+        )
+    )
+
+
+@query(
     "docs_dup_ngram_coverage",
     f"""
 WITH t AS (SELECT doc_id, {SIM._NORM_SQL} AS norm, {SIM._TOKS_SQL} AS toks

@@ -3498,13 +3498,36 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+#: unverified queries that are plain Spark-SQL compositions (TPC-H
+#: shapes, simple rollups) whose building blocks — joins, windows, the
+#: six aggregates — already have many driver-green rows.  With more
+#: never-verified queries than window slots, these yield their slot to
+#: the custom-operator queries (bloom, reservoir, KL drift, dup-ngram,
+#: LSH observability, confusion matrices) that have no similar proxy.
+_WINDOW_DEPRIORITIZED: frozenset[str] = frozenset({
+    "promo_revenue_share", "rich_customers_without_orders",
+    "brand_supplier_reach", "top_building_orders", "parts_promo_revenue",
+    "lineitem_small_quantity_revenue", "lineitem_pricing_summary",
+    "top_orders_per_segment", "customers_without_orders",
+    "suppliers_with_returned_items", "orders_large_volume_customers",
+    "customer_balance_deciles", "orders_revenue_growth_mom",
+    "events_hourly_heatmap", "docs_k_anonymity", "events_new_users_daily",
+    "user_cohort_retention", "events_type_transitions",
+    "documents_profile", "events_pii_scrub",
+})
+
+
 def _rotate_for_driver_window() -> None:
     """Reorder QUERIES/ORACLES: never-driver-verified queries first (in
-    registration order), driver-verified ones after.  Pure reordering —
-    the key sets are untouched, so name lookups and full sweeps are
-    unaffected; only the driver's first-N window shifts."""
+    registration order, plain-SQL shapes yielding to custom operators),
+    driver-verified ones after.  Pure reordering — the key sets are
+    untouched, so name lookups and full sweeps are unaffected; only the
+    driver's first-N window shifts."""
     global QUERIES, ORACLES
-    order = sorted(QUERIES, key=lambda n: (n in _DRIVER_VERIFIED,))
+    order = sorted(
+        QUERIES,
+        key=lambda n: (n in _DRIVER_VERIFIED, n in _WINDOW_DEPRIORITIZED),
+    )
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
 

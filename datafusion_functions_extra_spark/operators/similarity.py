@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import bind_once, normalize_text, word_shingles, tokens
+from ..functions.rounding import r6n, r6n_sql
 
 # ---------------------------------------------------------------------------
 # shared deterministic constants (Spark expressions AND DuckDB oracles)
@@ -360,7 +361,7 @@ def ngram_jaccard_pairs(
         .join(b, "id_b")
         .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", r6n(F.col("jaccard")).alias("jaccard"))
     )
 
 
@@ -393,7 +394,9 @@ def edit_distance_verified_pairs(
         .withColumn("edit_dist", dist.cast("long"))
         .withColumn("edit_sim", sim)
         .where(F.col("edit_sim") >= F.lit(min_similarity))
-        .select("id_a", "id_b", "edit_dist", F.round("edit_sim", 6).alias("edit_sim"))
+        .select(
+            "id_a", "id_b", "edit_dist", r6n(F.col("edit_sim")).alias("edit_sim")
+        )
     )
 
 
@@ -856,7 +859,7 @@ def edit_distance_verified_pairs_oracle_sql(min_similarity: float = 0.8) -> str:
 WITH {_sig_cte()}, {_bands_cte()}
 SELECT cand.id_a, cand.id_b,
        levenshtein(ta.text, tb.text)::BIGINT AS edit_dist,
-       round({sim}, 6) AS edit_sim
+       {r6n_sql(sim)} AS edit_sim
 FROM cand
 JOIN documents ta ON ta.doc_id = cand.id_a
 JOIN documents tb ON tb.doc_id = cand.id_b
@@ -889,14 +892,17 @@ FROM documents d LEFT JOIN nmin ON nmin.id = d.doc_id
 
 
 def ngram_jaccard_pairs_oracle_sql(threshold: float = 0.3) -> str:
+    jac = (
+        "len(list_intersect(a.sh, b.sh))::DOUBLE"
+        " / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+    )
     return f"""
 WITH {_sig_cte()}, {_bands_cte()},
 dsh AS (
   SELECT id, list_distinct(shingles) AS sh FROM sh
 )
 SELECT cand.id_a, cand.id_b,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+       {r6n_sql(jac)} AS jaccard
 FROM cand
 JOIN dsh a ON a.id = cand.id_a
 JOIN dsh b ON b.id = cand.id_b

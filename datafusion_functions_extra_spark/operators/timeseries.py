@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import r6n, r6n_sql
+
 
 def gap_fill_interpolate(
     df: DataFrame,
@@ -82,7 +84,10 @@ def gap_fill_interpolate(
         key_col,
         x.alias("bucket_us"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.round(interp, 6).alias("value_filled"),
+        # interpolation = 2-dp sums scaled by bucket-offset fractions
+        # (1/64-style), which can extend to 7-digit half boundaries ->
+        # boundary-nudged rounding on both engines
+        r6n(interp).alias("value_filled"),
         F.when(F.col("n_events").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
     )
 
@@ -96,6 +101,12 @@ def gap_fill_interpolate_oracle_sql(
     """DuckDB formulation: generate_series grid + IGNORE NULLS fill windows,
     mirroring :func:`gap_fill_interpolate` term for term (same expression
     shapes so doubles agree to well under the 6-dp rounding)."""
+    _interp_case = (
+        "CASE WHEN v IS NOT NULL THEN v "
+        "WHEN prev_v IS NOT NULL AND next_v IS NOT NULL "
+        "THEN prev_v + (next_v - prev_v) * ((x - prev_x) / (next_x - prev_x)) "
+        "ELSE coalesce(prev_v, next_v) END"
+    )
     return f"""
 WITH hourly AS (
   SELECT {key_col} AS k, date_trunc('hour', CAST({ts_col} AS TIMESTAMP)) AS bucket,
@@ -124,10 +135,7 @@ filled AS (
 )
 SELECT k AS {key_col}, x AS bucket_us,
        coalesce(n_events, 0) AS n_events,
-       round(CASE WHEN v IS NOT NULL THEN v
-                  WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
-                  THEN prev_v + (next_v - prev_v) * ((x - prev_x) / (next_x - prev_x))
-                  ELSE coalesce(prev_v, next_v) END, 6) AS value_filled,
+       {r6n_sql(_interp_case)} AS value_filled,
        CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
 FROM filled
 """

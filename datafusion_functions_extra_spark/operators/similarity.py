@@ -365,6 +365,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    probe_k: int = 8,
+    max_df: int = 64,
+) -> DataFrame:
+    """Asymmetric near-dup detection: containment ``|A ∩ B| / min(|A|, |B|)``
+    — the signal Jaccard misses when one document is a chunk of another
+    (quote pages, concatenated dumps: a 100-shingle doc inside a
+    10k-shingle doc has Jaccard ≈ 0.01 but containment 1.0).
+
+    MinHash-LSH candidates CANNOT recall these pairs (band collision
+    probability is Jaccard-driven), so candidate generation here is a
+    shingle inverted index probed with each doc's ``probe_k`` smallest
+    shingle hashes: if A ⊆ B, every probe of A hits B by construction —
+    recall 1.0 for true containment, cost k rows per doc against a
+    linear-size index, all equi-joins.  Shingles occurring in more than
+    ``max_df`` docs are dropped from the index (stop-shingle filter —
+    boilerplate would otherwise create quadratic hot-key candidates; the
+    repetition/boilerplate ops own that signal).  Exact containment is
+    then verified on the candidate pairs only.  Count ratio →
+    boundary-nudged rounding.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(_shingles_or_whole(F.col(text_col)), hash60)
+        ).alias("hs"),
+    ).persist()
+    index = sh.select(F.col(id_col).alias("ix_id"), F.explode("hs").alias("h"))
+    rare = index.groupBy("h").agg(F.count(F.lit(1)).alias("df_h")).where(
+        F.col("df_h") <= max_df
+    )
+    index = index.join(rare.select("h"), "h")
+    probes = sh.select(
+        F.col(id_col).alias("pr_id"),
+        F.explode(F.slice(F.array_sort("hs"), 1, probe_k)).alias("h"),
+    ).join(rare.select("h"), "h")
+    cand = (
+        probes.join(index, "h")
+        .where(F.col("pr_id") != F.col("ix_id"))
+        .select(
+            F.least("pr_id", "ix_id").alias("id_a"),
+            F.greatest("pr_id", "ix_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    containment = inter / F.least(F.size("hs_a"), F.size("hs_b")).cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("containment", containment)
+        .where(F.col("containment") >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.size("hs_a").cast("long").alias("n_grams_a"),
+            F.size("hs_b").cast("long").alias("n_grams_b"),
+            r6n(F.col("containment")).alias("containment"),
+        )
+    )
+
+
 def edit_distance_verified_pairs(
     df: DataFrame, text_col: str, id_col: str, min_similarity: float = 0.8
 ) -> DataFrame:
@@ -908,6 +976,50 @@ JOIN dsh a ON a.id = cand.id_a
 JOIN dsh b ON b.id = cand.id_b
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= {threshold}
+"""
+
+
+def ngram_containment_pairs_oracle_sql(
+    threshold: float = 0.8, probe_k: int = 8, max_df: int = 64
+) -> str:
+    h = _hash60_sql("s")
+    cont = (
+        "len(list_intersect(a.hs, b.hs))::DOUBLE"
+        " / least(len(a.hs), len(b.hs))::DOUBLE"
+    )
+    return f"""
+WITH t AS (SELECT doc_id AS id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks
+           FROM documents),
+shg AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [norm] END AS shingles
+  FROM t
+),
+dh AS (SELECT id, list_distinct(list_transform(shingles, s -> {h})) AS hs
+       FROM shg),
+ix AS (SELECT id AS ix_id, unnest(hs) AS h FROM dh),
+rare AS (SELECT h FROM ix GROUP BY h HAVING count(*) <= {max_df}),
+ixr AS (SELECT ix.ix_id, ix.h FROM ix JOIN rare USING (h)),
+pr AS (
+  SELECT dh.id AS pr_id, unnest(list_sort(hs)[1:{probe_k}]) AS h FROM dh
+),
+prr AS (SELECT pr.pr_id, pr.h FROM pr JOIN rare USING (h)),
+cand AS (
+  SELECT DISTINCT least(pr_id, ix_id) AS id_a, greatest(pr_id, ix_id) AS id_b
+  FROM prr JOIN ixr USING (h)
+  WHERE pr_id <> ix_id
+)
+SELECT cand.id_a, cand.id_b,
+       len(a.hs)::BIGINT AS n_grams_a,
+       len(b.hs)::BIGINT AS n_grams_b,
+       {r6n_sql(cont)} AS containment
+FROM cand
+JOIN dh a ON a.id = cand.id_a
+JOIN dh b ON b.id = cand.id_b
+WHERE {cont} >= {threshold}
 """
 
 

@@ -3382,6 +3382,17 @@ def docs_weighted_reservoir(spark, sf_dir):
     )
 
 
+@query("ngram_containment_pairs", SIM.ngram_containment_pairs_oracle_sql())
+def ngram_containment_pairs(spark, sf_dir):
+    """Asymmetric containment verify on LSH candidates
+    (operators/similarity.py ngram_containment_pairs): |A∩B|/min(|A|,|B|)
+    catches fragment duplication — a document wholly contained in a
+    larger one scores ~1.0 here while its Jaccard is tiny.  Candidates-
+    only cost, same as the Jaccard re-rank."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.ngram_containment_pairs(d, "text", "doc_id")
+
+
 @query(
     "source_lang_kl_drift",
     f"""

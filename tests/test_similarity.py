@@ -147,3 +147,29 @@ def test_hyperplane_bucket_range(spark):
     assert all(0 <= v < 2**SIM.N_HYPERPLANES for v in vals)
     # antipodal vectors land in complementary buckets
     assert vals[0] ^ vals[1] == 2**SIM.N_HYPERPLANES - 1
+
+
+class TestContainment:
+    def test_fragment_scores_high_where_jaccard_low(self, spark):
+        from datafusion_functions_extra_spark.operators.similarity import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        frag = "alpha beta gamma delta epsilon zeta eta theta"
+        big = frag + " " + " ".join(f"word{i}" for i in range(200))
+        # doc 3 shares frag's shingles so LSH pairs (1, 3); doc 2 is noise
+        df = spark.createDataFrame(
+            [(1, frag), (2, "totally unrelated text body here now"), (3, big)],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r.id_a, r.id_b): r.containment
+            for r in ngram_containment_pairs(df, "text", "doc_id", 0.5).collect()
+        }
+        assert cont.get((1, 3)) == 1.0  # the fragment is fully contained
+        jac = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, "text", "doc_id", 0.0).collect()
+        }
+        assert jac.get((1, 3), 0.0) < 0.1  # Jaccard misses the relation

@@ -139,3 +139,94 @@ SELECT k AS {key_col}, x AS bucket_us,
        CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
 FROM filled
 """
+
+
+def ewma_bounded(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    n: int = 10,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Bounded-window exponentially weighted moving average per key:
+    over the last ``n`` rows, ``ewma = Σ β^k·x_{t-k} / Σ β^k`` with
+    ``β = 1 - alpha`` and k the offset from the current row — the
+    smoothing/alerting signal that weights recent events harder than a
+    plain moving mean.
+
+    A full-history EWMA is a linear recurrence Spark windows can't
+    express without numerically explosive prefix products; the bounded
+    form is exact, one shuffle + one sort like any frame window, and the
+    truncation error of the dropped tail is β^n (≈0.107 at the
+    defaults) of the weight mass.
+
+    Determinism: the frame list is reversed so index = offset, then
+    folded sequentially — the same left-to-right order DuckDB's
+    list_sum uses — and the num/den ratio rounds through ``r6n``
+    (pow() ulp differences sit ~1e-16, far under the 1e-9 nudge).
+    """
+    beta = 1.0 - alpha
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+        .rowsBetween(-(n - 1), 0)
+    )
+    vals = F.reverse(F.collect_list(F.col(value_col).cast("double")).over(w))
+
+    def fold(v):
+        acc0 = F.struct(
+            F.lit(0.0).alias("num"), F.lit(0.0).alias("den"), F.lit(1.0).alias("wgt")
+        )
+        return F.aggregate(
+            v,
+            acc0,
+            lambda a, x: F.struct(
+                (a.num + x * a.wgt).alias("num"),
+                (a.den + a.wgt).alias("den"),
+                (a.wgt * F.lit(beta)).alias("wgt"),
+            ),
+            lambda a: a.num / a.den,
+        )
+
+    return df.select(
+        F.col(order_tiebreak),
+        F.col(key_col),
+        r6n(fold(vals)).alias("ewma"),
+    )
+
+
+def ewma_bounded_oracle_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    n: int = 10,
+    alpha: float = 0.2,
+) -> str:
+    """DuckDB mirror: same reversed frame list, same sequential fold
+    realized as an indexed transform + list_sum (left-to-right, matching
+    Spark's F.aggregate order)."""
+    beta = 1.0 - alpha
+    num = (
+        f"list_sum(list_transform(generate_series(1, len(l)), "
+        f"i -> l[i] * pow({beta}, i - 1)))"
+    )
+    den = (
+        f"list_sum(list_transform(generate_series(1, len(l)), "
+        f"i -> pow({beta}, i - 1)))"
+    )
+    return f"""
+WITH fr AS (
+  SELECT {order_tiebreak}, {key_col},
+         list_reverse(list({value_col}) OVER (
+           PARTITION BY {key_col}
+           ORDER BY CAST({ts_col} AS TIMESTAMP), {order_tiebreak}
+           ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)) AS l
+  FROM {table}
+)
+SELECT {order_tiebreak}, {key_col}, {r6n_sql(f'{num} / {den}')} AS ewma
+FROM fr
+"""

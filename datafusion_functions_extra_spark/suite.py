@@ -44,7 +44,12 @@ from .operators import skew as SK
 from .operators.asof import asof_join
 from .operators.ranges import point_in_interval_join
 from .operators.mode import mode_agg
-from .operators.timeseries import gap_fill_interpolate, gap_fill_interpolate_oracle_sql
+from .operators.timeseries import (
+    ewma_bounded,
+    ewma_bounded_oracle_sql,
+    gap_fill_interpolate,
+    gap_fill_interpolate_oracle_sql,
+)
 from .sources.catalog import load_dim, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -3391,6 +3396,18 @@ def ngram_containment_pairs(spark, sf_dir):
     only cost, same as the Jaccard re-rank."""
     d = load_table(spark, sf_dir, "documents")
     return SIM.ngram_containment_pairs(d, "text", "doc_id")
+
+
+@query("events_ewma", ewma_bounded_oracle_sql())
+def events_ewma(spark, sf_dir):
+    """Bounded-window EWMA per user (operators/timeseries.py
+    ewma_bounded): exponentially weighted mean of the last 10 event
+    values, β=0.8 — the smoothing/alerting signal that weights recent
+    activity harder than events_moving_avg's uniform frame.  One
+    shuffle + one sort; the sequential fold order matches DuckDB's
+    list_sum so the ratio is cross-engine stable under r6n."""
+    e = load_table(spark, sf_dir, "events")
+    return ewma_bounded(e, "user_id", "ts", "value", "event_id")
 
 
 @query(

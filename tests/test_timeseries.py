@@ -106,3 +106,40 @@ def test_weighted_sample_probability(spark):
     assert sorted(r.id for r in again.collect()) == sorted(
         r.id for r in kept.collect()
     )
+
+
+class TestEwma:
+    def test_hand_computed(self, spark):
+        from datafusion_functions_extra_spark.operators.timeseries import (
+            ewma_bounded,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, 100, 10.0), (1, 2, 200, 20.0), (1, 3, 300, 30.0)],
+            "k int, eid int, ts long, v double",
+        ).select(
+            "k", "eid", F.timestamp_micros(F.col("ts")).alias("ts"), "v"
+        )
+        out = {
+            r.eid: r.ewma
+            for r in ewma_bounded(df, "k", "ts", "v", "eid", n=10, alpha=0.2).collect()
+        }
+        # eid=3: (30 + 20*0.8 + 10*0.64) / (1 + 0.8 + 0.64) = 52.4/2.44
+        assert out[1] == 10.0
+        assert abs(out[3] - round(52.4 / 2.44, 6)) < 2e-6
+
+    def test_recent_weighted_harder_than_mean(self, spark):
+        from datafusion_functions_extra_spark.operators.timeseries import (
+            ewma_bounded,
+        )
+
+        rows = [(1, i, i * 100, 0.0 if i < 10 else 100.0) for i in range(1, 11)]
+        df = spark.createDataFrame(
+            rows, "k int, eid int, ts long, v double"
+        ).select("k", "eid", F.timestamp_micros(F.col("ts")).alias("ts"), "v")
+        out = {
+            r.eid: r.ewma
+            for r in ewma_bounded(df, "k", "ts", "v", "eid", n=10, alpha=0.2).collect()
+        }
+        # last row: single 100 among nine 0s -> mean 10, EWMA much higher
+        assert out[10] > 20.0

@@ -243,6 +243,32 @@ class TestPlanContracts:
         plan = self._plan(QUERIES["docs_decontaminated"](spark, self.SF))
         assert "BroadcastHashJoin" in plan
 
+
+    def test_bloom_probe_broadcasts_sketch_side(self, spark):
+        from datafusion_functions_extra_spark.suite import QUERIES
+
+        plan = self._plan(QUERIES["orders_bloom_semi_probe"](spark, self.SF))
+        # the m/32-word sketch must broadcast; the probe side is never
+        # shuffled for the bit-test join
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_weighted_reservoir_is_takeordered(self, spark):
+        from datafusion_functions_extra_spark.suite import QUERIES
+
+        plan = self._plan(QUERIES["docs_weighted_reservoir"](spark, self.SF))
+        # top-n must plan as TakeOrderedAndProject (per-partition heaps +
+        # driver merge), never a global Sort + Limit
+        assert "TakeOrderedAndProject" in plan
+
+    def test_ewma_single_exchange(self, spark):
+        from datafusion_functions_extra_spark.suite import QUERIES
+
+        plan = self._plan(QUERIES["events_ewma"](spark, self.SF))
+        # one shuffle by user for the frame window, nothing else
+        assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+        assert "CartesianProduct" not in plan
+
     def test_no_python_workers_on_aggregate_paths(self, spark):
         from datafusion_functions_extra_spark.suite import QUERIES
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from .functions import multimodal as MM
 from .operators import bloom as BLOOM
+from .operators import diff as DIFF
 from .functions import sampling as SMP
 from .functions import text as TX
 from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewness
@@ -3408,6 +3409,60 @@ def events_ewma(spark, sf_dir):
     list_sum so the ratio is cross-engine stable under r6n."""
     e = load_table(spark, sf_dir, "events")
     return ewma_bounded(e, "user_id", "ts", "value", "event_id")
+
+
+@query(
+    "docs_snapshot_diff",
+    f"""
+WITH old AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 19 = 0
+),
+o AS (SELECT doc_id, {DIFF.row_hash_sql(['text', 'lang', 'source', 'n_chars'])} AS old_hash
+      FROM old),
+n AS (SELECT doc_id, {DIFF.row_hash_sql(['text', 'lang', 'source', 'n_chars'])} AS new_hash
+      FROM new)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed' END AS change_type,
+       old_hash, new_hash
+FROM o FULL OUTER JOIN n USING (doc_id)
+WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN old_hash <> new_hash THEN 'changed' END IS NOT NULL
+""",
+)
+def docs_snapshot_diff(spark, sf_dir):
+    """Snapshot regression diff (operators/diff.py table_diff): the
+    documents table against a deterministic next-version mutation
+    (1/17 of keys removed, 1/13 revised, 1/19 cloned as new ids) —
+    added/removed/changed classification via (key, row-hash) reduction
+    and one full-outer equi-join.  The shuffle carries 32-byte hashes,
+    never full rows, so table width doesn't matter at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text", "lang", "source", "n_chars")
+    new = (
+        old.where(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" rev2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            old.where(F.col("doc_id") % 19 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+    )
+    return DIFF.table_diff(old, new, keys=["doc_id"])
 
 
 @query(

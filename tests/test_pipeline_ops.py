@@ -335,3 +335,25 @@ class TestDupNgramCoverage:
         # <k-word docs fall back to one whole-text gram, shared by 1 and 2
         assert out[1].n_grams == 1 and out[1].dup_frac == 1.0
         assert out[3].dup_frac == 0.0
+
+
+class TestTableDiff:
+    def test_classification(self, spark):
+        from datafusion_functions_extra_spark.operators.diff import table_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, t string, v long"
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k long, t string, v long"
+        )
+        got = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+        assert got == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged -> absent
+
+    def test_null_vs_empty_distinct(self, spark):
+        from datafusion_functions_extra_spark.operators.diff import table_diff
+
+        old = spark.createDataFrame([(1, None)], "k long, t string")
+        new = spark.createDataFrame([(1, "")], "k long, t string")
+        got = table_diff(old, new, ["k"]).collect()
+        assert len(got) == 1 and got[0].change_type == "changed"

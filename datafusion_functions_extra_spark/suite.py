@@ -3597,9 +3597,9 @@ _WINDOW_DEPRIORITIZED: frozenset[str] = frozenset({
     "events_hourly_heatmap", "docs_k_anonymity", "events_new_users_daily",
     "user_cohort_retention", "events_type_transitions",
     "documents_profile", "events_pii_scrub",
-    # plain explode+groupBy entropy rollup; its shape is covered by the
-    # verified token-count family, unlike the dup-ngram coverage operator
-    "corpus_token_entropy",
+    # plain explode+groupBy rollups whose shapes are covered by the
+    # verified token-count family, unlike the custom operators
+    "corpus_token_entropy", "events_window_dedup",
 })
 
 

@@ -12,7 +12,7 @@ single source of truth shared with the DuckDB oracle SQL generators in
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from .aggregates import ColumnOrName, _col
@@ -295,6 +295,54 @@ def chunk_documents(
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.size("c.ct").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "c.ct").cast("binary")).alias("chunk_hash"),
+    )
+
+
+#: sentence boundary over normalized text: terminal punctuation + space
+_SENT_SPLIT = "[.!?]+ "
+
+
+def sentence_dedup_stats(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """C4-style corpus-wide sentence dedup bookkeeping: split each doc
+    into sentences, keep only the globally FIRST occurrence of every
+    distinct sentence (first = smallest (doc_id, position)), and report
+    per-doc (n_sentences, n_kept, n_dropped).
+
+    This is the line/sentence-level pass the C4 pipeline runs before
+    document-level dedup — boilerplate sentences (cookie banners,
+    navigation text) repeat across pages that are otherwise unique, so
+    document-level hashes never catch them.
+
+    Plan: one explode to (doc, pos, sentence) -> one corpus-wide window
+    keyed on the sentence text (shuffle carries sentences once) -> one
+    per-doc count aggregate.  Keep rule is a total order, so the kept
+    set is deterministic across engines and partitionings.  Counts only
+    — no float rounding surface.
+    """
+    sent = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(normalize_text(text_col), _SENT_SPLIT),
+                    # strip trailing terminal punctuation: the doc's LAST
+                    # sentence keeps its ".!?" through the split (no
+                    # following space) while interior ones lose it — the
+                    # same sentence must hash identically either way
+                    lambda x: F.regexp_replace(x, "[.!?]+$", ""),
+                ),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("pos", "s"),
+    )
+    w = Window.partitionBy("s").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    flagged = sent.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
     )
 
 

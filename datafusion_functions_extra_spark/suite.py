@@ -3412,6 +3412,41 @@ def events_ewma(spark, sf_dir):
 
 
 @query(
+    "docs_sentence_dedup",
+    f"""
+WITH t AS (SELECT doc_id, {SIM._NORM_SQL} AS norm FROM documents),
+s0 AS (
+  SELECT doc_id,
+         regexp_replace(unnest(regexp_split_to_array(norm, '[.!?]+ ')),
+                        '[.!?]+$', '') AS s,
+         generate_subscripts(regexp_split_to_array(norm, '[.!?]+ '), 1) - 1 AS pos
+  FROM t
+),
+sent AS (SELECT doc_id, pos, s FROM s0 WHERE length(s) > 0),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM sent
+)
+SELECT doc_id,
+       count(*) AS n_sentences,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM r GROUP BY 1
+""",
+)
+def docs_sentence_dedup(spark, sf_dir):
+    """C4-style corpus-wide sentence dedup (functions/text.py
+    sentence_dedup_stats): keep the globally first occurrence of every
+    distinct sentence, report per-doc kept/dropped counts — the
+    boilerplate-sentence pass document-level dedup can't do.  One
+    corpus-wide window keyed on sentence text, deterministic
+    (doc_id, pos) keep rule."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.sentence_dedup_stats(d, "text", "doc_id")
+
+
+@query(
     "docs_snapshot_diff",
     f"""
 WITH old AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
@@ -3597,9 +3632,10 @@ _WINDOW_DEPRIORITIZED: frozenset[str] = frozenset({
     "events_hourly_heatmap", "docs_k_anonymity", "events_new_users_daily",
     "user_cohort_retention", "events_type_transitions",
     "documents_profile", "events_pii_scrub",
-    # plain explode+groupBy rollups whose shapes are covered by the
-    # verified token-count family, unlike the custom operators
-    "corpus_token_entropy", "events_window_dedup",
+    # plain explode+groupBy / window rollups whose shapes are covered by
+    # the verified token-count and sessionization families, unlike the
+    # custom operators
+    "corpus_token_entropy", "events_window_dedup", "text_oov_rate",
 })
 
 

@@ -72,3 +72,27 @@ def test_quantize_int8_roundtrip(spark):
     recon = [q * out[1].scale for q in out[1].q]
     for orig, rec in zip([1.0, -2.0, 0.5, 4.0], recon):
         assert abs(orig - rec) <= out[1].scale / 2 + 1e-12
+
+
+class TestSentenceDedup:
+    def test_boilerplate_sentence_dropped_from_later_docs(self, spark):
+        from datafusion_functions_extra_spark.functions.text import (
+            sentence_dedup_stats,
+        )
+
+        banner = "accept all cookies to continue."
+        df = spark.createDataFrame(
+            [
+                (1, f"unique first page. {banner}"),
+                (2, f"{banner} totally different second page."),
+                (3, "nothing shared here at all."),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in sentence_dedup_stats(df, "text", "doc_id").collect()}
+        # doc 1 saw the banner first -> keeps both sentences
+        assert (out[1].n_kept, out[1].n_dropped) == (2, 0)
+        # doc 2's banner is a corpus-wide duplicate -> dropped
+        assert (out[2].n_kept, out[2].n_dropped) == (1, 1)
+        assert (out[3].n_kept, out[3].n_dropped) == (1, 0)
+        assert all(r.n_kept + r.n_dropped == r.n_sentences for r in out.values())

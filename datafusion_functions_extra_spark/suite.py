@@ -3412,6 +3412,85 @@ def events_ewma(spark, sf_dir):
 
 
 @query(
+    "text_pmi_collocations",
+    f"""
+WITH t AS (SELECT doc_id, {SIM._TOKS_SQL} AS toks FROM documents),
+bg0 AS (
+  SELECT CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+              ELSE [] END AS grams
+  FROM t
+),
+bg AS (SELECT unnest(grams) AS bigram FROM bg0),
+bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY 1 HAVING count(*) >= 5),
+tok AS (SELECT unnest(toks) AS term FROM t),
+uc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+nb AS (SELECT count(*) AS n_b FROM bg),
+nu AS (SELECT count(*) AS n_u FROM tok),
+scored AS (
+  SELECT bc.bigram, bc.c_ab,
+         {_r6n_sql('''ln((bc.c_ab::DOUBLE / nb.n_b)
+             / ((u1.c::DOUBLE / nu.n_u) * (u2.c::DOUBLE / nu.n_u)))''')} AS pmi
+  FROM bc
+  JOIN uc u1 ON u1.term = str_split(bc.bigram, ' ')[1]
+  JOIN uc u2 ON u2.term = str_split(bc.bigram, ' ')[2], nb, nu
+)
+SELECT bigram, c_ab, pmi FROM scored
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
+""",
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information:
+    ln(p(ab) / (p(a)p(b))) over corpus bigram/unigram frequencies, min
+    count 5 — the classic phrase-mining signal (multi-word entities,
+    idioms) a tokenizer-vocabulary builder consumes.  Two explodes, two
+    vocab-sized aggregates, broadcast scalar totals; the top-k ranks the
+    rounded score (ratio under ln -> r6n) with a bigram tie-break via
+    orderBy+limit, which plans as TakeOrdered (per-partition heaps) —
+    no single-partition window sort."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(F.explode(TX.word_shingles("text", 2)).alias("bigram"))
+    bc = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    tok = d.select(F.explode(TX.tokens("text")).alias("term"))
+    uc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_b = bg.agg(F.count(F.lit(1)).alias("n_b"))
+    n_u = tok.agg(F.count(F.lit(1)).alias("n_u"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    u1 = uc.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
+    pmi = _r6n(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_b"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_u"))
+                * (F.col("c2").cast("double") / F.col("n_u"))
+            )
+        )
+    )
+    scored = (
+        bc.withColumn("t1", w1)
+        .withColumn("t2", w2)
+        .join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_u))
+        .select("bigram", "c_ab", pmi.alias("pmi"))
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(20)
+        .select("bigram", "c_ab", "pmi")
+    )
+
+
+@query(
     "docs_sentence_dedup",
     f"""
 WITH t AS (SELECT doc_id, {SIM._NORM_SQL} AS norm FROM documents),
@@ -3636,6 +3715,7 @@ _WINDOW_DEPRIORITIZED: frozenset[str] = frozenset({
     # the verified token-count and sessionization families, unlike the
     # custom operators
     "corpus_token_entropy", "events_window_dedup", "text_oov_rate",
+    "lang_id_confusion",
 })
 
 

@@ -25,11 +25,18 @@ from pyspark.sql import functions as F
 
 
 def r6n(c) -> Column:
-    """Round ``c`` to 6 dp with the sign-symmetric 1e-9 boundary nudge."""
+    """Round ``c`` to 6 dp with the sign-symmetric 1e-9 boundary nudge.
+
+    The trailing ``+ 0.0`` normalizes IEEE 754 signed zero: a value whose
+    sign differs between engines only through ~1e-13 partial-sum drift can
+    round to ``0.0`` on one side and ``-0.0`` on the other — numerically
+    equal, but distinct to any value-serializing hash (the r03 driver
+    caught this live on ``events_user_trend``).  ``-0.0 + 0.0 == +0.0``.
+    """
     col = c if isinstance(c, Column) else F.col(c)
-    return F.round(col + F.signum(col) * F.lit(1e-9), 6)
+    return F.round(col + F.signum(col) * F.lit(1e-9), 6) + F.lit(0.0)
 
 
 def r6n_sql(expr: str) -> str:
     """DuckDB-side twin of :func:`r6n` for splicing into oracle SQL."""
-    return f"round(({expr}) + sign({expr}) * 1e-9, 6)"
+    return f"(round(({expr}) + sign({expr}) * 1e-9, 6) + 0.0)"

@@ -167,6 +167,36 @@ def minhash_signatures(
     return sigs.persist() if materialize else sigs
 
 
+def write_signatures_table(
+    df: DataFrame, path: str, *, text_col: str, id_col: str, mode: str = "overwrite"
+) -> None:
+    """One-pass signature stage table: ``(id, sig array<long>, sh long)``
+    parquet at ``path`` (MinHash signature + 32-bit SimHash computed in a
+    single scan of the corpus).
+
+    This is the materialized form of ``minhash_signatures(materialize=
+    True)``: at 100 TB the in-memory persist() becomes this parquet stage,
+    paid once at ingest.  Signature rebuild dominates the LSH family's
+    local cost (top-5 bench items in r03), and every re-run — banding
+    join, threshold sweep, incremental dedup of a new batch against the
+    corpus — reads ~200 bytes/doc of columnar signatures instead of
+    re-shingling the raw text.  Pair generation from the stage is
+    :func:`near_dup_pairs_from_signatures` /
+    :func:`simhash_pairs_from_signatures`; pytest pins
+    pairs-from-stage == pairs-from-raw.
+    """
+    df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col)).alias("sig"),
+        simhash32(F.col(text_col)).alias("sh"),
+    ).write.mode(mode).parquet(path)
+
+
+def read_signatures_table(spark, path: str) -> DataFrame:
+    """Read a :func:`write_signatures_table` stage back as a DataFrame."""
+    return spark.read.parquet(path)
+
+
 def _band_key(sig: Column, band: int) -> Column:
     parts = [
         F.element_at(sig, band * LSH_ROWS + i + 1).cast("string")
@@ -209,6 +239,19 @@ def near_dup_pairs(
     """(id_a, id_b, est_jaccard) for LSH candidates whose signature-estimated
     Jaccard (fraction of equal MinHash components) >= threshold."""
     sigs = minhash_signatures(df, text_col, id_col, materialize=True)
+    return near_dup_pairs_from_signatures(sigs, id_col, threshold)
+
+
+def near_dup_pairs_from_signatures(
+    sigs: DataFrame, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`near_dup_pairs` starting from an existing ``(id, sig)``
+    relation — the 100 TB entry point.  ``sigs`` is typically
+    :func:`read_signatures_table` over a parquet stage written once by
+    :func:`write_signatures_table`; every downstream consumer (banding
+    join, est-Jaccard joins, re-runs with a different threshold) then
+    reads columnar signatures instead of re-hashing every shingle of the
+    raw corpus."""
     pairs = lsh_candidate_pairs(sigs, id_col)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -476,6 +519,17 @@ def simhash_pairs(
     distance <= 3 shares at least one of the 4 bands, so banding loses no
     qualifying pair)."""
     sh = df.select(F.col(id_col), simhash32(F.col(text_col)).alias("sh"))
+    return simhash_pairs_from_signatures(sh, id_col, max_hamming)
+
+
+def simhash_pairs_from_signatures(
+    sh: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """:func:`simhash_pairs` starting from an existing ``(id, sh)``
+    relation (e.g. the ``simhash`` column of a
+    :func:`write_signatures_table` stage)."""
+    sh = sh.select(F.col(id_col), F.col("sh"))
+
     def band_array(h: Column) -> Column:
         return F.array(
             *[

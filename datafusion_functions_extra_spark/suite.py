@@ -897,23 +897,39 @@ def range_join_errors_in_purchase_sessions(spark, sf_dir):
 @query(
     "events_user_trend",
     f"""
+WITH c AS (
+  SELECT user_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0
+           - avg(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0)
+               OVER (PARTITION BY user_id) AS tc
+  FROM events
+)
 SELECT user_id,
-       {_r6n_sql('''covar_pop(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0, value)
-             / var_pop(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0)''')} AS slope,
+       {_r6n_sql('covar_pop(tc, value) / var_pop(tc)')} AS slope,
        count(*) AS n
-FROM events GROUP BY user_id
+FROM c GROUP BY user_id
 """,
 )
 def events_user_trend(spark, sf_dir):
     """Per-user least-squares trend of value over time, as pure algebraic
     aggregates (slope = covar_pop/var_pop) — regression without ML
-    machinery, one hash aggregate, mergeable state like the moment stats.
-    The slope is a ratio of aggregates, so it rounds through ``_r6n`` (r02
-    driver hash flagged a ``.5e-6``-boundary flip here)."""
+    machinery, mergeable state like the moment stats.  The regressor is
+    centered per group first (slope is shift-invariant): epoch seconds are
+    ~1.7e9, and the cancellation in the raw co-moments is what let ~1e-13
+    partial-sum drift flip near-zero slopes across engines (r02/r03 driver
+    hash).  The window and the aggregate share the ``user_id`` hash
+    partitioning, so centering adds no extra shuffle.  Rounds through
+    ``_r6n`` (signed-zero-normalizing, ``.5e-6``-boundary-nudging)."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
     t = F.unix_micros("ts") / F.lit(1000000.0)
-    return e.groupBy("user_id").agg(
-        _r6n(F.covar_pop(t, F.col("value")) / F.var_pop(t)).alias("slope"),
+    w = Window.partitionBy("user_id")
+    c = e.select(
+        "user_id", "value", (t - F.avg(t).over(w)).alias("tc")
+    )
+    return c.groupBy("user_id").agg(
+        _r6n(F.covar_pop("tc", "value") / F.var_pop("tc")).alias("slope"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1092,6 +1108,41 @@ ANN_QUERY_IDS = list(range(8))
 def near_dup_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return SIM.near_dup_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+def _signature_stage_path(sf_dir: str) -> str:
+    """Deterministic per-SF scratch location for the LSH signature stage
+    table (``write_signatures_table``).  Lives under /tmp — this is the
+    local stand-in for the 100 TB deployment's durable stage table path."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/spark_graft_stage/{base}/signatures.parquet"
+
+
+@query("near_dup_pairs_staged", SIM.near_dup_pairs_oracle_sql(0.5))
+def near_dup_pairs_staged(spark, sf_dir):
+    """Stage-table variant of ``near_dup_pairs``: signatures written to
+    parquet once (the documented 100 TB form of the in-memory persist),
+    pairs generated from the stage.  Same oracle as the raw variant —
+    identical output is the contract."""
+    d = load_table(spark, sf_dir, "documents")
+    path = _signature_stage_path(sf_dir)
+    SIM.write_signatures_table(d, path, text_col="text", id_col="doc_id")
+    sigs = SIM.read_signatures_table(spark, path)
+    return SIM.near_dup_pairs_from_signatures(sigs, "doc_id", threshold=0.5)
+
+
+@query("simhash_near_dup_pairs_staged", SIM.simhash_pairs_oracle_sql(3))
+def simhash_near_dup_pairs_staged(spark, sf_dir):
+    """Stage-table variant of ``simhash_near_dup_pairs``: reuses the same
+    parquet signature stage (the ``sh`` column), so one corpus scan feeds
+    both the MinHash and SimHash pair pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    path = _signature_stage_path(sf_dir)
+    SIM.write_signatures_table(d, path, text_col="text", id_col="doc_id")
+    sigs = SIM.read_signatures_table(spark, path)
+    return SIM.simhash_pairs_from_signatures(sigs, "doc_id", max_hamming=3)
 
 
 @query("near_dup_clusters", SIM.near_dup_clusters_oracle_sql(0.5))
@@ -3690,45 +3741,54 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "skewness_by_returnflag", "skewness_extendedprice_global",
     "stats_profile_by_returnflag", "text_fingerprints", "text_lang_id",
     "text_quality_scores", "text_token_counts", "text_top_terms",
-    # r02 hash-FAILs (events_props_json, events_user_trend) stay out so
-    # their round-3 fixes land inside the verified window again
-})
-
-
-#: unverified queries that are plain Spark-SQL compositions (TPC-H
-#: shapes, simple rollups) whose building blocks — joins, windows, the
-#: six aggregates — already have many driver-green rows.  With more
-#: never-verified queries than window slots, these yield their slot to
-#: the custom-operator queries (bloom, reservoir, KL drift, dup-ngram,
-#: LSH observability, confusion matrices) that have no similar proxy.
-_WINDOW_DEPRIORITIZED: frozenset[str] = frozenset({
-    "promo_revenue_share", "rich_customers_without_orders",
-    "brand_supplier_reach", "top_building_orders", "parts_promo_revenue",
-    "lineitem_small_quantity_revenue", "lineitem_pricing_summary",
-    "top_orders_per_segment", "customers_without_orders",
-    "suppliers_with_returned_items", "orders_large_volume_customers",
-    "customer_balance_deciles", "orders_revenue_growth_mom",
-    "events_hourly_heatmap", "docs_k_anonymity", "events_new_users_daily",
-    "user_cohort_retention", "events_type_transitions",
-    "documents_profile", "events_pii_scrub",
-    # plain explode+groupBy / window rollups whose shapes are covered by
-    # the verified token-count and sessionization families, unlike the
-    # custom operators
-    "corpus_token_entropy", "events_window_dedup", "text_oov_rate",
-    "lang_id_confusion",
+    # CORRECTNESS_r03.json (47 new hash-green rows)
+    "asof_nearest_purchase_to_view", "asof_next_error_after_purchase",
+    "asof_purchase_attribution", "corpus_clean_pipeline",
+    "corpus_quality_filter", "corpus_token_budget", "docs_chunks",
+    "docs_decontaminated", "docs_dup_ngram_coverage", "docs_sentence_dedup",
+    "docs_snapshot_diff", "docs_temperature_mixture",
+    "docs_weighted_reservoir", "docs_weighted_sample",
+    "edit_distance_verified_pairs", "embedding_ann_topk",
+    "embedding_cosine_topk", "embedding_int8_quant", "embedding_ivf_topk",
+    "embedding_kmeans_clusters", "embedding_matryoshka_topk",
+    "embedding_near_dup_pairs", "embedding_prototype_confusion",
+    "embedding_standardize", "events_anomaly_zscore",
+    "events_cdc_latest_state", "events_ewma", "events_funnel_conversion",
+    "events_gap_fill", "events_props_json", "events_scd2_intervals",
+    "events_session_window_native", "events_sliding_windows",
+    "events_streaming_sessions", "events_zorder_keys",
+    "multimodal_frame_samples", "near_dup_degree_hist",
+    "near_dup_rate_by_source", "ngram_containment_pairs",
+    "orders_bloom_semi_probe", "simhash_near_dup_pairs",
+    "source_lang_kl_drift", "text_pmi_collocations",
+    "text_repetition_scores", "text_tfidf_top_terms",
+    "text_unigram_logprob", "text_vocabulary",
+    # events_user_trend stays out (r02+r03 hash-FAIL, signed zero): its
+    # round-4 fix must land inside the window again
 })
 
 
 def _rotate_for_driver_window() -> None:
-    """Reorder QUERIES/ORACLES: never-driver-verified queries first (in
-    registration order, plain-SQL shapes yielding to custom operators),
+    """Reorder QUERIES/ORACLES: never-driver-verified queries first,
     driver-verified ones after.  Pure reordering — the key sets are
     untouched, so name lookups and full sweeps are unaffected; only the
-    driver's first-N window shifts."""
+    driver's first-N window shifts.
+
+    r04 state: the custom-operator backlog drained in r03 (47 new green
+    rows), so the former ``_WINDOW_DEPRIORITIZED`` plain-SQL set is
+    retired — all ~25 never-verified queries now fit the ~50-slot window
+    at once.  The spare tail slots re-verify queries whose oracle rounds
+    through the ``r6n`` helper (its signed-zero ``+ 0.0`` normalization
+    changed this round; the ``1e-9`` nudge literal in the oracle SQL is
+    the marker), so any unexpected interaction surfaces inside the
+    window rather than silently."""
     global QUERIES, ORACLES
     order = sorted(
         QUERIES,
-        key=lambda n: (n in _DRIVER_VERIFIED, n in _WINDOW_DEPRIORITIZED),
+        key=lambda n: (
+            n in _DRIVER_VERIFIED,
+            "1e-9" not in ORACLES.get(n, ""),
+        ),
     )
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}

@@ -173,3 +173,34 @@ class TestContainment:
             for r in ngram_jaccard_pairs(df, "text", "doc_id", 0.0).collect()
         }
         assert jac.get((1, 3), 0.0) < 0.1  # Jaccard misses the relation
+
+
+def test_signature_stage_table_pairs_match_raw(docs, spark, tmp_path):
+    """pairs-from-stage == pairs-from-raw: the parquet signature stage
+    (write_signatures_table) must be a pure materialization — identical
+    MinHash-LSH and SimHash pair output to the direct pipelines."""
+    path = str(tmp_path / "sigs.parquet")
+    SIM.write_signatures_table(docs, path, text_col="text", id_col="doc_id")
+    staged = SIM.read_signatures_table(spark, path)
+
+    raw_mh = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in SIM.near_dup_pairs(docs, "text", "doc_id", 0.5).collect()
+    )
+    staged_mh = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in SIM.near_dup_pairs_from_signatures(staged, "doc_id", 0.5).collect()
+    )
+    assert staged_mh == raw_mh
+    assert len(staged_mh) > 0  # the planted near-pair must be present
+
+    raw_sh = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in SIM.simhash_pairs(docs, "text", "doc_id", 3).collect()
+    )
+    staged_sh = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in SIM.simhash_pairs_from_signatures(staged, "doc_id", 3).collect()
+    )
+    assert staged_sh == raw_sh
+    assert len(staged_sh) > 0

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import struct
 import sys
 import time
 
@@ -89,12 +90,22 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> dict:
                             "detail", f"col {c}: null/nan {a!r} != {b!r}"
                         )
                     continue
-                if a != b:
+                # Bit-pattern compare, not ==: the driver's value-hash
+                # serializes the float, so 0.0 vs -0.0 (identical under ==)
+                # is a hash FAIL there — r03 proved it live on
+                # events_user_trend.  NaNs were carved out above.
+                if struct.pack(">d", a) != struct.pack(">d", b):
                     exact = False
                     diff = abs(a - b) / max(1.0, abs(b))
                     worst = max(worst, diff)
                     if diff > 1e-9:
                         approx = False
+                    elif a == b:
+                        # bit mismatch with numeric equality == signed zero
+                        approx = False
+                        out.setdefault(
+                            "detail", f"col {c}: signed zero {a!r} != {b!r}"
+                        )
             elif a != b:
                 exact = approx = False
                 out.setdefault("detail", f"col {c}: {a!r} != {b!r}")

@@ -76,17 +76,21 @@ def main() -> int:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "suite_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    # optional direct file output: unlike tee-ing stdout, this can never
+    # be polluted by stray console writes, so the file always json.load's
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
     spark.stop()
     return 0
 

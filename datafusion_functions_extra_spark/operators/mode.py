@@ -20,6 +20,21 @@ dodge), AQE coalesces/splits post-shuffle partitions, and everything stays
 in whole-stage codegen.  Spark 3.4+'s native ``F.mode`` is NOT used because
 its tie-break is non-deterministic, which would break oracle hashing.
 
+State-size expectation (the one §2.1 operator with a real scale footgun;
+the reference documents O(distinct-per-group) accumulator state,
+``src/common/mode/native.rs:28``): stage 1's hash-aggregate state is
+O(distinct (keys, x) pairs) *per task*, spread over the shuffle — the
+distributed analog of the reference's map, bounded by partition count
+rather than a single process.  A pathological domain (mode over a
+near-unique column) degrades stage 1 to ~input cardinality; that is
+inherent to mode, not this plan — the shuffle spills, and the job
+completes instead of OOMing a single accumulator.  For skewed domains
+keep AQE on (``spark.sql.adaptive.enabled`` plus
+``skewJoin.enabled``/``coalescePartitions.enabled``, set in
+``sources.get_spark``): stage 1 partials absorb hot (keys, x) pairs
+map-side, and AQE re-splits oversized post-shuffle partitions at
+runtime.
+
 Type support mirrors the reference dispatch (``src/mode.rs:99-215``):
 integers, floats, strings, dates, timestamps; anything else (boolean,
 binary, decimal, nested) raises, like the reference's ``not_impl_err``

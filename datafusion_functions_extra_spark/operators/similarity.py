@@ -425,13 +425,18 @@ def ngram_containment_pairs(
     probability is Jaccard-driven), so candidate generation here is a
     shingle inverted index probed with each doc's ``probe_k`` smallest
     shingle hashes: if A ⊆ B, every probe of A hits B by construction —
-    recall 1.0 for true containment, cost k rows per doc against a
-    linear-size index, all equi-joins.  Shingles occurring in more than
-    ``max_df`` docs are dropped from the index (stop-shingle filter —
-    boilerplate would otherwise create quadratic hot-key candidates; the
-    repetition/boilerplate ops own that signal).  Exact containment is
-    then verified on the candidate pairs only.  Count ratio →
-    boundary-nudged rounding.
+    cost k rows per doc against a linear-size index, all equi-joins.
+    Shingles occurring in more than ``max_df`` docs are dropped from the
+    index (stop-shingle filter — boilerplate would otherwise create
+    quadratic hot-key candidates; the repetition/boilerplate ops own
+    that signal).  Recall for true containment is therefore 1.0 *given
+    that at least one of the contained doc's k probe shingles survives
+    the df cap*: a doc whose ``probe_k`` smallest hashes are ALL
+    boilerplate (df > max_df) loses every probe and its pairs are
+    missed — the deliberate trade for killing the hot keys; raise
+    ``probe_k``/``max_df`` to push the miss probability down.  Exact
+    containment is then verified on the candidate pairs only.  Count
+    ratio → boundary-nudged rounding.
     """
     sh = df.select(
         F.col(id_col),

@@ -117,5 +117,9 @@ def get_spark(app_name: str = "datafusion-functions-extra-spark", cpus: int | No
         # steady state on the 128 GiB harness box.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout parseable: the console progress bar interleaves
+        # with bench.py's one-line-JSON contract (and any tool that
+        # json.load's a captured log)
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

@@ -338,7 +338,9 @@ def foreach_batch_upsert(
     pointer file flips atomically to the new snapshot directory — the
     poor-man's table format (versioned snapshots + pointer) that gives
     readers snapshot isolation without Delta/Iceberg.  Readers follow the
-    pointer; old snapshots are GC'd out-of-band.
+    pointer; snapshots older than the previous one are pruned inline
+    after each pointer flip (current + previous are kept, so a reader
+    mid-scan on the just-replaced snapshot never loses its files).
 
     Returns the started streaming query (caller awaits termination).
     State per batch is the compacted key space, not the stream history.
@@ -377,6 +379,18 @@ def foreach_batch_upsert(
         with open(ptr + ".tmp", "w") as f:
             f.write(snap)
         os.replace(ptr + ".tmp", ptr)
+        # prune: every snapshot except the new current and the previous
+        # (kept for crash-safety and any in-flight reader that resolved
+        # the pointer just before the flip).  Without this, base_path
+        # accumulates a full compacted copy of the table per micro-batch.
+        import shutil
+
+        keep = {os.path.basename(p) for p in (snap, prev) if p}
+        for entry in os.listdir(base_path):
+            if entry.startswith("snap_") and entry not in keep:
+                shutil.rmtree(
+                    os.path.join(base_path, entry), ignore_errors=True
+                )
 
     return (
         sdf.writeStream.foreachBatch(apply)

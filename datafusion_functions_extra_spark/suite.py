@@ -3251,8 +3251,9 @@ def near_dup_degree_hist(spark, sf_dir):
     "events_hourly_heatmap",
     """
 WITH e AS (
-  SELECT (((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 4) % 7) AS dow,
-         ((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) // 3600000000) AS hour,
+  SELECT ((((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 4) % 7 + 7) % 7) AS dow,
+         (((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000)
+            % 86400000000) // 3600000000) AS hour,
          value
   FROM events
 )
@@ -3263,17 +3264,26 @@ FROM e GROUP BY 1, 2
 def events_hourly_heatmap(spark, sf_dir):
     """Activity heatmap by (day-of-week, hour) — the ops-dashboard
     rollup.  Day-of-week is computed from epoch-day integer arithmetic
-    ((days + 4) % 7, 0 = Sunday) instead of each engine's dayofweek()
+    ((days + 4) mod 7, 0 = Sunday) instead of each engine's dayofweek()
     — Spark counts Sunday=1, DuckDB Sunday=0, so calendar functions are
-    a cross-engine trap; integer math is the portable form."""
+    a cross-engine trap; integer math is the portable form.
+
+    Division/modulo are pinned to FLOOR semantics on both engines for
+    any epoch sign: Spark's ``div``/``%`` truncate toward zero while
+    DuckDB's ``//`` floors, so the naive forms agree only on post-1970
+    data.  Spark side: ``pmod`` + exact subtraction (``x - pmod(x, d)``
+    is divisible, so ``div`` of it equals floor); DuckDB side: the
+    ``((x % d) + d) % d`` wrap."""
     e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    day_us = F.lit(86400000000)
+    # floor(us / day_us) as exact integer math: subtract the non-negative
+    # pmod remainder first, then truncating div equals floor for any sign
+    epoch_day = (us - F.pmod(us, day_us)).cast("long") / day_us
     return (
         e.select(
-            # integer div end-to-end: double-divide-then-cast truncates
-            # toward zero (diverges from floor for pre-1970 epochs) and
-            # would contradict the portable-integer-math claim above
-            ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow"),
-            F.expr("(unix_micros(ts) % 86400000000) div 3600000000").alias("hour"),
+            F.pmod(epoch_day.cast("long") + 4, F.lit(7)).alias("dow"),
+            (F.pmod(us, day_us) / F.lit(3600000000)).cast("long").alias("hour"),
             "value",
         )
         .groupBy("dow", "hour")

@@ -190,6 +190,11 @@ def test_foreach_batch_upsert_matches_batch_cdc(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+    # pruning: only current + previous snapshots may remain on disk —
+    # without it the sink accumulates a full table copy per micro-batch
+    snaps = [d for d in os.listdir(sink) if d.startswith("snap_")]
+    assert len(snaps) == 2
+    assert os.path.basename(latest_path) in snaps
 
 
 def test_streaming_interval_join_matches_batch(spark):

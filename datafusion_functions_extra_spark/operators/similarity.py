@@ -643,6 +643,90 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: for each query vector, the top-k most
+    cosine-similar vectors with a DIFFERENT label — the contrastive-
+    training pairs that are hard precisely because the embedding thinks
+    they match.  (q_id, neighbor_id, neighbor_label, cos, rank).
+
+    Same plan skeleton as :func:`cosine_topk` (broadcast query side, one
+    corpus pass, per-query top-k via rank window on the rounded cosine),
+    plus the label-inequality predicate evaluated inside the same join —
+    no second pass, no extra shuffle.  At 100 TB the label filter
+    typically removes ~1/n_classes of candidates for free during the
+    scan.
+    """
+    from pyspark.sql import Window
+
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("neighbor_label")),
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "neighbor_label",
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def hard_negative_topk_oracle_sql(query_ids: list[int], k: int = 3) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _cos_sql("q.q_vec", "e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         round({cos}, 6) AS cos
+  FROM q JOIN embeddings e
+    ON e.vec_id <> q.q_id AND e.label <> q.q_label
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, neighbor_label, cos, rank::INT AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 #: matryoshka prefix width — the truncated-embedding cheap-search dims
 MATRYOSHKA_DIMS = 16
 

@@ -39,6 +39,8 @@ from .functions.aggregates import kurtosis, kurtosis_pop, max_by, min_by, skewne
 from .operators import clustering as CL
 from .operators import decontaminate as DECON
 from .operators import dedup as DD
+from .operators import importance as IMP
+from .operators import sketches as SKCH
 from .operators import sessions as SS
 from .operators import similarity as SIM
 from .operators import skew as SK
@@ -1108,6 +1110,82 @@ ANN_QUERY_IDS = list(range(8))
 def near_dup_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return SIM.near_dup_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+@query(
+    "docs_dsir_importance",
+    IMP.dsir_importance_oracle_sql("lang = 'en'"),
+)
+def docs_dsir_importance(spark, sf_dir):
+    """DSIR data-selection scores (operators/importance.py): per-doc
+    hashed unigram+bigram log-likelihood ratio against the English
+    subset as the target domain — the published importance-resampling
+    recipe for "more data like this" selection, as three shuffles and a
+    broadcastable 1024-row model."""
+    d = load_table(spark, sf_dir, "documents")
+    return IMP.dsir_importance(d, "text", "doc_id", F.col("lang") == "en")
+
+
+@query(
+    "token_cms_estimates",
+    f"""
+WITH t AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+items AS (SELECT unnest(toks) AS item FROM t),
+{SKCH.cms_cte_sql().strip().rstrip()},
+exact AS (
+  SELECT item AS term, count(*) AS exact_n FROM items
+  GROUP BY 1 ORDER BY exact_n DESC, term DESC LIMIT 10
+),
+probes AS (
+  SELECT term, exact_n,
+         {SIM._hash60_sql('term')} % {SIM.MERSENNE_P} AS h
+  FROM exact
+),
+probe_rc AS (
+  {" UNION ALL ".join(f"SELECT term, exact_n, {r} AS r, {SKCH._cms_col_sql('h', r)} AS c FROM probes" for r in range(SKCH.CMS_DEPTH))}
+),
+est AS (
+  SELECT term, exact_n, min(coalesce(cnt, 0)) AS est_n
+  FROM probe_rc LEFT JOIN sketch USING (r, c)
+  GROUP BY 1, 2
+)
+SELECT term, exact_n, est_n FROM est
+""",
+)
+def token_cms_estimates(spark, sf_dir):
+    """Count-min sketch frequency estimates (operators/sketches.py) for
+    the exact top-10 tokens, alongside their true counts — est_n >=
+    exact_n always, equality when the item's counters are collision-free.
+    The sketch is a (r, c, cnt) relation built in one explode+groupBy and
+    broadcast for probing; the oracle reproduces every counter from the
+    same md5 multiply-mod hash family, so even the estimates hash-match."""
+    d = load_table(spark, sf_dir, "documents")
+    items = d.select(F.explode(TX.tokens("text")).alias("item"))
+    sketch = SKCH.cms_build(items, "item")
+    top = (
+        items.groupBy(F.col("item").alias("term"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("term").desc())
+        .limit(10)
+    )
+    est = SKCH.cms_estimate(
+        sketch, top.select(F.col("term").alias("item")), "item"
+    )
+    return top.join(
+        F.broadcast(est), top.term == est.item
+    ).select("term", "exact_n", "est_n")
+
+
+@query(
+    "embedding_hard_negatives",
+    SIM.hard_negative_topk_oracle_sql(list(range(8)), 3),
+)
+def embedding_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per query vector, the top-3 most
+    cosine-similar vectors with a DIFFERENT label (similarity.py).  Same
+    broadcast-query single-corpus-pass plan as the exact top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.hard_negative_topk(e, ANN_QUERY_IDS, k=3)
 
 
 def _signature_stage_path(sf_dir: str) -> str:

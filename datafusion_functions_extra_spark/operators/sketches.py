@@ -95,15 +95,49 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str) -> DataFra
     )
 
 
-def cms_cte_sql() -> str:
-    """DuckDB CTE fragment ``sketch(r, c, cnt)`` given a relation
-    ``items(item)`` already defined; splice after an ``items`` CTE."""
+def cms_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """One row ``(est_pairs)``: the count-min estimate of equi-join
+    cardinality ``sum_k fA(k) * fB(k)`` — min over the depth rows of the
+    per-row counter inner product (Cormode & Muthukrishnan's inner-product
+    query).  Always >= the true join size; equality when a row is
+    collision-free.
+
+    This is the join-planning/observability primitive: two O(depth*width)
+    relations answer "how big would this join be" without touching the
+    join inputs again.  Sketch-sketch join is tiny; a missing (r, c)
+    match contributes zero, and rows with no matches at all are restored
+    via the depth spine so the min is over all depth rows.
+    """
+    a = sketch_a.select("r", "c", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("r", "c", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("p"))
+    )
+    spine = (
+        sketch_a.sparkSession.range(CMS_DEPTH)
+        .select(F.col("id").cast("int").alias("r"))
+    )
+    return (
+        spine.join(per_row, "r", "left")
+        .select(F.coalesce("p", F.lit(0)).alias("p"))
+        .agg(F.min("p").alias("est_pairs"))
+    )
+
+
+def cms_cte_sql(prefix: str = "") -> str:
+    """DuckDB CTE fragment ``{prefix}sketch(r, c, cnt)`` given a relation
+    ``{prefix}items(item)`` already defined; splice after that CTE.  A
+    non-empty prefix lets one query build several sketches (e.g. the
+    join-size estimator's two sides)."""
+    p = prefix
     unions = " UNION ALL ".join(
-        f"SELECT {r} AS r, {_cms_col_sql('h', r)} AS c FROM hashed"
+        f"SELECT {r} AS r, {_cms_col_sql('h', r)} AS c FROM {p}hashed"
         for r in range(CMS_DEPTH)
     )
     return f"""
-hashed AS (SELECT {_hash60_sql('item')} % {MERSENNE_P} AS h FROM items),
-rc AS ({unions}),
-sketch AS (SELECT r, c, count(*) AS cnt FROM rc GROUP BY r, c)
+{p}hashed AS (SELECT {_hash60_sql('item')} % {MERSENNE_P} AS h FROM {p}items),
+{p}rc AS ({unions}),
+{p}sketch AS (SELECT r, c, count(*) AS cnt FROM {p}rc GROUP BY r, c)
 """

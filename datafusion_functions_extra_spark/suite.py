@@ -1188,6 +1188,156 @@ def embedding_hard_negatives(spark, sf_dir):
     return SIM.hard_negative_topk(e, ANN_QUERY_IDS, k=3)
 
 
+@query(
+    "events_join_size_estimate",
+    f"""
+WITH a_items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events
+                 WHERE event_type = 'click'),
+b_items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events
+            WHERE event_type = 'purchase'),
+{SKCH.cms_cte_sql('a_').strip()},
+{SKCH.cms_cte_sql('b_').strip()},
+per_row AS (
+  SELECT a.r, sum(a.cnt * b.cnt) AS p
+  FROM a_sketch a JOIN b_sketch b USING (r, c) GROUP BY a.r
+),
+spine AS (SELECT unnest(generate_series(0, {SKCH.CMS_DEPTH - 1})) AS r),
+est AS (
+  SELECT min(coalesce(p, 0))::BIGINT AS est_pairs
+  FROM spine LEFT JOIN per_row USING (r)
+),
+exact AS (
+  SELECT sum(x.na * y.nb)::BIGINT AS exact_pairs
+  FROM (SELECT item, count(*) AS na FROM a_items GROUP BY 1) x
+  JOIN (SELECT item, count(*) AS nb FROM b_items GROUP BY 1) y USING (item)
+)
+SELECT est_pairs, exact_pairs FROM est, exact
+""",
+)
+def events_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation from two count-min sketches: the CMS
+    inner product (min over depth rows of the per-row counter dot
+    product) estimates |clicks JOIN purchases ON user_id| without
+    touching the join inputs — two O(depth*width) relations answer the
+    planner/observability question.  est_pairs >= exact_pairs always;
+    the exact side is computed alongside for calibration."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    est = SKCH.cms_join_size_estimate(
+        SKCH.cms_build(clicks, "item"), SKCH.cms_build(purchases, "item")
+    )
+    na = clicks.groupBy("item").agg(F.count(F.lit(1)).alias("na"))
+    nb = purchases.groupBy("item").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        na.join(nb, "item")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_pairs"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "lineitem_winsorized_stats",
+    f"""
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT l.l_returnflag,
+         greatest(q.p01, least(q.p99, l.l_extendedprice)) AS v
+  FROM lineitem l JOIN q USING (l_returnflag)
+)
+SELECT l_returnflag, count(*) AS n,
+       {_r6n_sql('avg(v)')} AS mean_wins,
+       {_r6n_sql('stddev_samp(v)')} AS std_wins
+FROM c GROUP BY 1
+""",
+)
+def lineitem_winsorized_stats(spark, sf_dir):
+    """Winsorized (p01/p99-clipped) mean and std per group — the robust
+    profile a feature pipeline publishes when raw moments are outlier-
+    hostage.  Per-group percentiles are one aggregate over the same
+    shuffle key, broadcast back for the clip; Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share linear interpolation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    clipped = li.join(F.broadcast(q), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest(
+            F.col("p01"), F.least(F.col("p99"), F.col("l_extendedprice"))
+        ).alias("v"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6n(F.avg("v")).alias("mean_wins"),
+        _r6n(F.stddev_samp("v")).alias("std_wins"),
+    )
+
+
+@query(
+    "lang_id_kappa",
+    f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKENS_SQL} AS toks FROM documents),
+scores AS ({_lang_scores_sql()}),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) rn
+  FROM scores
+),
+pred AS (SELECT t.lang AS lt, p.lang AS lp
+         FROM t JOIN (SELECT doc_id, lang FROM r WHERE rn = 1) p USING (doc_id)),
+tot AS (SELECT count(*) AS n, count(CASE WHEN lt = lp THEN 1 END) AS agree FROM pred),
+mt AS (SELECT lt AS k, count(*) AS nt FROM pred GROUP BY 1),
+mp AS (SELECT lp AS k, count(*) AS np FROM pred GROUP BY 1),
+pe_sum AS (SELECT sum(mt.nt * mp.np)::BIGINT AS s FROM mt JOIN mp USING (k))
+SELECT n, agree,
+       {_r6n_sql('(agree::DOUBLE / n)')} AS po,
+       {_r6n_sql('(s::DOUBLE / (n::DOUBLE * n))')} AS pe,
+       {_r6n_sql('''((agree::DOUBLE / n) - (s::DOUBLE / (n::DOUBLE * n)))
+            / nullif(1.0 - (s::DOUBLE / (n::DOUBLE * n)), 0.0)''')} AS kappa
+FROM tot, pe_sum
+""",
+)
+def lang_id_kappa(spark, sf_dir):
+    """Cohen's kappa of the lang-id heuristic against catalog labels —
+    chance-corrected agreement, the single-number companion to the
+    confusion matrix.  All inputs are exact integer counts (n, agree,
+    marginal products); only the final ratios touch floats, through the
+    boundary-nudged rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("lt"), TX.lang_id("text").alias("lp")
+    )
+    tot = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("lt") == F.col("lp"), 1)).alias("agree"),
+    )
+    mt = pred.groupBy(F.col("lt").alias("k")).agg(F.count(F.lit(1)).alias("nt"))
+    mp = pred.groupBy(F.col("lp").alias("k")).agg(F.count(F.lit(1)).alias("np"))
+    pe_sum = mt.join(mp, "k").agg(F.sum(F.col("nt") * F.col("np")).alias("s"))
+    j = tot.crossJoin(F.broadcast(pe_sum))
+    n_d = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n_d
+    pe = F.col("s").cast("double") / (n_d * n_d)
+    return j.select(
+        "n",
+        "agree",
+        _r6n(po).alias("po"),
+        _r6n(pe).alias("pe"),
+        _r6n((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))).alias("kappa"),
+    )
+
+
 def _signature_stage_path(sf_dir: str) -> str:
     """Deterministic per-SF scratch location for the LSH signature stage
     table (``write_signatures_table``).  Lives under /tmp — this is the

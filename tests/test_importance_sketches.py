@@ -118,3 +118,28 @@ def test_hard_negatives_exclude_same_label(spark):
     out = [(r.neighbor_id, r.neighbor_label, r.rank) for r in got.collect()]
     # vec 1 (label 0) is nearest but must be skipped; vec 2 leads
     assert out == [(2, 1, 1), (3, 1, 2)]
+
+
+def test_cms_join_size_estimate_upper_bounds_exact(spark):
+    a = spark.createDataFrame(
+        [("u1",)] * 3 + [("u2",)] * 2 + [("u3",)], "item string"
+    )
+    b = spark.createDataFrame(
+        [("u1",)] * 2 + [("u2",)] * 4 + [("u9",)], "item string"
+    )
+    est = SKCH.cms_join_size_estimate(
+        SKCH.cms_build(a, "item"), SKCH.cms_build(b, "item")
+    ).collect()[0].est_pairs
+    exact = 3 * 2 + 2 * 4  # u1: 3x2, u2: 2x4, u3/u9 unmatched
+    assert est >= exact
+    # 4 distinct keys in 4x256 counters: collision-free, estimate exact
+    assert est == exact
+
+
+def test_cms_join_size_disjoint_is_zero(spark):
+    a = spark.createDataFrame([("x1",), ("x2",)], "item string")
+    b = spark.createDataFrame([("y1",), ("y2",)], "item string")
+    est = SKCH.cms_join_size_estimate(
+        SKCH.cms_build(a, "item"), SKCH.cms_build(b, "item")
+    ).collect()[0].est_pairs
+    assert est == 0

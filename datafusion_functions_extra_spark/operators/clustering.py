@@ -102,12 +102,14 @@ def kmeans_assign(
     return assigned.select("vec_id", "cluster", "dist")
 
 
-def kmeans_oracle_sql(
+def _kmeans_cte_body(
     centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
     n_iters: int = KMEANS_ITERS,
     dim: int = EMBEDDING_DIM,
 ) -> str:
-    """DuckDB mirror: identical seeding, rounding, and tie-breaks."""
+    """WITH-body CTE chain ending in ``a{n_iters}(vec_id, vec, cid, dist)``
+    — shared by :func:`kmeans_oracle_sql` and the SemDeDup oracle so the
+    two queries can never walk different trajectories."""
     ids = ", ".join(str(i) for i in centroid_ids)
     dist = (
         f"round(list_sum(list_transform(generate_series(1, {dim}), "
@@ -145,5 +147,102 @@ u{it} AS (
 ),
 c{it + 1} AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM u{it} GROUP BY cid)"""
             )
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def kmeans_oracle_sql(
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    """DuckDB mirror: identical seeding, rounding, and tie-breaks."""
+    body = _kmeans_cte_body(centroid_ids, n_iters, dim)
     return f"WITH {body}\nSELECT vec_id, cid AS cluster, dist FROM a{n_iters}"
+
+
+#: SemDeDup within-cluster cosine cut — above the corpus p99 (~0.29) so the
+#: drop set is the true near-duplicate tail, not the bulk
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+    n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, kept) — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): semantic deduplication by clustering embeddings
+    (k-means, shared trajectory with :func:`kmeans_assign`) then dropping,
+    *within each cluster only*, any vector that has a smaller-id neighbor
+    at cosine >= ``threshold`` (deterministic min-id keep, the same rule
+    as the MinHash ``near_dup_clusters`` keep step).
+
+    The pair search is restricted to cluster blocks — cost
+    sum_c n_c^2 instead of corpus^2, and each block's self-join is a
+    plain equi-join on the cluster id.  At 100 TB the cluster count
+    scales with the corpus (k ~ n / target_block_size, e.g. ~100k
+    clusters) so blocks stay bounded; here k is the suite's fixed 16-seed
+    IVF grid to keep the oracle trajectory exact.  Cosines are rounded to
+    6 dp before the threshold compare (cross-engine determinism, same as
+    ``embedding_near_dup_pairs``).
+    """
+    from .similarity import cosine
+
+    assigned = kmeans_assign(emb, centroid_ids, n_iters, id_col, vec_col)
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    j = assigned.join(vecs, "vec_id")
+    a = j.select(
+        F.col("vec_id").alias("id_a"), F.col("cluster"), F.col("vec").alias("v_a")
+    )
+    b = j.select(
+        F.col("vec_id").alias("id_b"), F.col("cluster"), F.col("vec").alias("v_b")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(F.round(cosine(F.col("v_a"), F.col("v_b")), 6) >= F.lit(threshold))
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("is_dropped").isNull().alias("kept"),
+        )
+    )
+
+
+def semdedup_oracle_sql(
+    threshold: float = SEMDEDUP_THRESHOLD,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    """DuckDB mirror of :func:`semdedup` over the shared k-means CTE body."""
+    cos = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> a.vec[i] * b.vec[i])) / "
+        f"(sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> a.vec[i] * a.vec[i]))) * "
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> b.vec[i] * b.vec[i]))))"
+    )
+    body = _kmeans_cte_body(centroid_ids, n_iters, dim)
+    return f"""
+WITH {body},
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM a{n_iters} a JOIN a{n_iters} b
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE round({cos}, 6) >= {threshold}
+)
+SELECT a.vec_id, a.cid AS cluster, d.vec_id IS NULL AS kept
+FROM a{n_iters} a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""

@@ -1313,3 +1313,138 @@ r AS (
 )
 SELECT q_id, neighbor_id, cos, rank::INT AS rank FROM r WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source corpus overlap
+# ---------------------------------------------------------------------------
+
+
+def source_overlap_jaccard(
+    df: DataFrame, text_col: str, source_col: str = "source"
+) -> DataFrame:
+    """(src_a, src_b, n_a, n_b, n_common, jaccard) — distinct-shingle-set
+    Jaccard between every pair of corpus sources: the "how much does
+    CommonCrawl overlap GitHub" question that drives source-level mixing
+    and dedup budgeting.
+
+    Shape: explode each doc's distinct shingles, reduce to the distinct
+    (source, shingle) relation — at most |sources| rows per shingle — then
+    one self-equi-join on the shingle keyed by ``src_a < src_b``.  The
+    join input is already deduplicated, so a shingle shared by all sources
+    contributes |sources|^2 rows, never n_docs^2; with the handful of
+    sources a real corpus has, candidate volume is linear in distinct
+    shingles.  At 100 TB the (source, shingle) relation is the thing to
+    stage to parquet (same argument as write_signatures_table).
+    """
+    sh = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.array_distinct(_shingles_or_whole(F.col(text_col)))
+            ).alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("src").alias("src_a"), "s")
+        .join(sh.select(F.col("src").alias("src_b"), "s"), "s")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a")), "src_a")
+        .join(sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            r6n(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_jaccard_oracle_sql() -> str:
+    return f"""
+WITH t AS (SELECT source, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks FROM documents),
+shl AS (
+  SELECT source,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [norm] END AS shingles
+  FROM t
+),
+e AS (
+  SELECT DISTINCT src, s FROM (
+    SELECT source AS src, unnest(list_distinct(shingles)) AS s FROM shl
+  )
+),
+sizes AS (SELECT src, count(*) AS n FROM e GROUP BY 1),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+  FROM e a JOIN e b ON a.s = b.s AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+       {r6n_sql('i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)::DOUBLE')} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.src = i.src_a
+JOIN sizes sb ON sb.src = i.src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """(id, component, split) — train/val/test assignment that cannot leak
+    near-duplicates across splits: hash the *near-dup component id*, not
+    the document id, so every document in a connected near-dup cluster
+    lands in the same split by construction (doc-level hash splits put
+    ~near-identical train/test twins on opposite sides — the classic
+    contamination bug a doc-hash split can't see).
+
+    80/10/10 on ``md5(component)``: the same :func:`hash60` primitive as
+    the dedup keys, mod 100 — deterministic, engine-portable, and
+    independent of corpus order.  Cost is one :func:`near_dup_components`
+    run plus a map; at 100 TB the component relation is the already-staged
+    dedup output, so the split itself is a free column.
+    """
+    comp = near_dup_components(df, text_col, id_col, threshold)
+    h = hash60(F.col("component").cast("string")) % 100
+    return comp.select(
+        id_col,
+        "component",
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def leakage_safe_split_oracle_sql(threshold: float = 0.5) -> str:
+    """Recursive-CTE components (same body as
+    :func:`near_dup_components_oracle_sql`) + the md5-mod-100 split rule."""
+    comp = near_dup_components_oracle_sql(threshold).strip()
+    h = f"({_hash60_sql('component::VARCHAR')} % 100)"
+    return f"""
+WITH comp AS ({comp})
+SELECT doc_id, component,
+       CASE WHEN {h} < 80 THEN 'train'
+            WHEN {h} < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM comp
+"""

@@ -3944,6 +3944,228 @@ def docs_dup_ngram_coverage(spark, sf_dir):
     return TX.duplicate_ngram_coverage(d, "text", "doc_id")
 
 
+@query("embedding_semdedup", CL.semdedup_oracle_sql())
+def embedding_semdedup(spark, sf_dir):
+    """SemDeDup (operators/clustering.py semdedup): semantic near-dup
+    pruning by k-means clustering + within-cluster cosine cut with a
+    deterministic min-id keep rule — pair search restricted to cluster
+    blocks, never corpus x corpus.  The oracle replays the identical
+    k-means trajectory (shared CTE body with embedding_kmeans_clusters)
+    so kept/dropped flags match bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return CL.semdedup(e)
+
+
+@query("source_overlap_jaccard", SIM.source_overlap_jaccard_oracle_sql())
+def source_overlap_jaccard(spark, sf_dir):
+    """Cross-source corpus overlap (operators/similarity.py
+    source_overlap_jaccard): distinct-shingle Jaccard between every
+    source pair, from one deduplicated (source, shingle) relation and a
+    single self-equi-join on the shingle — the source-level mixing /
+    dedup-budget signal."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.source_overlap_jaccard(d, "text", "source")
+
+
+@query("docs_leakage_safe_split", SIM.leakage_safe_split_oracle_sql(0.5))
+def docs_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/similarity.py
+    leakage_safe_split): hash the near-dup *component* id, not the doc
+    id, so connected near-duplicates can never straddle a split
+    boundary.  80/10/10 via md5(component) % 100; oracle replays the
+    recursive-CTE connected components plus the same hash rule."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.leakage_safe_split(d, "text", "doc_id", threshold=0.5)
+
+
+@query(
+    "orders_priority_late_ship",
+    """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+""",
+)
+def orders_priority_late_ship(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to the synthetic schema, which has no
+    l_commitdate): orders placed in 1996 with at least one lineitem
+    shipped more than 60 days after the order date, counted per
+    priority.  EXISTS compiles to a left-semi join; the date-range
+    filter pushes into the orders scan, so the semi join probes only
+    one year of orders."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "lineitem_status_priority_counts",
+    """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+)
+def lineitem_status_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: the synthetic schema has no l_shipmode,
+    so lines group by linestatus): 1996-shipped lineitems joined to
+    their orders, split into high/low-priority line counts.  The
+    shipdate filter pushes into the lineitem scan; the join shuffles on
+    l_orderkey with map-side partial counts after."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "quality_calibration_bins",
+    f"""
+WITH t AS (
+  SELECT doc_id, md5(text) AS k, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, k,
+         round(
+           0.3 * least(1.0, length(norm)::DOUBLE / 500.0)
+         + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * (1.0 - least(1.0,
+              abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
+                  / len(toks)::DOUBLE - 0.4) / 0.6))
+           + 1e-9,
+         6) AS quality
+  FROM t
+),
+dc AS (SELECT k, count(*) AS c FROM q GROUP BY 1)
+SELECT least(9, floor(q.quality * 10))::INT AS bin,
+       count(*) AS n_docs,
+       {_r6n_sql('avg(q.quality)')} AS avg_quality,
+       {_r6n_sql('sum(CASE WHEN dc.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)')} AS dup_rate
+FROM q JOIN dc USING (k)
+GROUP BY 1
+""",
+)
+def quality_calibration_bins(spark, sf_dir):
+    """Quality-score calibration/reliability bins: decile-bin the heuristic
+    quality score and report per-bin document count, mean score, and
+    exact-duplicate rate — the curve that says whether the scorer
+    actually separates duplicated boilerplate from fresh prose.  One
+    scan computes score + content key; the dup flag is a count over the
+    32-byte md5 key (never the text); binning is a map."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        F.md5(F.col("text").cast("binary")).alias("k"),
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("quality"),
+    )
+    dc = q.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        q.join(dc, "k")
+        .withColumn(
+            "bin",
+            F.least(F.lit(9), F.floor(F.col("quality") * 10)).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r6n(F.avg("quality")).alias("avg_quality"),
+            _r6n(
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "docs_cross_snapshot_dedup",
+    """
+WITH old AS (SELECT md5(text) AS k FROM documents GROUP BY 1),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 0
+)
+SELECT n.doc_id, o.k IS NOT NULL AS dup_of_old
+FROM (SELECT doc_id, md5(text) AS k FROM new) n
+LEFT JOIN old o ON n.k = o.k
+""",
+)
+def docs_cross_snapshot_dedup(spark, sf_dir):
+    """Incremental (cross-snapshot) exact dedup: flag rows of an incoming
+    batch whose content key already exists in the historical corpus —
+    the per-ingest dedup pass that keeps a growing 100 TB corpus clean
+    without ever re-shuffling old text.  Both sides reduce to 32-byte
+    md5 keys before the join; the historical side is key-distinct (and
+    at scale would be the persisted key index / Bloom pre-filter from
+    operators/bloom.py).  The batch is the same deterministic mutation
+    as docs_snapshot_diff (1/17 removed, 1/13 revised, 1/19 cloned)."""
+    d = load_table(spark, sf_dir, "documents")
+    old_keys = (
+        d.select(F.md5(F.col("text").cast("binary")).alias("k")).distinct()
+    )
+    new = (
+        d.where(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" rev2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 19 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("k"))
+    )
+    return (
+        new.join(
+            old_keys.withColumn("seen", F.lit(True)), "k", "left"
+        )
+        .select("doc_id", F.coalesce("seen", F.lit(False)).alias("dup_of_old"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -1,0 +1,145 @@
+"""Tests for the round-4 pipeline additions: SemDeDup, cross-source
+overlap, leakage-safe splits, and cross-snapshot dedup (no reference
+analog; driver-mandated training-data-pipeline extras)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_extra_spark.operators import clustering as CL
+from datafusion_functions_extra_spark.operators import similarity as SIM
+
+A = "the quick brown fox jumps over the lazy dog and runs far away today"
+A_NEAR = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+B = "completely different content about spark aggregation engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, A, "s1"), (2, A_NEAR, "s2"), (3, B, "s1"), (4, A, "s2")],
+        "doc_id bigint, text string, source string",
+    )
+
+
+# -- SemDeDup ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_vecs(spark):
+    """3 planted clusters of near-identical vectors + one outlier; seeds
+    are the first rows of each cluster so k-means separates them."""
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    vid = 0
+    for c, v in base.items():
+        for j in range(3):  # 3 near-copies per cluster
+            bumped = [x + (0.01 * j if i == 3 else 0.0) for i, x in enumerate(v)]
+            rows.append((vid, bumped))
+            vid += 1
+    rows.append((vid, [0.5, 0.5, 0.5, 0.5]))  # equidistant-ish outlier
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semdedup_drops_within_cluster_dups(planted_vecs):
+    out = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in CL.semdedup(
+            planted_vecs,
+            threshold=0.99,
+            centroid_ids=(0, 3, 6),
+            n_iters=2,
+            vec_col="embedding",
+        ).collect()
+    }
+    assert len(out) == 10
+    # in each planted cluster the min-id member is kept, near-copies drop
+    for lead in (0, 3, 6):
+        assert out[lead][1] is True
+        for dup in (lead + 1, lead + 2):
+            assert out[dup][1] is False, f"vec {dup} should drop (near-copy)"
+            assert out[dup][0] == out[lead][0], "near-copies share a cluster"
+    assert out[9][1] is True  # outlier has no >=0.99 neighbor
+
+
+def test_semdedup_threshold_one_keeps_all_but_exact(planted_vecs):
+    kept = {
+        r.vec_id: r.kept
+        for r in CL.semdedup(
+            planted_vecs,
+            threshold=1.1,  # above max cosine -> nothing drops
+            centroid_ids=(0, 3, 6),
+            vec_col="embedding",
+        ).collect()
+    }
+    assert all(kept.values())
+
+
+# -- cross-source overlap ---------------------------------------------------
+
+
+def test_source_overlap_exact_dup_sources_fully_overlap(docs):
+    out = {
+        (r.src_a, r.src_b): r
+        for r in SIM.source_overlap_jaccard(docs, "text", "source").collect()
+    }
+    r = out[("s1", "s2")]
+    # s2 contains an exact copy of s1's doc 1 (doc 4) -> every shingle of
+    # doc 1 is shared; s1 also has unrelated doc 3, s2 the near-dup doc 2
+    assert r.n_common >= 1
+    assert 0.0 < r.jaccard < 1.0
+    assert r.n_a > r.n_common and r.n_b > r.n_common
+
+
+def test_source_overlap_disjoint_sources_absent(spark):
+    d = spark.createDataFrame(
+        [(1, A, "x"), (2, B, "y")], "doc_id bigint, text string, source string"
+    )
+    rows = SIM.source_overlap_jaccard(d, "text", "source").collect()
+    assert rows == []  # no shared shingles -> no pair row
+
+
+# -- leakage-safe split -----------------------------------------------------
+
+
+def test_leakage_safe_split_components_never_straddle(docs):
+    rows = SIM.leakage_safe_split(docs, "text", "doc_id", threshold=0.4).collect()
+    assert len(rows) == 4
+    by_comp: dict[int, set[str]] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    for comp, splits in by_comp.items():
+        assert len(splits) == 1, f"component {comp} straddles splits {splits}"
+    # docs 1 and 4 are exact dups -> same component -> same split
+    comp = {r.doc_id: r.component for r in rows}
+    assert comp[1] == comp[4]
+    split = {r.doc_id: r.split for r in rows}
+    assert split[1] == split[4]
+    assert {r.split for r in rows} <= {"train", "validation", "test"}
+
+
+# -- cross-snapshot dedup (suite-level wiring) ------------------------------
+
+
+def test_cross_snapshot_dedup_flags_clones_not_revisions(spark):
+    from datafusion_functions_extra_spark import suite
+
+    out = {
+        r.doc_id: r.dup_of_old
+        for r in suite.QUERIES["docs_cross_snapshot_dedup"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # cloned ids (doc_id + 1000000, text unchanged) are dups of old
+    clones = [i for i in out if i >= 1000000]
+    assert clones and all(out[i] for i in clones)
+    # revised texts (doc_id % 13 == 0, ' rev2' appended) are NOT dups
+    revised = [
+        i for i in out if i < 1000000 and i % 13 == 0 and i % 17 != 0
+    ]
+    assert revised and all(not out[i] for i in revised)

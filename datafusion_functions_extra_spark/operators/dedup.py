@@ -43,3 +43,110 @@ def dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+
+def duplicate_token_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, span_start, span_end, n_tokens) — maximal cross-document
+    duplicated token spans per document: every run of tokens covered by
+    k-token shingles that also occur in at least one *other* document,
+    with overlapping/adjacent shingle hits merged into one interval
+    (1-based inclusive token positions).
+
+    This is the span-level form of exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) re-expressed relationally instead of via a suffix
+    array: positioned shingle hashes -> global document-frequency ->
+    gaps-and-islands merge, all shuffles keyed on 60-bit hashes or the
+    doc id, integer-only output (no float drift class at all).  At
+    100 TB the df relation is the thing to stage/Bloom-filter; the merge
+    window is per-document and therefore embarrassingly parallel.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import hash60, _shingles_or_whole  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(id_col),
+        F.transform(
+            _shingles_or_whole(F.col(text_col)), hash60
+        ).alias("hs"),
+    )
+    # _shingles_or_whole already yields one k-gram per starting position
+    # for k=3 (SHINGLE_WORDS); positions are 1-based
+    pos = toks.select(
+        F.col(id_col), F.posexplode("hs").alias("p0", "h")
+    ).select(F.col(id_col), (F.col("p0") + 1).alias("s"), "h")
+    dfreq = pos.groupBy("h").agg(
+        F.countDistinct(id_col).alias("ndocs")
+    )
+    hits = (
+        pos.join(dfreq.where(F.col("ndocs") > 1).select("h"), "h")
+        .select(F.col(id_col), "s", (F.col("s") + k - 1).alias("e"))
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(
+            F.lag("e").over(w).isNull() | (F.col("s") > F.lag("e").over(w) + 1),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(id_col, "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).alias("n_tokens"),
+    ).select(id_col, "span_start", "span_end", "n_tokens")
+
+
+def duplicate_token_spans_oracle_sql(k: int = 3) -> str:
+    """DuckDB mirror of :func:`duplicate_token_spans` (same shingling as
+    similarity's ``_sig_cte``, same lag-based islands merge)."""
+    from .similarity import _NORM_SQL, _TOKS_SQL, _hash60_sql  # noqa: PLC0415
+
+    return f"""
+WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k}
+              THEN list_transform(generate_series(1, len(toks) - {k - 1}),
+                                  i -> array_to_string(toks[i:i+{k - 1}], ' '))
+              ELSE [norm] END AS shingles
+  FROM t
+),
+pos AS (
+  SELECT doc_id, u.s AS s, {_hash60_sql('u.sh')} AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(shingles)),
+                                 i -> struct_pack(s := i, sh := shingles[i]))) AS u
+    FROM sh
+  )
+),
+dfreq AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+hits AS (
+  SELECT pos.doc_id, pos.s, pos.s + {k - 1} AS e
+  FROM pos JOIN dfreq USING (h)
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN lag(e) OVER w IS NULL OR s > lag(e) OVER w + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+       (max(e) - min(s) + 1) AS n_tokens
+FROM islands GROUP BY doc_id, island
+"""

@@ -3944,6 +3944,17 @@ def docs_dup_ngram_coverage(spark, sf_dir):
     return TX.duplicate_ngram_coverage(d, "text", "doc_id")
 
 
+@query("docs_dup_token_spans", DD.duplicate_token_spans_oracle_sql())
+def docs_dup_token_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (operators/dedup.py
+    duplicate_token_spans; Lee et al. 2022 re-expressed relationally):
+    maximal cross-document duplicated token runs per doc via positioned
+    shingle hashes -> global df -> gaps-and-islands merge.  Integer-only
+    output, shuffles keyed on 60-bit hashes / doc id."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.duplicate_token_spans(d, "text", "doc_id")
+
+
 @query("embedding_semdedup", CL.semdedup_oracle_sql())
 def embedding_semdedup(spark, sf_dir):
     """SemDeDup (operators/clustering.py semdedup): semantic near-dup

@@ -143,3 +143,51 @@ def test_cross_snapshot_dedup_flags_clones_not_revisions(spark):
         i for i in out if i < 1000000 and i % 13 == 0 and i % 17 != 0
     ]
     assert revised and all(not out[i] for i in revised)
+
+
+# -- duplicated token spans -------------------------------------------------
+
+
+def test_duplicate_token_spans_merges_islands(spark):
+    from datafusion_functions_extra_spark.operators import dedup as DD
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 4 shingle starts
+    d = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 words here now"),
+            (2, shared + " other2 tail2 tokens there then"),
+            (3, "nothing in common with anything else at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_tokens)
+        for r in DD.duplicate_token_spans(d, "text", "doc_id").collect()
+    }
+    # docs 1 and 2 share the 6-token prefix: shingle starts 1..4 merge into
+    # one island covering tokens 1..6
+    assert spans[1] == (1, 6, 6)
+    assert spans[2] == (1, 6, 6)
+    assert 3 not in spans  # no cross-doc duplication -> no span rows
+
+
+def test_duplicate_token_spans_separate_islands(spark):
+    from datafusion_functions_extra_spark.operators import dedup as DD
+
+    dup_a = "one two three"
+    dup_b = "seven eight nine"
+    d = spark.createDataFrame(
+        [
+            (1, f"{dup_a} xa ya za {dup_b} qa wa ea"),
+            (2, f"{dup_a} xb yb zb {dup_b} qb wb eb"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        (r.span_start, r.span_end)
+        for r in DD.duplicate_token_spans(d, "text", "doc_id")
+        .where(F.col("doc_id") == 1)
+        .collect()
+    )
+    # two disjoint duplicated runs -> two islands, not one merged span
+    assert rows == [(1, 3), (7, 9)]

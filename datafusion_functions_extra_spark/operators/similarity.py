@@ -1448,3 +1448,118 @@ SELECT doc_id, component,
             ELSE 'test' END AS split
 FROM comp
 """
+
+
+# ---------------------------------------------------------------------------
+# asymmetric (two-relation) MinHash-LSH: ingest-time dedup, fuzzy decontam
+# ---------------------------------------------------------------------------
+
+
+def asymmetric_near_dup_pairs(
+    sigs_a: DataFrame, sigs_b: DataFrame, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) — near-dup pairs BETWEEN two signature
+    relations (never within one): the ingest-time shape, probing a new
+    batch (``sigs_b``) against the existing corpus (``sigs_a``) without
+    ever re-pairing the corpus against itself.
+
+    Same banded equi-join as :func:`lsh_candidate_pairs`, but the two
+    sides are distinct relations, so candidate volume is
+    |batch ∩ buckets| — at 100 TB the corpus side is the parquet
+    signature stage (:func:`write_signatures_table`) and a daily ingest
+    touches only the buckets its batch lands in.  est_jaccard is the
+    fraction of equal MinHash components (k = 16 divides a power of
+    two, so the ratio is exactly representable and hash-stable).
+    """
+    def bands_of(sigs: DataFrame, out: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out),
+            F.posexplode(
+                _bind(
+                    F.col("sig"),
+                    lambda s: F.array(*[_band_key(s, b) for b in range(LSH_BANDS)]),
+                )
+            ).alias("band_id", "band_key"),
+        )
+
+    cand = (
+        bands_of(sigs_a, "id_a")
+        .join(bands_of(sigs_b, "id_b"), ["band_id", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs_a.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs_b.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(MINHASH_K))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _two_sided_sig_cte(raw_sql: str) -> str:
+    """CTE chain over ``raw(id, side, text)`` (side 0 = corpus/a,
+    1 = batch/b) ending in ``sigs(id, side, sig)`` + the asymmetric
+    ``cand`` — the DuckDB twin of :func:`asymmetric_near_dup_pairs`'s
+    candidate generation."""
+    perm_exprs = ", ".join(
+        f"list_min(list_transform(base, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in MINHASH_PERMS
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, side, {b} AS band_id, "
+        f"array_to_string(sig[{b * LSH_ROWS + 1}:{(b + 1) * LSH_ROWS}], ',') AS band_key "
+        f"FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+raw AS ({raw_sql}),
+t AS (SELECT id, side, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks FROM raw),
+sh2 AS (
+  SELECT id, side,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [norm] END AS shingles
+  FROM t
+),
+based AS (
+  SELECT id, side,
+         list_transform(shingles, s -> {_hash60_sql('s')} % {MERSENNE_P}) AS base
+  FROM sh2
+),
+sigs AS (SELECT id, side, [{perm_exprs}] AS sig FROM based),
+bands AS ({band_selects}),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.side = 0 AND b.side = 1
+  GROUP BY 1, 2
+)
+"""
+
+
+def asymmetric_near_dup_oracle_sql(raw_sql: str, threshold: float = 0.5) -> str:
+    """Full pair-level oracle over :func:`_two_sided_sig_cte`."""
+    eq = f"""list_sum(list_transform(generate_series(1, {MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"""
+    return f"""
+WITH {_two_sided_sig_cte(raw_sql)}
+SELECT cand.id_a, cand.id_b,
+       round({eq}::DOUBLE / {MINHASH_K}.0, 6) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.id = cand.id_a AND sa.side = 0
+JOIN sigs sb ON sb.id = cand.id_b AND sb.side = 1
+WHERE {eq}::DOUBLE / {MINHASH_K}.0 >= {threshold}
+"""

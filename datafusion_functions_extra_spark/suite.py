@@ -3944,6 +3944,85 @@ def docs_dup_ngram_coverage(spark, sf_dir):
     return TX.duplicate_ngram_coverage(d, "text", "doc_id")
 
 
+_INCR_RAW_SQL = """
+SELECT doc_id AS id, 0 AS side, text FROM documents
+UNION ALL
+SELECT doc_id + 2000000, 1, text || ' rev2' FROM documents WHERE doc_id % 13 = 0
+UNION ALL
+SELECT doc_id + 1000000, 1, text FROM documents WHERE doc_id % 19 = 0
+"""
+
+
+@query(
+    "near_dup_incremental_pairs",
+    SIM.asymmetric_near_dup_oracle_sql(_INCR_RAW_SQL, 0.5),
+)
+def near_dup_incremental_pairs(spark, sf_dir):
+    """Ingest-time near-dup screen (operators/similarity.py
+    asymmetric_near_dup_pairs): a deterministic 'daily batch' (1/13 of
+    docs revised with an appended token, 1/19 cloned verbatim under new
+    ids) probed against the existing corpus via the banded LSH
+    equi-join — corpus never re-paired against itself, which is what
+    makes per-ingest dedup affordable at 100 TB (the corpus side is the
+    parquet signature stage)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus_sigs = SIM.minhash_signatures(d, "text", "doc_id", materialize=True)
+    batch = (
+        d.where(F.col("doc_id") % 13 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" rev2")).alias("text"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    batch_sigs = SIM.minhash_signatures(batch, "text", "doc_id")
+    return SIM.asymmetric_near_dup_pairs(
+        corpus_sigs, batch_sigs, "doc_id", threshold=0.5
+    )
+
+
+_FUZZY_RAW_SQL = f"""
+SELECT doc_id AS id, 0 AS side, text FROM documents WHERE NOT ({_BENCH_PRED})
+UNION ALL
+SELECT doc_id AS id, 1 AS side, text FROM documents WHERE {_BENCH_PRED}
+"""
+
+
+@query(
+    "docs_fuzzy_decontaminated",
+    f"""
+WITH pairs AS ({SIM.asymmetric_near_dup_oracle_sql(_FUZZY_RAW_SQL, 0.5)})
+SELECT id_a AS doc_id, count(*) AS n_bench_near, max(est_jaccard) AS max_est
+FROM pairs GROUP BY 1
+""",
+)
+def docs_fuzzy_decontaminated(spark, sf_dir):
+    """Fuzzy eval-decontamination: training docs whose MinHash-estimated
+    Jaccard against ANY benchmark doc (src0/src1) reaches 0.5 — the
+    near-duplicate complement of the exact 5-gram screen
+    (docs_decontaminated), catching lightly-edited benchmark leakage
+    that exact n-gram matching misses.  Same asymmetric LSH shape as
+    ingest dedup: the benchmark side is tiny, the corpus is probed
+    through the banded equi-join only."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.expr(_BENCH_PRED))
+    train = d.where(~F.expr(_BENCH_PRED))
+    pairs = SIM.asymmetric_near_dup_pairs(
+        SIM.minhash_signatures(train, "text", "doc_id", materialize=True),
+        SIM.minhash_signatures(bench, "text", "doc_id"),
+        "doc_id",
+        threshold=0.5,
+    )
+    return pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_bench_near"),
+        F.max("est_jaccard").alias("max_est"),
+    )
+
+
 @query("docs_dup_token_spans", DD.duplicate_token_spans_oracle_sql())
 def docs_dup_token_spans(spark, sf_dir):
     """Span-level exact-substring dedup (operators/dedup.py

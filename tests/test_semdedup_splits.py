@@ -191,3 +191,28 @@ def test_duplicate_token_spans_separate_islands(spark):
     )
     # two disjoint duplicated runs -> two islands, not one merged span
     assert rows == [(1, 3), (7, 9)]
+
+
+# -- asymmetric (ingest-time) LSH -------------------------------------------
+
+
+def test_asymmetric_near_dup_probes_batch_against_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(1, A), (2, B)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(101, A), (102, A_NEAR), (103, "totally fresh new content never seen before today")],
+        "doc_id bigint, text string",
+    )
+    ca = SIM.minhash_signatures(corpus, "text", "doc_id", materialize=True)
+    ba = SIM.minhash_signatures(batch, "text", "doc_id")
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in SIM.asymmetric_near_dup_pairs(ca, ba, "doc_id", 0.4).collect()
+    }
+    assert pairs[(1, 101)] == 1.0  # verbatim clone of corpus doc 1
+    assert (1, 102) in pairs  # near-dup revision collides + scores
+    assert all(b != 103 for _, b in pairs)  # fresh content never pairs
+    assert all(a != 2 for a, _ in pairs)  # unrelated corpus doc untouched
+    # asymmetric: corpus is never paired against itself
+    assert all(b >= 101 for _, b in pairs)

@@ -1563,3 +1563,45 @@ JOIN sigs sa ON sa.id = cand.id_a AND sa.side = 0
 JOIN sigs sb ON sb.id = cand.id_b AND sb.side = 1
 WHERE {eq}::DOUBLE / {MINHASH_K}.0 >= {threshold}
 """
+
+
+#: bump when the signature definition changes (hash60, MINHASH_PERMS,
+#: shingling, simhash32) — stale stage tables are invalidated by token
+SIGNATURE_STAGE_VERSION = 1
+
+
+def ensure_signatures_table(
+    spark,
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str,
+    id_col: str,
+    source_token: str = "",
+) -> DataFrame:
+    """Idempotent form of :func:`write_signatures_table`: build the stage
+    only when no stage for (signature-code version, ``source_token``)
+    exists at ``path``, then read it back.
+
+    ``source_token`` should identify the corpus snapshot (file
+    size+mtime locally; table version / snapshot id on a real
+    lakehouse).  The validity marker is an underscore-prefixed file
+    inside the parquet directory, which Spark's scans ignore.  This is
+    the ingest-time amortization contract: signature compute is paid
+    once per corpus snapshot, and every consumer — banding join,
+    threshold sweep, incremental batch probe — pays only the columnar
+    read.  Single-writer assumption (ingest jobs are serialized per
+    table); concurrent writers would need a lock or an atomic rename.
+    """
+    import hashlib
+    import os
+
+    token = f"v{SIGNATURE_STAGE_VERSION}-{source_token}"
+    marker = os.path.join(
+        path, "_stage_token_" + hashlib.md5(token.encode()).hexdigest()[:16]
+    )
+    if not os.path.exists(marker):
+        write_signatures_table(df, path, text_col=text_col, id_col=id_col)
+        with open(marker, "w") as f:
+            f.write(token + "\n")
+    return read_signatures_table(spark, path)

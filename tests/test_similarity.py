@@ -204,3 +204,39 @@ def test_signature_stage_table_pairs_match_raw(docs, spark, tmp_path):
     )
     assert staged_sh == raw_sh
     assert len(staged_sh) > 0
+
+
+def test_ensure_signatures_table_builds_once_and_invalidates(spark, tmp_path):
+    import os
+
+    d = spark.createDataFrame(
+        [(1, A), (2, A_NEAR), (3, B)], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "sigs.parquet")
+    s1 = SIM.ensure_signatures_table(
+        spark, d, path, text_col="text", id_col="doc_id", source_token="t1"
+    )
+    assert s1.count() == 3
+    parts = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))
+    mtimes = {p: os.stat(os.path.join(path, p)).st_mtime_ns for p in parts}
+    # second call with the same token: no rebuild, same files untouched
+    s2 = SIM.ensure_signatures_table(
+        spark, d, path, text_col="text", id_col="doc_id", source_token="t1"
+    )
+    assert s2.count() == 3
+    for p in parts:
+        assert os.stat(os.path.join(path, p)).st_mtime_ns == mtimes[p]
+    # staged signatures equal freshly-computed ones
+    raw = {
+        r.doc_id: r.sig
+        for r in SIM.minhash_signatures(d, "text", "doc_id").collect()
+    }
+    staged = {r.doc_id: r.sig for r in s2.collect()}
+    assert staged == raw
+    # changed corpus token: stage is rebuilt (overwrite drops old markers)
+    s3 = SIM.ensure_signatures_table(
+        spark, d, path, text_col="text", id_col="doc_id", source_token="t2"
+    )
+    assert s3.count() == 3
+    markers = [p for p in os.listdir(path) if p.startswith("_stage_token_")]
+    assert len(markers) == 1  # only the current token survives

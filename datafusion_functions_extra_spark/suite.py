@@ -4341,12 +4341,14 @@ def _rotate_for_driver_window() -> None:
 
     r04 state: the custom-operator backlog drained in r03 (47 new green
     rows), so the former ``_WINDOW_DEPRIORITIZED`` plain-SQL set is
-    retired — all ~25 never-verified queries now fit the ~50-slot window
-    at once.  The spare tail slots re-verify queries whose oracle rounds
-    through the ``r6n`` helper (its signed-zero ``+ 0.0`` normalization
-    changed this round; the ``1e-9`` nudge literal in the oracle SQL is
-    the marker), so any unexpected interaction surfaces inside the
-    window rather than silently."""
+    retired — the ~45 never-verified queries (26 carried over + the
+    round-4 additions, all green under the hardened bit-pattern local
+    replica) fill the ~50-slot window.  Any spare tail slots re-verify
+    queries whose oracle rounds through the ``r6n`` helper (its
+    signed-zero ``+ 0.0`` normalization changed this round; the
+    ``1e-9`` nudge literal in the oracle SQL is the marker), so any
+    unexpected interaction surfaces inside the window rather than
+    silently."""
     global QUERIES, ORACLES
     order = sorted(
         QUERIES,

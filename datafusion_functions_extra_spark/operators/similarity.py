@@ -1605,3 +1605,129 @@ def ensure_signatures_table(
         with open(marker, "w") as f:
             f.write(token + "\n")
     return read_signatures_table(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation (precision/recall vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+
+def lsh_eval_metrics(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """One row — (n_truth, n_pred, tp, fp, fn, precision, recall): the
+    end-to-end quality of the MinHash-LSH near-dup pipeline (banding
+    recall AND signature-estimator bias together) measured against exact
+    distinct-shingle Jaccard ground truth at the same threshold.
+
+    This is the tuning harness for (k, bands, rows, threshold): run it on
+    a bounded sample when the corpus is large — ground truth generates
+    candidates from an exact shared-shingle inverted index, which is
+    linear in shingles but quadratic in documents sharing a hot
+    boilerplate shingle, so unlike the production LSH path it is an
+    *evaluation* cost, paid on samples.  Sets and metrics are exact
+    integers; the two ratios are boundary-nudged.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles_or_whole(F.col(text_col))).alias("shs"),
+    ).persist()
+    ix = sh.select("id", F.explode("shs").alias("s"))
+    cand = (
+        ix.select(F.col("id").alias("id_a"), "s")
+        .join(ix.select(F.col("id").alias("id_b"), "s"), "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    truth = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .where(inter / union >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    pred = near_dup_pairs(df, text_col, id_col, threshold).select(
+        "id_a", "id_b"
+    )
+    joined = truth.withColumn("t", F.lit(1)).join(
+        pred.withColumn("p", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    agg = joined.agg(
+        F.sum(F.coalesce("t", F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce("p", F.lit(0))).alias("n_pred"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("t").isNull() & F.col("p").isNotNull(), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("p").isNull(), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_pred",
+        "tp",
+        "fp",
+        "fn",
+        r6n(F.col("tp").cast("double") / F.col("n_pred").cast("double")).alias(
+            "precision"
+        ),
+        r6n(F.col("tp").cast("double") / F.col("n_truth").cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+def lsh_eval_metrics_oracle_sql(threshold: float = 0.5) -> str:
+    eq = f"""list_sum(list_transform(generate_series(1, {MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"""
+    return f"""
+WITH {_sig_cte()}, {_bands_cte()},
+pred AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE {eq}::DOUBLE / {MINHASH_K}.0 >= {threshold}
+),
+shs AS (
+  SELECT id, list_distinct(shingles) AS shs FROM sh
+),
+ix AS (SELECT id, unnest(shs) AS s FROM shs),
+tcand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM ix a JOIN ix b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT t.id_a, t.id_b
+  FROM tcand t
+  JOIN shs xa ON xa.id = t.id_a
+  JOIN shs xb ON xb.id = t.id_b
+  WHERE len(list_intersect(xa.shs, xb.shs))::DOUBLE
+        / len(list_distinct(list_concat(xa.shs, xb.shs)))::DOUBLE >= {threshold}
+),
+j AS (
+  SELECT coalesce(t.id_a, p.id_a) AS id_a, coalesce(t.id_b, p.id_b) AS id_b,
+         t.id_a IS NOT NULL AS in_t, p.id_a IS NOT NULL AS in_p
+  FROM truth t FULL OUTER JOIN pred p
+    ON t.id_a = p.id_a AND t.id_b = p.id_b
+),
+m AS (
+  SELECT sum(CASE WHEN in_t THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+         sum(CASE WHEN in_p THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+         sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN NOT in_t AND in_p THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN in_t AND NOT in_p THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM j
+)
+SELECT n_truth, n_pred, tp, fp, fn,
+       {r6n_sql('tp::DOUBLE / n_pred::DOUBLE')} AS precision,
+       {r6n_sql('tp::DOUBLE / n_truth::DOUBLE')} AS recall
+FROM m
+"""

@@ -141,3 +141,149 @@ def cms_cte_sql(prefix: str = "") -> str:
 {p}rc AS ({unions}),
 {p}sketch AS (SELECT r, c, count(*) AS cnt FROM {p}rc GROUP BY r, c)
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog as a relational, mergeable, oracle-exact sketch
+# ---------------------------------------------------------------------------
+
+#: HLL parameters (Flajolet et al. 2007, public): 2^8 = 256 registers,
+#: standard error 1.04/sqrt(256) ~= 6.5%
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: rank window: the 60-bit hash minus the 8 bucket bits
+HLL_RANK_BITS = 52
+#: bias-correction constant for m >= 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_rho(w: Column) -> Column:
+    """Position of the highest set bit from the top of the 52-bit window
+    + 1 (the HLL rank; ``w == 0`` -> 53).  A chain of 52 integer
+    comparisons rather than ``floor(log2(w))``: near 2^k - 1 the float
+    log can land on either side of the integer under different libm
+    implementations, and this sketch's whole point is bit-exact
+    cross-engine registers."""
+    out = F.lit(HLL_RANK_BITS + 1)
+    for k in range(1, HLL_RANK_BITS + 1):
+        # w >= 2^(k-1)  =>  bit_length >= k  =>  rho = 52 - k + 1
+        out = F.when(
+            w >= F.lit(1 << (k - 1)), F.lit(HLL_RANK_BITS - k + 1)
+        ).otherwise(out)
+    return out
+
+
+def _hll_rho_sql(w: str) -> str:
+    whens = " ".join(
+        f"WHEN {w} >= {1 << (k - 1)} THEN {HLL_RANK_BITS - k + 1}"
+        for k in range(HLL_RANK_BITS, 0, -1)
+    )
+    return f"(CASE {whens} ELSE {HLL_RANK_BITS + 1} END)"
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """(group..., bucket, r) — the HLL register relation: bucket = low 8
+    hash bits, r = max rank of the remaining 52 bits (``shiftright``,
+    never float division — the hash exceeds 2^53 and a double round-trip
+    would corrupt low bits).  This IS the sketch: <= 256 rows per group
+    regardless of input size, merged across corpora/streams by
+    union + re-max (the monoid), and bit-exactly reproducible in any
+    engine with md5 — unlike ``approx_count_distinct``'s
+    engine-internal state, which is why that suite entry is rows-only
+    while this one hash-matches."""
+    from ..functions.text import bind_once
+
+    h = hash60(F.col(value_col).cast("string"))
+    # bind the md5 hash once: the 52-comparison rank chain references it
+    # 52 times and would otherwise inline the md5 into every branch
+    keyed = df.select(
+        *[F.col(g) for g in group_cols],
+        bind_once(
+            h,
+            lambda hb: F.struct(
+                (hb % F.lit(HLL_M)).alias("bucket"),
+                _hll_rho(F.shiftright(hb, HLL_P)).alias("rho"),
+            ),
+        ).alias("s"),
+    ).select(*group_cols, "s.bucket", "s.rho")
+    return keyed.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., hll_est, n_zero_buckets) from a register relation.
+
+    The harmonic sum runs in scaled-integer space —
+    ``S * 2^53 = sum(2^(53 - r)) + zeros * 2^53`` fits int64 and makes
+    the sum order-independent, so the only float ops are one exact
+    power-of-two division, the final multiply, and ``ln`` on the
+    small-range-correction branch (boundary-nudged like every other
+    cross-engine ratio)."""
+    from ..functions.rounding import r6n
+
+    scale = HLL_RANK_BITS + 1  # 53
+    per_group = registers.groupBy(*group_cols).agg(
+        # F.shiftleft requires a literal bit count; the SQL form accepts a
+        # column expression for the per-register exponent
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {scale} - r)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    s = (
+        F.col("s_present") + zeros * F.lit(1 << scale).cast("long")
+    ).cast("double") / F.lit(float(1 << scale))
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
+    corrected = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        r6n(corrected).alias("hll_est"),
+        zeros.cast("int").alias("n_zero_buckets"),
+    )
+
+
+def hll_cte_sql(table: str, value_col: str, group_col: str) -> str:
+    """DuckDB mirror: identical bucket/rank math (integer comparison
+    chain over ``h >> 8``), identical scaled-integer harmonic sum,
+    identical correction branch; ends in
+    ``hll(g, hll_est, n_zero_buckets)``."""
+    from ..functions.rounding import r6n_sql
+
+    h = _hash60_sql(f"{value_col}::VARCHAR")
+    scale = HLL_RANK_BITS + 1
+    est = (
+        f"CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0 "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros::DOUBLE) "
+        f"ELSE raw END"
+    )
+    return f"""
+hx0 AS (SELECT {group_col} AS g, {h} AS h FROM {table}),
+hx AS (SELECT g, h % {HLL_M} AS bucket,
+              {_hll_rho_sql(f'(h >> {HLL_P})')} AS rho
+       FROM hx0),
+regs AS (SELECT g, bucket, max(rho) AS r FROM hx GROUP BY 1, 2),
+pg AS (
+  SELECT g,
+         sum((1::BIGINT << ({scale} - r)))::BIGINT AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+),
+pg2 AS (
+  SELECT g,
+         {HLL_ALPHA * HLL_M * HLL_M!r} /
+           ((s_present + ({HLL_M} - n_present) * (1::BIGINT << {scale}))::DOUBLE
+            / {float(1 << scale)!r}) AS raw,
+         ({HLL_M} - n_present)::BIGINT AS zeros
+  FROM pg
+),
+hll AS (
+  SELECT g, {r6n_sql(est)} AS hll_est, zeros::INT AS n_zero_buckets
+  FROM pg2
+)
+"""

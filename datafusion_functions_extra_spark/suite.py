@@ -3959,6 +3959,49 @@ def docs_dup_ngram_coverage(spark, sf_dir):
     return TX.duplicate_ngram_coverage(d, "text", "doc_id")
 
 
+@query(
+    "hll_users_by_type",
+    f"""
+WITH {SKCH.hll_cte_sql('events', 'user_id', 'event_type')},
+ex AS (SELECT event_type AS g, count(DISTINCT user_id) AS exact_users
+       FROM events GROUP BY 1)
+SELECT hll.g AS event_type, hll.hll_est, ex.exact_users, hll.n_zero_buckets
+FROM hll JOIN ex USING (g)
+""",
+)
+def hll_users_by_type(spark, sf_dir):
+    """Oracle-exact HyperLogLog (operators/sketches.py hll_registers /
+    hll_estimate): distinct users per event type from an explicit
+    256-register relation — md5 bucket/rank math as a 52-comparison
+    integer chain and a scaled-integer harmonic sum, so registers AND
+    estimates hash-match DuckDB bit-for-bit, unlike the engine-internal
+    approx_count_distinct (the rows-only sibling approx_distinct_users).
+    The register relation is the mergeable state a 100 TB rollup or a
+    streaming window would carry: <= 256 rows per group, union+re-max
+    to merge."""
+    e = load_table(spark, sf_dir, "events")
+    regs = SKCH.hll_registers(e, "user_id", ["event_type"])
+    est = SKCH.hll_estimate(regs, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "hll_est", "exact_users", "n_zero_buckets"
+    )
+
+
+@query("near_dup_eval_metrics", SIM.lsh_eval_metrics_oracle_sql(0.5))
+def near_dup_eval_metrics(spark, sf_dir):
+    """LSH quality harness (operators/similarity.py lsh_eval_metrics):
+    precision/recall of the production MinHash-LSH pipeline against
+    exact shingle-Jaccard ground truth at the same threshold — the
+    number that tunes (k, bands, rows).  Ground truth uses an exact
+    shared-shingle inverted index (an evaluation cost, run on samples
+    at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.lsh_eval_metrics(d, "text", "doc_id", threshold=0.5)
+
+
 _INCR_RAW_SQL = """
 SELECT doc_id AS id, 0 AS side, text FROM documents
 UNION ALL

@@ -143,3 +143,42 @@ def test_cms_join_size_disjoint_is_zero(spark):
         SKCH.cms_build(a, "item"), SKCH.cms_build(b, "item")
     ).collect()[0].est_pairs
     assert est == 0
+
+
+# -- HyperLogLog register relation ------------------------------------------
+
+
+def test_hll_registers_merge_monoid(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_extra_spark.operators import sketches as SKCH
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 700).alias("v")
+    )
+    whole = SKCH.hll_registers(df, "v", ["g"])
+    half1 = SKCH.hll_registers(df.where(F.col("id") < 1000), "v", ["g"])
+    half2 = SKCH.hll_registers(df.where(F.col("id") >= 1000), "v", ["g"])
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    w = {(r.g, r.bucket): r.r for r in whole.collect()}
+    m = {(r.g, r.bucket): r.r for r in merged.collect()}
+    assert w == m  # union + re-max IS the sketch merge
+
+
+def test_hll_estimate_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_extra_spark.operators import sketches as SKCH
+
+    df = spark.range(0, 50000).select(
+        F.lit("a").alias("g"), (F.col("id") % 5000).alias("v")
+    )
+    regs = SKCH.hll_registers(df, "v", ["g"])
+    est = SKCH.hll_estimate(regs, ["g"]).collect()[0]
+    assert est.n_zero_buckets >= 0
+    # 256 registers -> sigma ~6.5%; assert within 3 sigma of 5000
+    assert abs(est.hll_est - 5000) / 5000 < 0.20

@@ -216,3 +216,19 @@ def test_asymmetric_near_dup_probes_batch_against_corpus(spark):
     assert all(a != 2 for a, _ in pairs)  # unrelated corpus doc untouched
     # asymmetric: corpus is never paired against itself
     assert all(b >= 101 for _, b in pairs)
+
+
+# -- LSH eval metrics ---------------------------------------------------------
+
+
+def test_lsh_eval_metrics_planted(spark):
+    d = spark.createDataFrame(
+        [(1, A), (2, A), (3, B), (4, A_NEAR)], "doc_id bigint, text string"
+    )
+    m = SIM.lsh_eval_metrics(d, "text", "doc_id", threshold=0.9).collect()[0]
+    # exact dup (1,2) is both truth and predicted at 0.9
+    assert m.tp >= 1
+    assert m.n_truth >= 1 and m.n_pred >= 1
+    assert m.fp + m.tp == m.n_pred
+    assert m.fn + m.tp == m.n_truth
+    assert 0.0 <= m.precision <= 1.0 and 0.0 <= m.recall <= 1.0

@@ -429,3 +429,50 @@ def run_available_now(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def streaming_hll_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed HLL register maintenance on a stream: per (window,
+    event_type, bucket), the max rank — the identical relation
+    ``operators/sketches.hll_registers`` builds in batch, because HLL
+    registers are an algebraic MAX monoid, exactly the property
+    streaming windowed aggregation requires (same argument as
+    ``streaming_moment_stats`` for the moment family).  The estimate is
+    finished downstream (``hll_estimate``) once windows close; state per
+    open window is <= 256 small ints per group — the sketch's whole
+    point, on or off a stream.
+    """
+    from ..functions.text import bind_once
+    from ..operators.sketches import HLL_M, HLL_P, _hll_rho
+    from ..operators.similarity import hash60
+
+    h = hash60(F.col("user_id").cast("string"))
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            "event_type",
+            bind_once(
+                h,
+                lambda hb: F.struct(
+                    (hb % F.lit(HLL_M)).alias("bucket"),
+                    _hll_rho(F.shiftright(hb, HLL_P)).alias("rho"),
+                ),
+            ).alias("s"),
+        )
+        .select("ts", "event_type", "s.bucket", "s.rho")
+    )
+    return (
+        keyed.groupBy(F.window("ts", window), "event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "bucket",
+            "r",
+        )
+    )

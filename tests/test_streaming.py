@@ -275,3 +275,43 @@ def test_streaming_moment_stats_match_batch(spark):
     )
     want = {(r.ws, r.event_type): (r.n, r.s, r.k, r.kp) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_hll_registers_match_batch(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_extra_spark.operators import sketches as SKCH
+    from datafusion_functions_extra_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        streaming_hll_users,
+    )
+
+    stream_regs = run_available_now(
+        streaming_hll_users(read_events_stream(spark, SF_DIR))
+    )
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch_regs = (
+        SKCH.hll_registers(
+            e.withColumn("w", F.window("ts", "1 hour")),
+            "user_id",
+            ["w", "event_type"],
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "bucket", "r"
+        )
+    )
+    s = {(r.window_start, r.event_type, r.bucket): r.r for r in stream_regs.collect()}
+    b = {(r.window_start, r.event_type, r.bucket): r.r for r in batch_regs.collect()}
+    assert s == b  # identical register relation on and off the stream
+    # finishing the stream's registers yields the batch estimate
+    est_s = SKCH.hll_estimate(
+        stream_regs.groupBy("window_start", "event_type", "bucket").agg(
+            F.max("r").alias("r")
+        ),
+        ["window_start", "event_type"],
+    )
+    est_b = SKCH.hll_estimate(batch_regs, ["window_start", "event_type"])
+    vs = {(r.window_start, r.event_type): r.hll_est for r in est_s.collect()}
+    vb = {(r.window_start, r.event_type): r.hll_est for r in est_b.collect()}
+    assert vs == vb

@@ -163,3 +163,82 @@ def test_temperature_mixture_budget_and_bounds(spark, weights, alpha):
     assert expected <= 0.5 * total + 1e-6 * total + len(weights)
     if alpha == 1.0:
         assert {r.rate for r in out} == {0.5}
+
+
+# -- round-4 operator invariants --------------------------------------------
+
+_words = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+)
+_texts = st.lists(
+    st.lists(_words, min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(_texts)
+@SET
+def test_duplicate_token_spans_invariants(spark, texts):
+    """Spans are 1-based, well-formed, and never overlap within a doc
+    (the gaps-and-islands merge is maximal: consecutive spans must be
+    separated by at least one un-duplicated position)."""
+    from datafusion_functions_extra_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    rows = DD.duplicate_token_spans(df, "text", "doc_id").collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        assert 1 <= r.span_start <= r.span_end
+        assert r.n_tokens == r.span_end - r.span_start + 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, f"islands {s1,e1} and {s2,e2} should merge"
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=200))
+@SET
+def test_hll_merge_equals_whole(spark, vals):
+    """Register merge is a true monoid: any 2-way split of the input
+    merges (union + re-max) to the whole-input registers."""
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_extra_spark.operators import sketches as SKCH
+
+    cut = len(vals) // 2
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i bigint, v bigint"
+    ).withColumn("g", F.lit("x"))
+    whole = SKCH.hll_registers(df, "v", ["g"])
+    merged = (
+        SKCH.hll_registers(df.where(F.col("i") < cut), "v", ["g"])
+        .unionByName(SKCH.hll_registers(df.where(F.col("i") >= cut), "v", ["g"]))
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    assert {(r.bucket, r.r) for r in whole.collect()} == {
+        (r.bucket, r.r) for r in merged.collect()
+    }
+
+
+@given(_texts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_leakage_split_is_component_consistent(spark, texts):
+    from datafusion_functions_extra_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    rows = SIM.leakage_safe_split(df, "text", "doc_id", threshold=0.4).collect()
+    assert len(rows) == len(texts)
+    comp_split: dict[int, str] = {}
+    for r in rows:
+        assert comp_split.setdefault(r.component, r.split) == r.split

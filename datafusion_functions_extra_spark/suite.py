@@ -3990,6 +3990,88 @@ def hll_users_by_type(spark, sf_dir):
     )
 
 
+@query(
+    "text_bigram_logprob",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, u.w1, u.w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
+    FROM t WHERE len(toks) >= 2
+  )
+),
+cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY 1),
+uni AS (SELECT unnest(toks) AS term FROM t),
+cu AS (SELECT term, count(*) AS c2 FROM uni GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM uni),
+sc AS (
+  SELECT bg.doc_id,
+         ln(0.7 * (cb.c12::DOUBLE / c1.cw1::DOUBLE)
+            + 0.3 * (cu.c2::DOUBLE / tot.n::DOUBLE)) AS lp
+  FROM bg
+  JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+  JOIN c1 ON c1.w1 = bg.w1
+  JOIN cu ON cu.term = bg.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_bigrams, {_r6n_sql('avg(lp)')} AS avg_logprob
+FROM sc GROUP BY 1
+""",
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram language-model scoring — the KenLM-style
+    perplexity-proxy quality filter, one modeling step above
+    text_unigram_logprob: p(w2|w1) = 0.7 * MLE bigram + 0.3 * unigram
+    backoff, each doc scored by mean log probability over its bigrams
+    (docs shorter than 2 tokens have no bigrams and no row, both
+    engines).  Counts are exact relational aggregates; the three count
+    relations are vocab-sized and broadcast — the corpus is exploded
+    once into (doc_id, w1, w2) and never moves again."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+    bg = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", "u.w1", "u.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    uni = d.select(F.explode(TX.tokens("text")).alias("term"))
+    cu = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c2"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    sc = (
+        bg.join(F.broadcast(cb), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cu), bg["w2"] == cu["term"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(0.7) * (F.col("c12").cast("double") / F.col("cw1").cast("double"))
+                + F.lit(0.3) * (F.col("c2").cast("double") / F.col("n").cast("double"))
+            ).alias("lp"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        _r6n(F.avg("lp")).alias("avg_logprob"),
+    )
+
+
 @query("near_dup_eval_metrics", SIM.lsh_eval_metrics_oracle_sql(0.5))
 def near_dup_eval_metrics(spark, sf_dir):
     """LSH quality harness (operators/similarity.py lsh_eval_metrics):

@@ -96,3 +96,17 @@ class TestSentenceDedup:
         assert (out[2].n_kept, out[2].n_dropped) == (1, 1)
         assert (out[3].n_kept, out[3].n_dropped) == (1, 0)
         assert all(r.n_kept + r.n_dropped == r.n_sentences for r in out.values())
+
+
+def test_bigram_logprob_orders_garbage_below_prose(spark):
+    """A doc of repeated common bigrams must outscore a doc of one-off
+    rare transitions under the interpolated bigram LM."""
+    from datafusion_functions_extra_spark import suite
+
+    rows = suite.QUERIES["text_bigram_logprob"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.avg_logprob < 0.0  # log of probability < 1

@@ -476,3 +476,36 @@ def streaming_hll_users(
             "r",
         )
     )
+
+
+def streaming_cms_values(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed count-min sketch maintenance on a stream: per (window,
+    r, c), the summed counter — CMS counters are a SUM monoid, the
+    second sketch family (after the HLL MAX monoid of
+    ``streaming_hll_users``) that streaming windowed aggregation
+    carries natively.  Counters sketch the event value frequency
+    distribution (cast to string, same keying as the batch
+    ``cms_build``); state per open window is depth x width counters.
+    """
+    from ..operators.similarity import MERSENNE_P, hash60
+    from ..operators.sketches import CMS_DEPTH, _cms_col
+
+    h = (hash60(F.col("value").cast("string")) % F.lit(MERSENNE_P)).alias("h")
+    rows = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cms_col(F.col("h"), r).alias("c"))
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", h)
+        .select("ts", F.explode(rows).alias("rc"))
+        .groupBy(F.window("ts", window), F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "r", "c", "cnt")
+    )

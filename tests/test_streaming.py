@@ -315,3 +315,46 @@ def test_streaming_hll_registers_match_batch(spark):
     vs = {(r.window_start, r.event_type): r.hll_est for r in est_s.collect()}
     vb = {(r.window_start, r.event_type): r.hll_est for r in est_b.collect()}
     assert vs == vb
+
+
+def test_streaming_cms_counters_match_batch(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_extra_spark.operators.similarity import (
+        MERSENNE_P,
+        hash60,
+    )
+    from datafusion_functions_extra_spark.operators.sketches import (
+        CMS_DEPTH,
+        _cms_col,
+    )
+    from datafusion_functions_extra_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        streaming_cms_values,
+    )
+
+    stream_cms = run_available_now(
+        streaming_cms_values(read_events_stream(spark, SF_DIR))
+    )
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    h = (hash60(F.col("value").cast("string")) % F.lit(MERSENNE_P)).alias("h")
+    rows = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cms_col(F.col("h"), r).alias("c"))
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    batch_cms = (
+        e.select(F.window("ts", "1 hour").alias("w"), h)
+        .select("w", F.explode(rows).alias("rc"))
+        .groupBy(
+            F.col("w.start").alias("window_start"),
+            F.col("rc.r").alias("r"),
+            F.col("rc.c").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = {(r.window_start, r.r, r.c): r.cnt for r in stream_cms.collect()}
+    b = {(r.window_start, r.r, r.c): r.cnt for r in batch_cms.collect()}
+    assert s == b  # identical counters on and off the stream

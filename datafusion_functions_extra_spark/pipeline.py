@@ -1,0 +1,135 @@
+"""End-to-end corpus curation: the library's operators composed into the
+standard LLM-training-data pipeline, with materialized stage outputs and
+a per-stage funnel report.
+
+This is the product surface a user of the reference-plus-extras actually
+runs: one call takes a raw document table to a curated, split, staged
+corpus —
+
+  quality/language filter  ->  exact dedup  ->  near-dup dedup (staged
+  MinHash-LSH, min-id keep)  ->  benchmark decontamination (exact n-gram
+  + fuzzy near-dup screens)  ->  leakage-safe train/val/test split
+  (component-hash)  ->  curated parquet + signature stage + report.
+
+Every stage is a DataFrame transformation from the operator modules; the
+driver only sequences writes and collects the per-stage row counts for
+the funnel report (aggregates, never rows).  Intermediates materialize
+to parquet under ``out_dir`` so each stage is restart-safe and
+independently inspectable — the same stage-table discipline as
+``similarity.ensure_signatures_table``, which the near-dup stage reuses
+(the signature stage it writes is the one later ingest batches probe,
+see ``streaming/ingest.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .operators import decontaminate as DECON
+from .operators import dedup as DD
+from .operators import similarity as SIM
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    min_quality: float = 0.5
+    languages: tuple[str, ...] = ("en",)
+    near_dup_threshold: float = 0.5
+    decontam_min_hits: int = 1
+    fuzzy_decontam_threshold: float = 0.5
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    bench: DataFrame | None,
+    out_dir: str,
+    config: CurationConfig = CurationConfig(),
+) -> DataFrame:
+    """Run the full curation pipeline; returns the funnel report
+    ``(stage, n_in, n_out, n_dropped)`` as a DataFrame (also written to
+    ``out_dir/report.parquet``; curated corpus at
+    ``out_dir/curated.parquet`` with a ``split`` column, signatures at
+    ``out_dir/signatures.parquet``)."""
+    c = config
+    os.makedirs(out_dir, exist_ok=True)
+    funnel: list[tuple[str, int, int]] = []
+
+    def stage(name: str, df_in: DataFrame, df_out: DataFrame) -> DataFrame:
+        n_in, n_out = df_in.count(), df_out.count()
+        funnel.append((name, n_in, n_out))
+        return df_out
+
+    # 1. quality + language gate (pure expression tree, fused into scan)
+    scored = docs.withColumn("__q", TX.quality_score(c.text_col))
+    kept = stage(
+        "quality_language_filter",
+        docs,
+        scored.where(
+            (F.col("__q") >= c.min_quality)
+            & F.col("lang").isin(list(c.languages))
+        ).drop("__q"),
+    )
+
+    # 2. exact dedup (content-hash groupBy, min-id keep)
+    kept = stage("exact_dedup", kept, DD.exact_dedup(kept, c.text_col, c.id_col))
+    kept.write.mode("overwrite").parquet(os.path.join(out_dir, "exact_dedup.parquet"))
+    kept = spark.read.parquet(os.path.join(out_dir, "exact_dedup.parquet"))
+
+    # 3. near-dup dedup from the persistent signature stage (min-id keep)
+    sigs = SIM.ensure_signatures_table(
+        spark,
+        kept,
+        os.path.join(out_dir, "signatures.parquet"),
+        text_col=c.text_col,
+        id_col=c.id_col,
+        source_token="curate-v1",
+    )
+    pairs = SIM.near_dup_pairs_from_signatures(
+        sigs, c.id_col, threshold=c.near_dup_threshold
+    )
+    drop_near = pairs.select(F.col("id_b").alias(c.id_col)).distinct()
+    kept = stage("near_dup_dedup", kept, kept.join(drop_near, c.id_col, "left_anti"))
+
+    # 4. benchmark decontamination: exact n-gram screen + fuzzy near-dup
+    if bench is not None:
+        exact_hits = DECON.ngram_overlap_flags(
+            kept, bench, text_col=c.text_col, id_col=c.id_col
+        ).where(F.col("n_bench_hits") >= c.decontam_min_hits)
+        fuzzy_hits = SIM.asymmetric_near_dup_pairs(
+            SIM.minhash_signatures(kept, c.text_col, c.id_col, materialize=True),
+            SIM.minhash_signatures(bench, c.text_col, c.id_col),
+            c.id_col,
+            threshold=c.fuzzy_decontam_threshold,
+        ).select(F.col("id_a").alias(c.id_col))
+        contaminated = (
+            exact_hits.select(c.id_col).unionByName(fuzzy_hits).distinct()
+        )
+        kept = stage(
+            "decontamination", kept, kept.join(contaminated, c.id_col, "left_anti")
+        )
+
+    # 5. leakage-safe split on the SURVIVING corpus (near-dup components
+    # of the curated set; exact dups are already gone, so components are
+    # the residual sub-threshold neighborhoods)
+    split = SIM.leakage_safe_split(
+        kept, c.text_col, c.id_col, threshold=c.near_dup_threshold
+    ).select(c.id_col, "split")
+    curated = kept.join(split, c.id_col)
+    curated.write.mode("overwrite").parquet(os.path.join(out_dir, "curated.parquet"))
+    curated = spark.read.parquet(os.path.join(out_dir, "curated.parquet"))
+    funnel.append(("split_and_write", funnel[-1][2], curated.count()))
+
+    report = spark.createDataFrame(
+        [(s, i, o, i - o) for s, i, o in funnel],
+        "stage string, n_in bigint, n_out bigint, n_dropped bigint",
+    )
+    report.write.mode("overwrite").parquet(os.path.join(out_dir, "report.parquet"))
+    return report

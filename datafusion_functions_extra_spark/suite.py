@@ -1019,6 +1019,116 @@ def price_quantiles_approx(spark, sf_dir):
     )
 
 
+_BINNED_PCT_BINS = 256
+
+
+@query(
+    "price_quantiles_binned",
+    f"""
+WITH mm AS (
+  SELECT l_returnflag, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         count(*) AS n
+  FROM lineitem GROUP BY 1
+),
+b AS (
+  SELECT l.l_returnflag,
+         least({_BINNED_PCT_BINS - 1},
+               floor((l.l_extendedprice - mm.lo)
+                     / greatest((mm.hi - mm.lo) / {_BINNED_PCT_BINS}.0, 1e-12)))::INT AS bin,
+         count(*) AS c
+  FROM lineitem l JOIN mm ON mm.l_returnflag = l.l_returnflag
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bin, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM b
+),
+pick AS (
+  SELECT cum.l_returnflag, mm.lo, mm.hi, mm.n, cum.bin, cum.cum_c,
+         lag(cum.cum_c, 1, 0) OVER (PARTITION BY cum.l_returnflag
+                                    ORDER BY cum.bin) AS prev_c
+  FROM cum JOIN mm ON mm.l_returnflag = cum.l_returnflag
+)
+SELECT l_returnflag, max(n)::BIGINT AS n,
+       {{sel}}
+FROM pick GROUP BY 1
+""".format(
+        sel=", ".join(
+            f"min(CASE WHEN cum_c >= ceil({p} * n) THEN "
+            f"lo + (bin + 0.5) * ((hi - lo) / {_BINNED_PCT_BINS}.0) END)"
+            f" AS p{int(p * 100)}_est"
+            for p in (0.5, 0.9, 0.99)
+        )
+    ),
+)
+def price_quantiles_binned(spark, sf_dir):
+    """Oracle-exact mergeable approximate percentiles: fixed 256-bin
+    histogram per group (edges from the exact group min/max, a first
+    cheap aggregate), percentile = midpoint of the first bin whose
+    cumulative count reaches ceil(p*n).  Unlike the engine-internal GK
+    sketch (price_quantiles_approx), every arithmetic step — bin width,
+    bin index, midpoint — is deterministic IEEE math on identical
+    inputs, so DuckDB reproduces the estimates bit-for-bit and the
+    driver hash-verifies an *approximate* percentile for once.  Bin
+    counts are a SUM monoid: O(bins) state per group, mergeable across
+    partitions/streams; error bound is half the bin width.  This
+    completes the percentile family: exact sort-based
+    (price_quantiles_by_returnflag) / engine GK sketch / oracle-exact
+    binned."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("x")
+    )
+    mm = li.groupBy("l_returnflag").agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # zero-width guard (constant-value group): identical literal on the
+    # oracle side, so the degenerate bin math stays engine-identical
+    width = F.greatest(
+        (F.col("hi") - F.col("lo")) / F.lit(float(_BINNED_PCT_BINS)),
+        F.lit(1e-12),
+    )
+    binned = (
+        li.join(F.broadcast(mm), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.least(
+                F.lit(_BINNED_PCT_BINS - 1),
+                F.floor((F.col("x") - F.col("lo")) / width),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("l_returnflag", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.withColumn("cum_c", F.sum("c").over(w)).join(
+        F.broadcast(mm), "l_returnflag"
+    )
+    est_cols = [
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.ceil(F.lit(p) * F.col("n")),
+                F.col("lo")
+                + (F.col("bin") + F.lit(0.5))
+                * ((F.col("hi") - F.col("lo")) / F.lit(float(_BINNED_PCT_BINS))),
+            )
+        ).alias(f"p{int(p * 100)}_est")
+        for p in (0.5, 0.9, 0.99)
+    ]
+    return cum.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"), *est_cols
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal — binary payload columns: magic-byte mime sniff, header-parsed
 # image dims, base64 bridge, mapInPandas decode plumbing

@@ -215,3 +215,39 @@ def test_grouped_stats(spark):
     assert math.isclose(
         rows["a"].kp, num.kurtosis_pop_py([1, 2, 2, 3, 3, 3]), rel_tol=1e-12
     )
+
+
+def test_binned_percentiles_within_bin_width_of_exact(spark):
+    """The 256-bin histogram estimate must sit within half a bin width
+    of the exact percentile (midpoint rule) for every group/percentile."""
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_extra_spark import suite
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r.l_returnflag: r
+        for r in suite.QUERIES["price_quantiles_binned"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for flag, e in est.items():
+        x = exact[flag]
+        half_bin = (x.hi - x.lo) / 256 / 2
+        for p in ("p50", "p90", "p99"):
+            got = getattr(e, f"{p}_est")
+            true = getattr(x, p)
+            # midpoint of the covering bin: within half a bin width, plus
+            # one bin of slack for the discrete rank-vs-interpolated gap
+            assert abs(got - true) <= 3 * half_bin, (flag, p, got, true)

@@ -254,3 +254,74 @@ def test_interval_join_drops_late_beyond_watermark(spark, tmp_path):
     # none may appear in any joined pair
     assert dropped > 0
     assert not any(lid >= 100 or rid >= 100 for _, lid, rid in got)
+
+
+def test_hll_registers_append_drops_late_and_matches_closed_windows(
+    spark, tmp_path
+):
+    from datafusion_functions_extra_spark.operators import sketches as SKCH
+    from datafusion_functions_extra_spark.streaming.events import (
+        streaming_hll_users,
+    )
+
+    stream = streaming_hll_users(_three_phase_source(spark, tmp_path))
+    rows, dropped = _drain(stream, "append")
+    got = {(r.window_start, r.event_type, r.bucket): r.r for r in rows}
+
+    batch = (
+        SKCH.hll_registers(
+            _on_time_df(spark).withColumn("w", F.window("ts", "1 hour")),
+            "user_id",
+            ["w", "event_type"],
+        )
+        .where(F.col("w.end") <= F.lit(WM))
+        .select(F.col("w.start").alias("ws"), "event_type", "bucket", "r")
+    )
+    want = {(r.ws, r.event_type, r.bucket): r.r for r in batch.collect()}
+    assert dropped > 0  # late register groups were refused
+    assert got == want and len(got) > 0
+    # no register window behind the watermark-closed on-time range
+    assert all(ws >= _ts(9).replace(tzinfo=None) for ws, _, _ in got)
+
+
+def test_cms_counters_append_drop_late_and_match_closed_windows(
+    spark, tmp_path
+):
+    from datafusion_functions_extra_spark.operators.similarity import (
+        MERSENNE_P,
+        hash60,
+    )
+    from datafusion_functions_extra_spark.operators.sketches import (
+        CMS_DEPTH,
+        _cms_col,
+    )
+    from datafusion_functions_extra_spark.streaming.events import (
+        streaming_cms_values,
+    )
+
+    stream = streaming_cms_values(_three_phase_source(spark, tmp_path))
+    rows, dropped = _drain(stream, "append")
+    got = {(r.window_start, r.r, r.c): r.cnt for r in rows}
+
+    h = (hash60(F.col("value").cast("string")) % F.lit(MERSENNE_P)).alias("h")
+    arr = F.array(
+        *[
+            F.struct(F.lit(d).alias("r"), _cms_col(F.col("h"), d).alias("c"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    batch = (
+        _on_time_df(spark)
+        .select(F.window("ts", "1 hour").alias("w"), h)
+        .select("w", F.explode(arr).alias("rc"))
+        .where(F.col("w.end") <= F.lit(WM))
+        .groupBy(
+            F.col("w.start").alias("ws"),
+            F.col("rc.r").alias("r"),
+            F.col("rc.c").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {(r.ws, r.r, r.c): r.cnt for r in batch.collect()}
+    assert dropped > 0
+    assert got == want and len(got) > 0

@@ -46,7 +46,8 @@ def dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def duplicate_token_spans(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3
+    df: DataFrame, text_col: str, id_col: str, k: int = 3,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """(id, span_start, span_end, n_tokens) — maximal cross-document
     duplicated token spans per document: every run of tokens covered by
@@ -57,21 +58,28 @@ def duplicate_token_spans(
     This is the span-level form of exact-substring dedup (Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better",
     arXiv:2107.06499) re-expressed relationally instead of via a suffix
-    array: positioned shingle hashes -> global document-frequency ->
-    gaps-and-islands merge, all shuffles keyed on 60-bit hashes or the
-    doc id, integer-only output (no float drift class at all).  At
-    100 TB the df relation is the thing to stage/Bloom-filter; the merge
-    window is per-document and therefore embarrassingly parallel.
+    array: positioned shingles -> global document-frequency ->
+    gaps-and-islands merge, integer-only output (no float drift class
+    at all).  The merge window is per-document and therefore
+    embarrassingly parallel; at 100 TB the df relation is the thing to
+    stage/Bloom-filter.
+
+    ``hash_keys``: by default the df shuffle keys on the raw shingle
+    strings — strictly exact (no collision class) and measurably faster
+    locally (md5-per-position dominates the string-shuffle cost at
+    these sizes).  Set ``True`` to key on 60-bit md5 hashes instead:
+    ~8 bytes/key in the shuffle versus tens, which wins once network
+    bytes — not hash CPU — are the bottleneck, at the price of a
+    ~n²/2⁶⁰ false-merge probability.
     """
     from pyspark.sql import Window
 
     from .similarity import hash60, _shingles_or_whole  # noqa: PLC0415
 
+    sh = _shingles_or_whole(F.col(text_col))
     toks = df.select(
         F.col(id_col),
-        F.transform(
-            _shingles_or_whole(F.col(text_col)), hash60
-        ).alias("hs"),
+        (F.transform(sh, hash60) if hash_keys else sh).alias("hs"),
     )
     # _shingles_or_whole already yields one k-gram per starting position
     # for k=3 (SHINGLE_WORDS); positions are 1-based
@@ -106,9 +114,10 @@ def duplicate_token_spans(
 
 
 def duplicate_token_spans_oracle_sql(k: int = 3) -> str:
-    """DuckDB mirror of :func:`duplicate_token_spans` (same shingling as
-    similarity's ``_sig_cte``, same lag-based islands merge)."""
-    from .similarity import _NORM_SQL, _TOKS_SQL, _hash60_sql  # noqa: PLC0415
+    """DuckDB mirror of :func:`duplicate_token_spans` with the default
+    raw-string df keys (same shingling as similarity's ``_sig_cte``,
+    same lag-based islands merge)."""
+    from .similarity import _NORM_SQL, _TOKS_SQL  # noqa: PLC0415
 
     return f"""
 WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks FROM documents),
@@ -121,7 +130,7 @@ sh AS (
   FROM t
 ),
 pos AS (
-  SELECT doc_id, u.s AS s, {_hash60_sql('u.sh')} AS h FROM (
+  SELECT doc_id, u.s AS s, u.sh AS h FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(shingles)),
                                  i -> struct_pack(s := i, sh := shingles[i]))) AS u

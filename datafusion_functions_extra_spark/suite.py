@@ -2557,6 +2557,96 @@ def lineitem_pricing_summary(spark, sf_dir):
 
 
 @query(
+    "events_robust_zscore_mad",
+    f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       {_r6n_sql('0.6745 * (e.value - m.med) / d.mad')} AS robust_z
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE d.mad > 0
+  AND abs({_r6n_sql('0.6745 * (e.value - m.med) / d.mad')}) > 3.5
+""",
+)
+def events_robust_zscore_mad(spark, sf_dir):
+    """Median/MAD robust outlier screen per event type — the
+    heavy-tail-safe sibling of events_anomaly_zscore: mean and stddev
+    are themselves dragged by the outliers they're meant to find, while
+    median and MAD have a 50% breakdown point.  robust_z = 0.6745 *
+    (x - median) / MAD (the consistency constant makes it sigma-scaled
+    for normal data), flagged at the standard |z| > 3.5.  Two exact
+    per-type percentile passes (tiny per-type relations broadcast
+    back); at 100 TB swap exact medians for the binned-histogram
+    percentile (price_quantiles_binned's mergeable form) — the screen
+    itself never shuffles the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+        .where(F.col("mad") > 0)
+    )
+    z = _r6n(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where(F.abs(z) > 3.5)
+        .select("event_id", "event_type", "value", z.alias("robust_z"))
+    )
+
+
+@query(
+    "docs_source_cap_sample",
+    """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rn <= 20 THEN 0 ELSE 1 END)::BIGINT AS n_capped
+FROM ranked GROUP BY 1
+""",
+)
+def docs_source_cap_sample(spark, sf_dir):
+    """Per-source cap sampling: keep at most N docs per source, chosen by
+    deterministic md5 priority (reproducible across runs and engines,
+    unlike rand()) — the anti-domination pass that stops one crawl dump
+    from swamping the mixture.  One window per source partition; at
+    100 TB sources are far coarser than executors, so pre-aggregate to
+    per-source counts first and only window the sources over cap (or
+    use the temperature mixture for soft caps).  Reports kept vs capped
+    counts per source."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") <= 20, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= 20, 0).otherwise(1)).alias("n_capped"),
+    )
+
+
+@query(
     "events_anomaly_zscore",
     f"""
 WITH s AS (

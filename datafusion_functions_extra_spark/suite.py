@@ -4666,9 +4666,12 @@ def _rotate_for_driver_window() -> None:
 
     r04 state: the custom-operator backlog drained in r03 (47 new green
     rows), so the former ``_WINDOW_DEPRIORITIZED`` plain-SQL set is
-    retired — the ~45 never-verified queries (26 carried over + the
-    round-4 additions, all green under the hardened bit-pattern local
-    replica) fill the ~50-slot window.  Any spare tail slots re-verify
+    retired — the 51 never-verified queries (26 carried over + the
+    round-4 additions, every one green under the hardened bit-pattern
+    local replica at sf0.001 AND sf0.01 AND the vanilla driver-replica
+    session) queue first; ``events_user_trend`` (the r02/r03 hash-fail,
+    fixed this round) is position 0.  A ~50-slot window covers all but
+    the newest 1-2, which roll to r05.  Any spare tail slots re-verify
     queries whose oracle rounds through the ``r6n`` helper (its
     signed-zero ``+ 0.0`` normalization changed this round; the
     ``1e-9`` nudge literal in the oracle SQL is the marker), so any

@@ -457,3 +457,84 @@ def build_vocab(
     return counts.withColumn("token_id", F.row_number().over(w)).select(
         "token_id", "token", "n_occurrences"
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[tuple[str, list[str]]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: for each (query_id, terms) in
+    ``query_terms``, the k highest-scoring documents under
+
+        score(q, d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    — the standard keyword-retrieval scorer a training-data pipeline uses
+    for targeted corpus probes (eval-set leakage hunts, topical slicing)
+    and as the lexical leg of hybrid lexical+embedding retrieval next to
+    the cosine top-k operators in operators/similarity.py.
+
+    Plan shape (the 100 TB-safe form): ONE corpus scan feeds a (id, term,
+    tf) aggregate; document length and the scalar (N, avgdl) both derive
+    from that tf relation, never from a second pass over raw text.  The
+    query relation and the per-term df rollup are vocabulary-sized and
+    broadcast; the only corpus-sized shuffle is the (id, term) tf
+    aggregate, and the final top-k is a per-query window over documents
+    that matched at least one query term (an inverted-index probe, not a
+    corpus-wide score-everything).
+
+    Determinism: scores round to 6 dp (boundary-nudged, see
+    functions/rounding.py) *before* ranking, and ties break on ascending
+    document id — same contract as :func:`tfidf_top_terms`.
+    """
+    from pyspark.sql import Window
+
+    from .rounding import r6n
+
+    spark = df.sparkSession
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in query_terms for t in terms],
+        schema="query_id string, term string",
+    )
+    tf = term_frequencies(df, text_col, id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dfreq = (
+        tf.join(F.broadcast(q.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    contrib = idf * (
+        tf_d * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.groupBy("query_id", id_col)
+        .agg(r6n(F.sum(contrib)).alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", id_col, "score", "rk")
+    )

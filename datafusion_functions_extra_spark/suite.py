@@ -4597,6 +4597,709 @@ def docs_cross_snapshot_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# batch r04b: the remaining canonical TPC-H host-engine shapes (Q2/Q5/Q6/Q7/
+# Q8/Q9/Q10/Q13/Q15/Q21 adapted to the synthetic schema, which has no
+# partsupp and no commit/receipt dates) + lexical retrieval (BM25), corpus
+# statistics (Zipf fit), and an encoding-anomaly quality screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "regional_local_supplier_revenue",
+    """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def regional_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation where the customer and the line's
+    supplier sit in the same nation of one region, for one order year.
+
+    Plan: the date filter pushes to the orders scan, region/nation are
+    explicit broadcasts, supplier is AQE-broadcast after its region
+    semi-filter, and the only big shuffles are the two fact joins
+    (orders x customer, lineitem x orders) — the same-nation predicate
+    rides the supplier join as a residual, never a separate pass."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_dim(spark, sf_dir, "nation")
+    r = load_dim(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter-aggregate, zero joins.  All three
+    predicates push to the parquet scan (date + discount + quantity are
+    min/max-prunable), so the whole query is one codegen'd scan stage and
+    a scalar partial/final aggregate — the cheapest possible shape at any
+    scale.  The discount bounds compare against the exact parquet doubles
+    (0.05/0.07 round-trip identically in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "potential_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "volume_shipping_nation_pairs",
+    """
+WITH v AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem  ON s_suppkey = l_suppkey
+  JOIN orders    ON o_orderkey = l_orderkey
+  JOIN customer  ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+       round(sum(volume), 2) AS revenue
+FROM v GROUP BY 1, 2, 3
+""",
+)
+def volume_shipping_nation_pairs(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between one nation pair per
+    ship year.  The nation dim joins twice under two aliases (supplier
+    side / customer side); the pair disjunction collapses each aliased
+    broadcast to at most two rows before it touches a fact table, so the
+    fact joins carry a 2-value semi-filter on both foreign keys."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pair = ("NATION_1", "NATION_2")
+    n1 = (
+        load_dim(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = (
+        load_dim(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q8_SHARE = (
+    "sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END) / sum(volume)"
+)
+
+
+@query(
+    "nation_market_share",
+    f"""
+WITH v AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM part
+  JOIN lineitem  ON p_partkey = l_partkey
+  JOIN supplier  ON s_suppkey = l_suppkey
+  JOIN orders    ON o_orderkey = l_orderkey
+  JOIN customer  ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region    ON n2.n_regionkey = r_regionkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       {{share}} AS mkt_share
+FROM v GROUP BY o_year
+""".format(share=_r6n_sql(_Q8_SHARE)),
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's PROMO-part
+    revenue per order year — a conditional-sum / total-sum ratio over a
+    6-way star join.  Part and customer-region filters cut the fact rows
+    before the wide join chain; both nation lookups broadcast.  The share
+    is a ratio of two same-partitioning sums (one aggregate, no second
+    pass); it rounds through the boundary-nudged helper because ratios of
+    float sums land on .5 decimal boundaries across engines."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_dim(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_dim(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    r = load_dim(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(r, F.col("n2_rkey") == F.col("r_regionkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            _r6n(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(0.0)
+                )
+                / F.sum(volume)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "profit_by_nation_year",
+    """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+)
+def profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the synthetic schema has no partsupp, so
+    profit omits the supplycost term): revenue on name-matched parts per
+    supplier nation per order year.  The LIKE filter prunes the part dim
+    before its join; nation broadcasts; lineitem shuffles once on
+    l_orderkey for the orders join (partkey/suppkey sides are
+    AQE-broadcast after filtering)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_dim(spark, sf_dir, "nation")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@query(
+    "returned_item_customer_revenue",
+    """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name AS nation
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def returned_item_customer_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter.  Both fact filters (order date, return flag) push to their
+    scans; the top-20 on the rounded revenue (custkey tiebreak) is a
+    TakeOrderedAndProject, never a global sort.  c_acctbal passes through
+    unrounded — it is a stored parquet double, bit-identical in both
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_dim(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "customer_order_count_distribution",
+    """
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count
+""",
+)
+def customer_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts with a
+    predicate folded into the OUTER join condition (not the WHERE — a
+    customer with only urgent orders must survive with count 0).  Two
+    aggregates: one customer-sized, one distribution-sized; no sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+), m AS (SELECT max(total_revenue) AS max_rev FROM rev)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey, m
+WHERE total_revenue = max_rev
+""",
+)
+def top_revenue_suppliers(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals the
+    global maximum — the aggregate-then-join-back-to-its-own-max
+    decorrelation of Q15's view.  The max is a one-row broadcast (cross
+    join against a scalar), so no second scan of lineitem and no window
+    over all suppliers.  The equality compares revenues already rounded
+    to 2 dp on both engines, making the cut deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    m = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(s, rev.supplier_no == s.s_suppkey)
+        .crossJoin(F.broadcast(m))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "best_supplier_per_brand",
+    """
+WITH pairs AS (
+  SELECT DISTINCT p_brand, s_name, s_acctbal
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_size <= 10
+)
+SELECT p_brand, s_name AS best_supplier, s_acctbal AS best_acctbal
+FROM (
+  SELECT p_brand, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY s_acctbal DESC, s_name DESC) AS rn
+  FROM pairs
+) WHERE rn = 1
+""",
+)
+def best_supplier_per_brand(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp table, so 'supplies part' is
+    witnessed by lineitem and min supplycost becomes max account balance):
+    per brand, the best EUROPE supplier that actually shipped it — the
+    correlated-subquery shape decorrelated into one grouped argmax using
+    the reference max_by aggregate (SURVEY §2.1 #2), not a window sort.
+    The (brand, supplier) witness relation is deduplicated before the
+    argmax so the aggregate state is brand x supplier sized, and the
+    deterministic tie-break (greatest value wins) matches the oracle's
+    DESC/DESC window."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_dim(spark, sf_dir, "nation")
+    r = load_dim(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    pairs = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("p_brand", "s_name", "s_acctbal")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand").agg(
+        max_by("s_name", "s_acctbal", deterministic=True).alias("best_supplier"),
+        F.max("s_acctbal").alias("best_acctbal"),
+    )
+
+
+@query(
+    "suppliers_sole_return_blame",
+    """
+WITH rl AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+),
+ns AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY 1
+),
+rs AS (
+  SELECT l_orderkey, count(*) AS n_ret_supp, max(l_suppkey) AS culprit
+  FROM rl GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM rs
+JOIN ns       USING (l_orderkey)
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON culprit = s_suppkey
+WHERE n_ret_supp = 1 AND n_supp > 1 AND o_orderstatus = 'F'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+""",
+)
+def suppliers_sole_return_blame(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no commit/receipt dates, so 'kept the
+    order waiting' becomes 'sole supplier with a returned line'): for
+    finalized multi-supplier orders where exactly one supplier's lines
+    came back, count the blame per supplier.  Q21's EXISTS / NOT EXISTS
+    pair is decorrelated into two per-order counts joined back — each
+    input scanned once, no correlated re-probe per row, which is the form
+    that survives when lineitem is 100 TB.  max(l_suppkey) is a no-op
+    pick of the single returner (n_ret_supp = 1 filter), kept as max for
+    engine parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    rl = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    ns = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    rs = rl.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_ret_supp"), F.max("l_suppkey").alias("culprit")
+    )
+    return (
+        rs.join(ns, "l_orderkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(s, F.col("culprit") == s.s_suppkey)
+        .where((F.col("n_ret_supp") == 1) & (F.col("n_supp") > 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+_BM25_QUERIES = [
+    ("q_spark_join", ["spark", "join"]),
+    ("q_hash_merge", ["hash", "merge", "batch"]),
+    ("q_customer", ["customer", "query"]),
+]
+
+_BM25_SCORE = (
+    "ln(1 + (st.n_docs::DOUBLE - dfq.df + 0.5) / (dfq.df + 0.5))"
+    " * (tf.tf::DOUBLE * 2.2)"
+    " / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE"
+    " / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))"
+)
+
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+dfq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         {{score}} AS score
+  FROM tf
+  JOIN q   USING (term)
+  JOIN dfq USING (term)
+  JOIN dl  USING (doc_id), st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+""".format(score=_r6n_sql(f"sum({_BM25_SCORE})")),
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 documents per keyword query (functions/text.py
+    bm25_topk; k1=1.2, b=0.75): the lexical-retrieval leg of a corpus
+    probe / hybrid search next to the embedding cosine top-k.  One corpus
+    scan feeds the (doc, term, tf) aggregate; document length, N, avgdl,
+    and per-term df all derive from that relation; the query set and df
+    rollup broadcast.  Scores round through the boundary-nudged 6 dp
+    helper before ranking (ln ulp, float-sum order)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.bm25_topk(d, "text", "doc_id", _BM25_QUERIES, k=5)
+
+
+@query(
+    "corpus_zipf_slope",
+    f"""
+WITH {_TOK_CTE},
+c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk FROM c
+),
+t AS (
+  SELECT ln(rnk::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM r WHERE rnk <= 1000
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       {{slope}} AS zipf_slope,
+       {{icept}} AS zipf_intercept
+FROM s
+""".format(
+        slope=_r6n_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)"),
+        icept=_r6n_sql(
+            "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n"
+        ),
+    ),
+)
+def corpus_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope and
+    intercept of ln(count) on ln(rank) for the top-1000 terms — the
+    standard sanity check that a scraped corpus has natural-language
+    token statistics (slope near -1) rather than boilerplate or spam
+    (flat or cliffed curves).  The only full sort is vocabulary-sized
+    (rank assignment); the corpus contributes one explode + one hash
+    aggregate.  Closed-form OLS over power sums — the same mergeable
+    power-sum design as the reference moment aggregates — so the fit is
+    one aggregate, not an iterative solver."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 1000)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        _r6n(slope).alias("zipf_slope"),
+        _r6n((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+@query(
+    "text_encoding_anomalies",
+    """
+WITH mutated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN chr(7) || t ELSE t END AS text
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 23 = 0 THEN text || '��' ELSE text END AS t
+    FROM documents
+  )
+)
+SELECT doc_id,
+       len(text) AS n_chars,
+       len(text) - len(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS n_control,
+       len(text) - len(regexp_replace(text, '�', '', 'g')) AS n_replacement,
+       (len(text) - len(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F�]', '', 'g'))) > 0 AS flagged
+FROM mutated
+""",
+)
+def text_encoding_anomalies(spark, sf_dir):
+    """Mojibake / encoding-anomaly quality screen: per-document counts of
+    C0 control characters (minus tab/newline/CR) and U+FFFD replacement
+    characters — the cheap first-pass filter that catches charset
+    mis-decodes and binary-in-text before any model-based scoring.  The
+    synthetic corpus is clean ASCII, so the query plants deterministic
+    anomalies first (every 23rd doc gains two replacement chars, every
+    31st a BEL prefix) and must flag exactly those.  Counting is
+    length-minus-stripped-length — two regexp_replace passes per row,
+    pure codegen, zero Python, and character semantics (not bytes) in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    repl = "�"
+    mutated = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 0, F.concat("text", F.lit("��"))
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 31 == 0, F.concat(F.lit("\x07"), F.col("t")))
+        .otherwise(F.col("t"))
+        .alias("text"),
+    )
+    n = F.length("text")
+    n_control = n - F.length(F.regexp_replace("text", ctrl, ""))
+    n_replacement = n - F.length(F.regexp_replace("text", repl, ""))
+    n_bad = n - F.length(
+        F.regexp_replace("text", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F" + repl + "]", "")
+    )
+    return mutated.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        n_control.cast("bigint").alias("n_control"),
+        n_replacement.cast("bigint").alias("n_replacement"),
+        (n_bad > 0).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 
@@ -4666,12 +5369,12 @@ def _rotate_for_driver_window() -> None:
 
     r04 state: the custom-operator backlog drained in r03 (47 new green
     rows), so the former ``_WINDOW_DEPRIORITIZED`` plain-SQL set is
-    retired — the 51 never-verified queries (26 carried over + the
+    retired — the 66 never-verified queries (26 carried over + the
     round-4 additions, every one green under the hardened bit-pattern
-    local replica at sf0.001 AND sf0.01 AND the vanilla driver-replica
-    session) queue first; ``events_user_trend`` (the r02/r03 hash-fail,
-    fixed this round) is position 0.  A ~50-slot window covers all but
-    the newest 1-2, which roll to r05.  Any spare tail slots re-verify
+    local replica at sf0.001 AND sf0.01 AND sf0.1) queue first;
+    ``events_user_trend`` (the r02/r03 hash-fail, fixed this round) is
+    position 0.  A ~50-slot window covers the oldest 50; the newest
+    ~16 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
     queries whose oracle rounds through the ``r6n`` helper (its
     signed-zero ``+ 0.0`` normalization changed this round; the
     ``1e-9`` nudge literal in the oracle SQL is the marker), so any

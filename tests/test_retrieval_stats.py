@@ -1,0 +1,91 @@
+"""BM25 retrieval, Zipf rank-frequency fit, encoding-anomaly screen
+(round-4 additions)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from datafusion_functions_extra_spark.functions.text import bm25_topk
+from datafusion_functions_extra_spark.suite import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark join join"),
+        (2, "spark scan scan scan scan scan"),
+        (3, "hash merge hash"),
+        (4, "filter filter filter"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25(tf, dl, avgdl, n, df, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_scores_match_closed_form(docs):
+    out = bm25_topk(docs, "text", "doc_id", [("q", ["spark", "join"])], k=4)
+    got = {r.doc_id: (r.score, r.rk) for r in out.collect()}
+    # corpus: N=4, avgdl=(3+6+3+3)/4; df(spark)=2, df(join)=1
+    avgdl = 15 / 4
+    d1 = _bm25(1, 3, avgdl, 4, 2) + _bm25(2, 3, avgdl, 4, 1)
+    d2 = _bm25(1, 6, avgdl, 4, 2)
+    assert got[1][0] == pytest.approx(round(d1, 6), abs=2e-6)
+    assert got[2][0] == pytest.approx(round(d2, 6), abs=2e-6)
+    # doc 1 matches both terms (one rare) -> rank 1; doc 2 only 'spark'
+    assert got[1][1] == 1 and got[2][1] == 2
+
+
+def test_bm25_is_an_index_probe_not_score_everything(docs):
+    out = bm25_topk(docs, "text", "doc_id", [("q", ["hash"])], k=10)
+    ids = {r.doc_id for r in out.collect()}
+    # docs without any query term never appear (no zero-score rows)
+    assert ids == {3}
+
+
+def test_bm25_length_normalization_prefers_short_docs(spark):
+    rows = [(1, "term " + "pad " * 50), (2, "term")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, "text", "doc_id", [("q", ["term"])], k=2).collect()
+    top = min(out, key=lambda r: r.rk)
+    assert top.doc_id == 2  # same tf, shorter doc scores higher under b>0
+
+
+def test_zipf_slope_matches_numpy_ols(spark):
+    import numpy as np
+    import pandas as pd
+
+    row = QUERIES["corpus_zipf_slope"](spark, SF).collect()[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    counts = Counter()
+    for t in docs["text"]:
+        counts.update(" ".join(t.lower().strip().split()).split(" "))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in ranked], dtype=float))
+    slope, icept = np.polyfit(x, y, 1)
+    assert row.n_terms == len(ranked)
+    assert row.zipf_slope == pytest.approx(slope, abs=1e-5)
+    assert row.zipf_intercept == pytest.approx(icept, abs=1e-5)
+    assert row.zipf_slope < 0  # frequencies decay with rank
+
+
+def test_encoding_anomalies_flags_exactly_planted_docs(spark):
+    rows = QUERIES["text_encoding_anomalies"](spark, SF).collect()
+    flagged = {r.doc_id for r in rows if r.flagged}
+    assert flagged == {r.doc_id for r in rows if r.doc_id % 23 == 0 or r.doc_id % 31 == 0}
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert r.n_replacement == (2 if r.doc_id % 23 == 0 else 0)
+        assert r.n_control == (1 if r.doc_id % 31 == 0 else 0)
+    # clean docs are untouched: no false positives on ASCII prose
+    assert not any(r.flagged for r in rows if r.doc_id % 23 and r.doc_id % 31)
+    assert by_id[0].flagged  # doc 0 hits both injectors

@@ -492,15 +492,37 @@ def bm25_topk(
     functions/rounding.py) *before* ranking, and ties break on ascending
     document id — same contract as :func:`tfidf_top_terms`.
     """
-    from pyspark.sql import Window
-
-    from .rounding import r6n
-
     spark = df.sparkSession
     q = spark.createDataFrame(
         [(qid, t) for qid, terms in query_terms for t in terms],
         schema="query_id string, term string",
     )
+    return bm25_topk_rel(df, text_col, id_col, q, k=k, k1=k1, b=b)
+
+
+def bm25_topk_rel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`bm25_topk` with a relational query side: ``queries`` is any
+    small (query_id, term) DataFrame — literal keyword sets, or terms
+    derived in-plan (e.g. a query document's top TF-IDF terms for
+    query-by-document / hybrid retrieval).  The query relation is
+    broadcast; everything else matches :func:`bm25_topk`.
+
+    Returns (query_id, <id_col>, score, rk) with query_id typed as the
+    input relation's query_id column.
+    """
+    from pyspark.sql import Window
+
+    from .rounding import r6n
+
+    q = queries.select("query_id", "term")
     tf = term_frequencies(df, text_col, id_col)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(

@@ -5300,6 +5300,555 @@ def text_encoding_anomalies(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# batch r04c: hybrid retrieval fusion, session path mining, Heaps-law vocab
+# growth, and PCA top component by power iteration
+# ---------------------------------------------------------------------------
+
+#: query-by-document ids for the hybrid lexical+embedding retrieval query
+#: (documents.doc_id and embeddings.vec_id are positionally aligned in the
+#: synthetic corpus, so one id addresses both modalities)
+HYBRID_QUERY_IDS = [0, 1, 2, 3]
+
+_BM25_CONTRIB_SQL = (
+    "ln(1 + (st.n_docs::DOUBLE - bdf.df + 0.5) / (bdf.df + 0.5))"
+    " * (tf.tf::DOUBLE * 2.2)"
+    " / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE"
+    " / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))"
+)
+
+_HYBRID_IDS_SQL = ", ".join(str(i) for i in HYBRID_QUERY_IDS)
+
+
+@query(
+    "hybrid_rrf_topk",
+    f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+qtf AS (SELECT * FROM tf WHERE doc_id IN ({_HYBRID_IDS_SQL})),
+dfq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM qtf) GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ts AS (
+  SELECT qtf.doc_id, qtf.term,
+         {{tfidf}} AS tfidf
+  FROM qtf JOIN dfq USING (term), n
+),
+qterms AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term ASC) AS rk
+    FROM ts
+  ) WHERE rk <= 3
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+bdf AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1
+),
+bscore AS (
+  SELECT q.query_id, tf.doc_id, {{bm25}} AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN bdf     USING (term)
+  JOIN dl      USING (doc_id), st
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id AS qid, doc_id AS m_id, lex_rk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS lex_rk
+    FROM bscore
+  ) WHERE lex_rk <= 20
+),
+qv AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       WHERE vec_id IN ({_HYBRID_IDS_SQL})),
+escored AS (
+  SELECT qv.q_id, e.vec_id AS m_id,
+         round({{cos}}, 6) AS cos
+  FROM qv JOIN embeddings e ON e.vec_id <> qv.q_id
+),
+emb AS (
+  SELECT q_id AS qid, m_id, emb_rk FROM (
+    SELECT q_id, m_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, m_id ASC) AS emb_rk
+    FROM escored
+  ) WHERE emb_rk <= 20
+),
+fused AS (
+  SELECT coalesce(lex.qid, emb.qid) AS qid,
+         coalesce(lex.m_id, emb.m_id) AS m_id,
+         {{rrf}} AS rrf_score
+  FROM lex FULL OUTER JOIN emb
+    ON lex.qid = emb.qid AND lex.m_id = emb.m_id
+),
+r AS (
+  SELECT qid, m_id, rrf_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf_score DESC, m_id ASC) AS rank
+  FROM fused WHERE m_id <> qid
+)
+SELECT qid AS q_id, m_id AS match_id, rrf_score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""".format(
+        tfidf=_r6n_sql("qtf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfq.df::DOUBLE)"),
+        bm25=_r6n_sql(f"sum({_BM25_CONTRIB_SQL})"),
+        cos=SIM._cos_sql("qv.q_vec", "e.embedding"),
+        rrf=_r6n_sql(
+            "coalesce(1.0 / (60 + lex.lex_rk), 0.0)"
+            " + coalesce(1.0 / (60 + emb.emb_rk), 0.0)"
+        ),
+    ),
+)
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid query-by-document retrieval with reciprocal-rank fusion
+    (RRF, the standard k=60 form): the lexical leg is BM25 over the query
+    document's top-3 TF-IDF terms, the semantic leg is exact cosine top-k
+    over the document's embedding, and the fused score is
+    sum(1/(60+rank)) over the legs a candidate appears in — the textbook
+    hybrid-search join that needs both this library's text-retrieval and
+    embedding-similarity families in one plan.
+
+    Plan: one (doc, term, tf) aggregate feeds query-term selection,
+    document lengths, df, and BM25 scoring (the query side of every join
+    is query-doc- or vocabulary-sized and broadcast); the embedding leg
+    is the broadcast-query cosine scan; fusion is a full-outer join of
+    two ≤(queries x 20)-row rank relations.  RRF arithmetic is exact
+    (1/(60+int) on both engines bit-identically), rounded through the
+    boundary-nudged helper only at the fused score; ranks tie-break on
+    ascending candidate id everywhere.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    tf = TX.term_frequencies(d, "text", "doc_id")
+
+    # lexical leg: query doc -> top-3 tfidf terms -> BM25 top-20
+    qtf = tf.where(F.col("doc_id").isin(HYBRID_QUERY_IDS))
+    dfq = (
+        tf.join(F.broadcast(qtf.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        qtf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            _r6n(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ),
+        )
+    )
+    wq = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    qterms = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 3)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    lex = TX.bm25_topk_rel(d, "text", "doc_id", qterms, k=20).select(
+        F.col("query_id").alias("qid"),
+        F.col("doc_id").alias("m_id"),
+        F.col("rk").alias("lex_rk"),
+    )
+
+    # semantic leg: exact cosine top-20 for the same ids
+    emb = SIM.cosine_topk(e, HYBRID_QUERY_IDS, k=20).select(
+        F.col("q_id").alias("qid"),
+        F.col("neighbor_id").alias("m_id"),
+        F.col("rank").alias("emb_rk"),
+    )
+
+    fused = (
+        lex.join(emb, ["qid", "m_id"], "full_outer")
+        .where(F.col("m_id") != F.col("qid"))
+        .select(
+            "qid",
+            "m_id",
+            _r6n(
+                F.coalesce(1.0 / (60 + F.col("lex_rk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("emb_rk")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), F.col("m_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("qid").alias("q_id"),
+            F.col("m_id").alias("match_id"),
+            "rrf_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@query(
+    "events_session_top_paths",
+    """
+WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+lagd AS (
+  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM e
+),
+sess AS (
+  SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagd
+),
+rn AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM rn WHERE rn <= 5 GROUP BY 1, 2
+),
+c AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1),
+r AS (
+  SELECT path, n_sessions,
+         row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rk
+  FROM c
+)
+SELECT path, n_sessions, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+""",
+)
+def events_session_top_paths(spark, sf_dir):
+    """Top-10 session-opening event paths (first 5 events per gap session,
+    joined as 'a>b>c'): the product-analytics path-mining rollup that sits
+    on top of the sessionization operator — which navigation sequences
+    dominate.  Plan: one user-partitioned sort carries both sessionization
+    windows AND the within-session row_number (same ordering key), the
+    path assembly is an array_sort over ≤5 collected (rn, type) structs
+    per session (bounded state, deterministic by the unique event_id
+    tiebreak), and the final top-10 ranks the path-count relation, which
+    is path-cardinality-sized."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    s = SS.sessionize(e, gap_seconds=1800)
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    paths = (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 10)
+        .select("path", "n_sessions", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query(
+    "corpus_heaps_curve",
+    f"""
+WITH {_TOK_CTE},
+tc AS (
+  SELECT doc_id,
+         len(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS ntok
+  FROM documents
+),
+firsts AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+mx AS (SELECT max(doc_id) AS mid FROM documents),
+chk AS (
+  SELECT CAST(k AS INT) AS k,
+         CAST(floor((mx.mid * k) / 10.0) AS BIGINT) AS cutoff
+  FROM mx, generate_series(1, 10) g(k)
+),
+tot AS (
+  SELECT k, cutoff, CAST(sum(ntok) AS BIGINT) AS n_tokens
+  FROM chk JOIN tc ON tc.doc_id <= chk.cutoff GROUP BY 1, 2
+),
+dis AS (
+  SELECT k, count(*) AS n_distinct
+  FROM chk JOIN firsts ON firsts.first_doc <= chk.cutoff GROUP BY 1
+)
+SELECT tot.k, tot.cutoff, tot.n_tokens, dis.n_distinct,
+       {{beta}} AS heaps_beta
+FROM tot JOIN dis USING (k)
+""".format(beta=_r6n_sql("ln(dis.n_distinct::DOUBLE) / ln(tot.n_tokens::DOUBLE)")),
+)
+def corpus_heaps_curve(spark, sf_dir):
+    """Heaps-law vocabulary growth curve: distinct-token count vs total
+    tokens at ten doc-id cutoffs, with the pointwise Heaps exponent
+    ln(V)/ln(N) — does vocabulary keep growing with corpus size the way
+    natural text does (V ~ N^beta, beta in 0.4-0.6) or plateau
+    (templated/boilerplate corpora)?
+
+    Plan: per-doc token counts and token first-occurrence docs each come
+    from one corpus pass; the 10-row checkpoint grid (derived from the
+    scalar max doc id) broadcast-joins both tiny rollups with a
+    range predicate, so nothing corpus-sized is ever re-scanned per
+    checkpoint — the cumulative counting happens on the vocabulary-sized
+    first-occurrence relation."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = d.select("doc_id", TX.token_count("text").alias("ntok"))
+    firsts = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = d.agg(F.max("doc_id").alias("mid"))
+    chk = (
+        mx.select(F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"), "mid")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.floor(F.col("mid") * F.col("k") / 10.0).cast("bigint").alias("cutoff"),
+        )
+    )
+    tot = (
+        tc.join(F.broadcast(chk), tc.doc_id <= chk.cutoff)
+        .groupBy("k", "cutoff")
+        .agg(F.sum("ntok").alias("n_tokens"))
+    )
+    dis = (
+        firsts.join(F.broadcast(chk), firsts.first_doc <= chk.cutoff)
+        .groupBy(chk.k.alias("k2"))
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        tot.join(dis, tot.k == dis.k2)
+        .select(
+            "k",
+            "cutoff",
+            "n_tokens",
+            "n_distinct",
+            _r6n(
+                F.log(F.col("n_distinct").cast("double"))
+                / F.log(F.col("n_tokens").cast("double"))
+            ).alias("heaps_beta"),
+        )
+    )
+
+
+#: fixed power-iteration count for the PCA suite query.  The synthetic
+#: embeddings have a nearly flat spectrum (lambda2/lambda1 ~ 0.93), so 40
+#: rounds are needed for ~0.99 alignment with the true component (the
+#: 6 dp-rounded trajectory converges at the same rate as exact floats —
+#: measured against the numpy replica in tests/test_hybrid_pca.py).
+PCA_ITERS = 40
+
+
+def _pca_oracle_sql(iters: int = PCA_ITERS, dim: int = 64) -> str:
+    """Unrolled power-iteration CTE chain mirroring
+    embedding_pca_top_component: covariance entries, every iterate, its
+    norm, and the normalized vector all round through the boundary-nudged
+    6 dp helper, so both engines walk the identical trajectory (the
+    k-means determinism rule, operators/clustering.py).
+
+    Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines CTEs by
+    default, and inlining u_t into both its norm and the next iterate
+    doubles the expression tree per iteration — at 40 rounds the inlined
+    plan re-opens the parquet thousands of times (observed as 'Too many
+    open files') before any work starts."""
+    w0 = 1.0 / dim ** 0.5
+    parts = [
+        f"""
+cd AS MATERIALIZED (
+  SELECT e.vec_id, g.i, e.embedding[g.i]::DOUBLE - m.mv AS d
+  FROM embeddings e CROSS JOIN generate_series(1, {dim}) g(i)
+  JOIN (
+    SELECT g.i, avg(e.embedding[g.i]::DOUBLE) AS mv
+    FROM embeddings e CROSS JOIN generate_series(1, {dim}) g(i)
+    GROUP BY g.i
+  ) m ON m.i = g.i
+),
+cov AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, {_r6n_sql('avg(a.d * b.d)')} AS c
+  FROM cd a JOIN cd b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+w0 AS (SELECT g.i, {w0!r}::DOUBLE AS v FROM generate_series(1, {dim}) g(i))"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+u{t} AS MATERIALIZED (
+  SELECT cov.i, {_r6n_sql(f'sum(cov.c * w{t-1}.v)')} AS v
+  FROM cov JOIN w{t-1} ON cov.j = w{t-1}.i
+  GROUP BY cov.i
+),
+n{t} AS (SELECT {_r6n_sql('sqrt(sum(v * v))')} AS nv FROM u{t}),
+w{t} AS MATERIALIZED (
+  SELECT i, {_r6n_sql(f'u{t}.v / n{t}.nv')} AS v FROM u{t}, n{t}
+)"""
+        )
+    wf = f"w{iters}"
+    parts.append(
+        f"""
+sg AS (
+  SELECT CASE WHEN min(CASE WHEN i = 1 THEN v END) < 0
+              THEN -1.0 ELSE 1.0 END AS s
+  FROM {wf}
+),
+tr AS (SELECT sum(c) AS t FROM cov WHERE i = j),
+ray AS (
+  SELECT sum(cov.c * wa.v * wb.v) AS r
+  FROM cov JOIN {wf} wa ON cov.i = wa.i JOIN {wf} wb ON cov.j = wb.i
+)"""
+    )
+    final = f"""
+SELECT CAST({wf}.i - 1 AS INT) AS pos,
+       {wf}.v * sg.s + 0.0 AS loading,
+       {_r6n_sql('ray.r / tr.t')} AS explained_ratio
+FROM {wf}, sg, ray, tr
+"""
+    return "WITH " + ",".join(parts) + final
+
+
+@query("embedding_pca_top_component", _pca_oracle_sql())
+def embedding_pca_top_component(spark, sf_dir):
+    """Top principal component of the embedding corpus by power iteration
+    (40 fixed rounds) — the embedding-space diagnostic (dominant
+    direction + explained-variance share) that catches collapsed or
+    anisotropic embedding distributions before they poison cosine
+    retrieval.
+
+    Scale shape: the ONLY corpus-sized work is the covariance aggregate —
+    the centered (vec_id, dim, value) relation joined with itself on
+    vec_id, shuffle state dim x dim regardless of corpus size.  The
+    dim^2 covariance then collapses to a single row holding the matrix
+    as array<array<double>>, and all 40 iterations run as in-row array
+    expressions (zip_with / aggregate folds) in ONE projection stage —
+    no per-iteration shuffll, no driver loop, no growing lineage.  Two
+    earlier shapes failed structurally: per-iteration DataFrame joins
+    referencing the iterate twice double the logical plan per round
+    (2^40 nodes — Catalyst analysis alone runs for hours, and persist()
+    dedupes execution, not the analyzed tree), and even a
+    single-reference chain pays ~160 scheduler round-trips for 64-row
+    stages (~5 min of pure overhead).
+
+    Determinism: the k-means rule (operators/clustering.py) — every
+    stored intermediate (cov entries, each iterate, its norm, the
+    normalized vector) rounds through the boundary-nudged 6 dp helper so
+    both engines walk the identical trajectory; the final sign is
+    canonicalized on the (identical) first coordinate, ``+ 0.0``
+    normalizes IEEE signed zeros (functions/rounding.py), and the
+    Rayleigh numerator/trace use UNROUNDED products on both sides with
+    one rounding at the final ratio."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = SIM.EMBEDDING_DIM
+    dims = e.select(
+        "vec_id", F.posexplode(SIM._as_double(F.col("embedding"))).alias("i", "x")
+    )
+    means = dims.groupBy("i").agg(F.avg("x").alias("mv"))
+    cd = dims.join(F.broadcast(means), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mv")).alias("d")
+    )
+    cd2 = cd.select(
+        F.col("vec_id"), F.col("i").alias("j"), F.col("d").alias("d2")
+    )
+    cov = (
+        cd.join(cd2, "vec_id")
+        .groupBy("i", "j")
+        .agg(_r6n(F.avg(F.col("d") * F.col("d2"))).alias("c"))
+    )
+    rows = cov.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))), lambda s: s.c
+        ).alias("rv")
+    )
+    mat = rows.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "rv"))), lambda s: s.rv
+        ).alias("m")
+    )
+
+    def matvec(m, w, rounded=True):
+        prod = lambda row: F.aggregate(  # noqa: E731 — local expression builder
+            F.zip_with(row, w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if rounded:
+            return F.transform(m, lambda row: _r6n(prod(row)))
+        return F.transform(m, lambda row: prod(row))
+
+    def normalize(u):
+        return TX.bind_once(
+            _r6n(F.sqrt(F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x))),
+            lambda nv: F.transform(u, lambda x: _r6n(x / nv)),
+        )
+
+    # one stacked projection per iteration: a single 40-deep nested lambda
+    # expression exceeds the analyzer's fixed-point resolution budget
+    # ("Max iterations (100) reached for batch Resolution"), while each
+    # projection resolves its own shallow expression independently
+    cur = mat.select("m", F.array_repeat(F.lit(1.0 / dim ** 0.5), dim).alias("w"))
+    for _ in range(PCA_ITERS):
+        cur = cur.select(
+            "m",
+            TX.bind_once(matvec(F.col("m"), F.col("w")), normalize).alias("w"),
+        )
+
+    def finish(wv):
+        sign = F.when(F.element_at(wv, 1) < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        ray = F.aggregate(
+            F.zip_with(wv, matvec(F.col("m"), wv, rounded=False), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        trace = F.aggregate(
+            F.transform(F.col("m"), lambda row, i: F.element_at(row, i + 1)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return TX.bind_once(
+            sign,
+            lambda s: TX.bind_once(
+                _r6n(ray / trace),
+                lambda evr: F.transform(
+                    wv,
+                    lambda x: F.struct(
+                        (x * s + 0.0).alias("loading"),
+                        evr.alias("explained_ratio"),
+                    ),
+                ),
+            ),
+        )
+
+    return cur.select(
+        F.posexplode(TX.bind_once(F.col("w"), finish)).alias("pos", "st")
+    ).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("st.loading").alias("loading"),
+        F.col("st.explained_ratio").alias("explained_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 
@@ -5369,12 +5918,12 @@ def _rotate_for_driver_window() -> None:
 
     r04 state: the custom-operator backlog drained in r03 (47 new green
     rows), so the former ``_WINDOW_DEPRIORITIZED`` plain-SQL set is
-    retired — the 66 never-verified queries (26 carried over + the
+    retired — the 70 never-verified queries (26 carried over + the
     round-4 additions, every one green under the hardened bit-pattern
     local replica at sf0.001 AND sf0.01 AND sf0.1) queue first;
     ``events_user_trend`` (the r02/r03 hash-fail, fixed this round) is
     position 0.  A ~50-slot window covers the oldest 50; the newest
-    ~16 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
+    ~20 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
     queries whose oracle rounds through the ``r6n`` helper (its
     signed-zero ``+ 0.0`` normalization changed this round; the
     ``1e-9`` nudge literal in the oracle SQL is the marker), so any

@@ -5930,11 +5930,22 @@ def _rotate_for_driver_window() -> None:
     unexpected interaction surfaces inside the window rather than
     silently."""
     global QUERIES, ORACLES
+    rows_only = {"price_quantiles_approx", "approx_distinct_users"}
     order = sorted(
         QUERIES,
         key=lambda n: (
+            # the two declared rows-only sketch queries can never earn a
+            # hash row, so they must not consume head-of-window slots —
+            # their (weaker, by-design) rows-only check runs wherever
+            # they land
+            n in rows_only,
             n in _DRIVER_VERIFIED,
-            "1e-9" not in ORACLES.get(n, ""),
+            # the r6n re-verify tiebreak applies only to the verified
+            # TAIL (spare slots re-check queries whose rounding helper
+            # changed); within the never-verified head, definition order
+            # rules, so the r03 carryovers outrank this round's brand-new
+            # queries for the ~50 window slots
+            n in _DRIVER_VERIFIED and "1e-9" not in ORACLES.get(n, ""),
         ),
     )
     QUERIES = {n: QUERIES[n] for n in order}

@@ -133,6 +133,9 @@ PROBES = (
     "asof_purchase_attribution",   # as-of join
     "embedding_cosine_topk",       # broadcast-query similarity
     "hll_users_by_type",           # sketch registers
+    "embedding_pca_top_component",  # iterative: corpus-sized work = 1 cov agg
+    "hybrid_rrf_topk",             # BM25 + cosine legs fused (r04c)
+    "text_bm25_topk",              # inverted-index lexical retrieval
 )
 
 

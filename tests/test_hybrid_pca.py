@@ -94,3 +94,67 @@ def test_session_top_paths(spark):
     for r in rs:
         steps = r.path.split(">")
         assert 1 <= len(steps) <= 5 and all(steps)
+
+
+class TestRound4cPlanContracts:
+    """Plan-shape pins for the round-4c queries (PLANS.md properties that
+    must fail loudly on regression, not silently de-optimize)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_q6_filters_reach_the_scan(self, spark):
+        plan = self._plan(QUERIES["forecast_revenue_change"](spark, self.SF))
+        # the PushedFilters list is width-truncated in toString, so pin a
+        # stable prefix of it plus the (untruncated) Filter node predicate
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+        assert "GreaterThanOrEqual(l_shipda" in plan
+        assert "< 24.0)" in plan  # quantity bound survives to the plan
+        # zero-join scalar aggregate: one exchange (partial -> final)
+        assert plan.count("Exchange") <= 1
+
+    def test_q2_argmax_is_an_aggregate_not_a_window(self, spark):
+        plan = self._plan(QUERIES["best_supplier_per_brand"](spark, self.SF))
+        assert "Window" not in plan  # max_by aggregate, no per-brand sort
+        assert "CartesianProduct" not in plan
+
+    def test_q10_topk_is_takeordered(self, spark):
+        plan = self._plan(QUERIES["returned_item_customer_revenue"](spark, self.SF))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_retrieval_queries_stay_jvm_side(self, spark):
+        for q in ("text_bm25_topk", "hybrid_rrf_topk", "corpus_zipf_slope",
+                  "embedding_pca_top_component", "corpus_heaps_curve"):
+            plan = self._plan(QUERIES[q](spark, self.SF))
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+            assert "CartesianProduct" not in plan, q
+
+    def test_pca_is_shuffle_bounded(self, spark):
+        # corpus work = covariance aggregate; the 40 iterations add ZERO
+        # exchanges (in-row array expressions over the one-row matrix)
+        plan = self._plan(QUERIES["embedding_pca_top_component"](spark, self.SF))
+        assert plan.count("Exchange") <= 8
+
+
+def test_q13_outer_join_keeps_all_customers(spark):
+    """Q13's defining semantics: the priority predicate lives in the JOIN
+    condition, so customers whose orders all match the excluded priority
+    (and customers with no orders) survive with count 0 — the
+    distribution always covers every customer exactly once."""
+    import pandas as pd
+
+    rows = QUERIES["customer_order_count_distribution"](spark, SF).collect()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    kept = orders[orders["o_orderpriority"] != "1-URGENT"]
+    per_cust = (
+        cust[["c_custkey"]]
+        .merge(kept[["o_custkey"]], left_on="c_custkey", right_on="o_custkey", how="left")
+        .groupby("c_custkey")["o_custkey"].count()
+    )
+    expected = per_cust.value_counts().to_dict()
+    got = {r.c_count: r.custdist for r in rows}
+    assert got == {int(k): int(v) for k, v in expected.items()}
+    assert sum(got.values()) == len(cust)

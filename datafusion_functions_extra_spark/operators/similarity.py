@@ -1294,6 +1294,76 @@ SELECT q_id, neighbor_id, cos, rank::INT AS rank FROM r WHERE rank <= {k}
 """
 
 
+def ann_multiprobe_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe ANN top-k: candidates from the query's hyperplane
+    bucket AND every bucket at Hamming distance 1 (flip each of the
+    N_HYPERPLANES bits) — the standard multi-probe LSH recall fix
+    (Lv et al., VLDB 2007).
+
+    Motivated by measurement: ``embedding_ann_recall`` shows the exact-
+    bucket probe recalls ~0-1 of the true top-5 on this corpus — with a
+    near-isotropic embedding distribution, true neighbors sit at cosine
+    ~0.3, where the per-plane agreement probability (1 - theta/pi ~ 0.6)
+    makes an 8-bit exact bucket match vanishingly rare.  Probing the 9
+    nearest buckets multiplies candidate volume by ~9 (still a ~1/28
+    corpus fraction) and recovers most neighbors one flipped plane away.
+
+    Plan identical to :func:`ann_cosine_topk` except the broadcast query
+    side explodes to 9 (q, bucket) probe rows; each corpus vector lives
+    in exactly one bucket, so probes are disjoint and no candidate dedup
+    is needed.
+    """
+    from pyspark.sql import Window
+
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col)).alias("bucket")
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(N_HYPERPLANES)
+        ],
+    )
+    q = (
+        bucketed.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ann_cosine_topk_oracle_sql(query_ids: list[int], k: int = 5) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return f"""
@@ -1301,6 +1371,31 @@ WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
            FROM embeddings),
 q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b
       WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('q.q_vec', 'c.embedding')}, 6) AS cos
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos, rank::INT AS rank FROM r WHERE rank <= {k}
+"""
+
+
+def ann_multiprobe_topk_oracle_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(N_HYPERPLANES)]
+    )
+    return f"""
+WITH b AS MATERIALIZED (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+             unnest([{probe_list}]) AS bucket
+      FROM b WHERE vec_id IN ({ids})),
 scored AS (
   SELECT q.q_id, c.vec_id AS neighbor_id,
          round({_cos_sql('q.q_vec', 'c.embedding')}, 6) AS cos

@@ -6113,6 +6113,119 @@ def events_multi_touch_attribution(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# batch r04e: Pareto frontier (skyline) and LSH threshold tuning curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_pareto_frontier",
+    """
+WITH pts AS (
+  SELECT DISTINCT p_retailprice AS price, p_size AS sz FROM part
+),
+w AS (
+  SELECT price, sz,
+         min(sz) OVER (ORDER BY price ASC, sz ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_sz
+  FROM pts
+)
+SELECT price, sz FROM w WHERE best_sz IS NULL OR sz < best_sz
+""",
+)
+def parts_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier (skyline): the (price, size) points of the part
+    catalog not dominated on (cheaper-or-equal, smaller-or-equal, one
+    strict) — the classic multi-criteria shortlist operator.
+
+    Plan: the textbook quadratic NOT EXISTS formulation is replaced by
+    the sort-sweep identity — over DISTINCT points ordered by
+    (price asc, size asc), a point is on the frontier iff its size is
+    strictly below the running minimum of all preceding points (any
+    preceding argmin witnesses dominance; exact duplicates are removed
+    first so the remaining price-tie case is strict in size).  One
+    distinct aggregate + one window over the deduplicated point set.
+    The global-order window is the documented small-data tail: at 100 TB
+    you first grid-prune map-side (drop every point dominated by another
+    bucket's corner — eliminates ~all of a large catalog), then sweep
+    the surviving sliver; the sweep itself is output-sized."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
+    ).distinct()
+    w = Window.orderBy(F.col("price").asc(), F.col("sz").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        pts.withColumn("best_sz", F.min("sz").over(w))
+        .where(F.col("best_sz").isNull() | (F.col("sz") < F.col("best_sz")))
+        .select("price", "sz")
+    )
+
+
+@query(
+    "near_dup_threshold_curve",
+    f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b, est_jaccard FROM ({{pairs_sql}}) p
+),
+grid AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold),
+c AS (
+  SELECT grid.threshold,
+         count(*) AS n_pairs,
+         count(DISTINCT id_b) AS n_docs_dropped
+  FROM grid JOIN pairs ON pairs.est_jaccard >= grid.threshold
+  GROUP BY 1
+)
+SELECT grid.threshold,
+       coalesce(c.n_pairs, 0) AS n_pairs,
+       coalesce(c.n_docs_dropped, 0) AS n_docs_dropped
+FROM grid LEFT JOIN c USING (threshold)
+""".format(pairs_sql=SIM.near_dup_pairs_oracle_sql(0.5)),
+)
+def near_dup_threshold_curve(spark, sf_dir):
+    """Dedup aggressiveness curve: candidate-pair count and docs-dropped
+    count (min-id-keep convention: the larger id of a pair is the drop
+    candidate) at five est-Jaccard thresholds, from ONE MinHash
+    signature pass — the tuning table that decides a corpus's dedup
+    threshold before committing to a full run.
+
+    Plan: signatures and the banded candidate join run once at the
+    loosest threshold; the 5-row threshold grid broadcast-joins the pair
+    relation with a range predicate, so sweeping thresholds costs one
+    aggregate over candidate pairs, not five pipelines.  A threshold
+    that kills every pair keeps its zero row (left join from the
+    grid)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = SIM.near_dup_pairs(d, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+        ).alias("threshold")
+    )
+    c = (
+        pairs.join(F.broadcast(grid), pairs.est_jaccard >= grid.threshold)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_dropped"),
+        )
+    )
+    return (
+        grid.join(c, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_dropped", F.lit(0)).alias("n_docs_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 
@@ -6182,12 +6295,12 @@ def _rotate_for_driver_window() -> None:
 
     r04 state: the custom-operator backlog drained in r03 (47 new green
     rows), so the former ``_WINDOW_DEPRIORITIZED`` plain-SQL set is
-    retired — the 74 never-verified queries (26 carried over + the
+    retired — the 76 never-verified queries (26 carried over + the
     round-4 additions, every one green under the hardened bit-pattern
     local replica at sf0.001 AND sf0.01 AND sf0.1) queue first;
     ``events_user_trend`` (the r02/r03 hash-fail, fixed this round) is
     position 0.  A ~50-slot window covers the oldest 50; the newest
-    ~24 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
+    ~26 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
     queries whose oracle rounds through the ``r6n`` helper (its
     signed-zero ``+ 0.0`` normalization changed this round; the
     ``1e-9`` nudge literal in the oracle SQL is the marker), so any

@@ -149,3 +149,33 @@ def test_multi_touch_attribution_conserves_credit(spark):
     assert sum(r.first_touch for r in rows) == n_attributed
     assert sum(r.last_touch for r in rows) == n_attributed
     assert sum(r.linear_touch for r in rows) == pytest.approx(n_attributed, abs=1e-4)
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    import pandas as pd
+
+    rows = {(r.price, r.sz) for r in QUERIES["parts_pareto_frontier"](spark, SF).collect()}
+    pts = {
+        (p, s)
+        for p, s in pd.read_parquet(f"{SF}/part.parquet")[
+            ["p_retailprice", "p_size"]
+        ].itertuples(index=False)
+    }
+    def dominated(a):
+        return any(
+            q[0] <= a[0] and q[1] <= a[1] and q != a for q in pts
+        )
+    expected = {a for a in pts if not dominated(a)}
+    assert rows == expected
+
+
+def test_threshold_curve_monotone_and_anchored(spark):
+    rows = sorted(
+        QUERIES["near_dup_threshold_curve"](spark, SF).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pairs <= a.n_pairs and b.n_docs_dropped <= a.n_docs_dropped
+    n_pairs_05 = QUERIES["near_dup_pairs"](spark, SF).count()
+    assert rows[0].n_pairs == n_pairs_05  # 0.5 row == the production pipeline

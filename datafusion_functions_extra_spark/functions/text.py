@@ -522,8 +522,33 @@ def bm25_topk_rel(
 
     from .rounding import r6n
 
-    q = queries.select("query_id", "term")
     tf = term_frequencies(df, text_col, id_col)
+    return bm25_topk_from_postings(tf, id_col, queries, k=k, k1=k1, b=b)
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    id_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`bm25_topk_rel` scoring served from a prebuilt (id, term, tf)
+    postings relation instead of raw text — the read side of an
+    incremental inverted-index stage (streaming/ingest.py
+    ``streaming_postings``): document lengths, N, avgdl, and df all
+    derive from the postings, so BM25 over a 100 TB corpus never
+    rescans text after ingest.  Exactly the relation
+    :func:`term_frequencies` produces, so staged == from-raw results are
+    identical by construction (pinned in tests/test_streaming_ingest.py).
+    """
+    from pyspark.sql import Window
+
+    from .rounding import r6n
+
+    tf = postings
+    q = queries.select("query_id", "term")
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")

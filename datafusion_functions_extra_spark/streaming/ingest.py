@@ -121,3 +121,64 @@ def streaming_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming inverted-index (postings) maintenance — the lexical-retrieval
+# sibling of the signature stage above
+# ---------------------------------------------------------------------------
+
+
+def postings_batch(
+    batch_df: DataFrame,
+    *,
+    stage_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append one micro-batch's (id, term, tf) postings to the stage.
+
+    Document ids are unique across batches (append-only corpus), so the
+    per-doc postings of different batches are DISJOINT rows — the stage is
+    a pure append, no merge step.  Everything BM25 needs beyond tf
+    (document length, N, avgdl, per-term df) derives from the staged
+    relation at read time, which keeps the ingest write trivially cheap
+    and the stage schema stable.
+    """
+    from ..functions.text import term_frequencies
+
+    term_frequencies(batch_df, text_col, id_col).write.parquet(
+        stage_path, mode="append"
+    )
+
+
+def streaming_postings(
+    sdf: DataFrame,
+    *,
+    stage_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Start the incremental inverted-index sink over a document stream:
+    each micro-batch is tokenized ONCE at ingest and its postings
+    appended to the parquet stage; BM25 (``functions.text.
+    bm25_topk_from_postings``) then serves queries from the stage without
+    ever rescanning text — the lexical analog of the MinHash signature
+    stage (``similarity.write_signatures_table``), with the same
+    restart-safety: the checkpoint makes batch appends exactly-once.
+    At 100 TB the stage append is a table-format append (Delta/Iceberg);
+    parquet-dir append is the local stand-in.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        postings_batch(
+            batch_df, stage_path=stage_path, text_col=text_col, id_col=id_col
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

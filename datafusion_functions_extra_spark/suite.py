@@ -6226,6 +6226,91 @@ def near_dup_threshold_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# batch r04f: market-basket co-occurrence / lift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "brand_basket_lift",
+    """
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+bc AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_ab,
+       {lift} AS lift
+FROM pairs
+JOIN bc ca ON ca.p_brand = brand_a
+JOIN bc cb ON cb.p_brand = brand_b, n
+WHERE n_ab >= 10
+""".format(
+        lift=_r6n_sql(
+            "(n_ab::DOUBLE * n.n_orders) / (ca.n_b::DOUBLE * cb.n_b)"
+        )
+    ),
+)
+def brand_basket_lift(spark, sf_dir):
+    """Market-basket co-occurrence: for every brand pair bought in the
+    same order at least 10 times, the association lift
+    P(a,b) / (P(a) P(b)) — the recommendation / assortment staple (lift
+    > 1: brands travel together; < 1: they repel).
+
+    Plan: one (order, brand) DISTINCT reduction is the only touch of the
+    fact table; the pair join is a self-equi-join ON the order key over
+    that deduplicated relation, so an order with k distinct brands
+    contributes k(k-1)/2 rows — bounded by basket width, never by
+    lineitem row count (the same bounded-fanout argument as the
+    source-overlap shingle join).  Brand marginals and the scalar order
+    count broadcast back onto pair-cardinality rows.  The min-support
+    floor (n_ab >= 10) is integer, so the cut is exact on both engines;
+    lift is a count ratio -> boundary-nudged rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .persist()
+    )
+    n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 10)
+    )
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            _r6n(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 
@@ -6295,12 +6380,12 @@ def _rotate_for_driver_window() -> None:
 
     r04 state: the custom-operator backlog drained in r03 (47 new green
     rows), so the former ``_WINDOW_DEPRIORITIZED`` plain-SQL set is
-    retired — the 76 never-verified queries (26 carried over + the
+    retired — the 77 never-verified queries (26 carried over + the
     round-4 additions, every one green under the hardened bit-pattern
     local replica at sf0.001 AND sf0.01 AND sf0.1) queue first;
     ``events_user_trend`` (the r02/r03 hash-fail, fixed this round) is
     position 0.  A ~50-slot window covers the oldest 50; the newest
-    ~26 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
+    ~27 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
     queries whose oracle rounds through the ``r6n`` helper (its
     signed-zero ``+ 0.0`` normalization changed this round; the
     ``1e-9`` nudge literal in the oracle SQL is the marker), so any

@@ -179,3 +179,33 @@ def test_threshold_curve_monotone_and_anchored(spark):
         assert b.n_pairs <= a.n_pairs and b.n_docs_dropped <= a.n_docs_dropped
     n_pairs_05 = QUERIES["near_dup_pairs"](spark, SF).count()
     assert rows[0].n_pairs == n_pairs_05  # 0.5 row == the production pipeline
+
+
+def test_basket_lift_matches_pandas_replica(spark):
+    import pandas as pd
+    from itertools import combinations
+    from collections import Counter
+
+    rows = QUERIES["brand_basket_lift"](spark, SF).collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    p = pd.read_parquet(f"{SF}/part.parquet")[["p_partkey", "p_brand"]]
+    ob = li.merge(p, left_on="l_partkey", right_on="p_partkey")[
+        ["l_orderkey", "p_brand"]
+    ].drop_duplicates()
+    n_orders = ob["l_orderkey"].nunique()
+    n_b = ob["p_brand"].value_counts().to_dict()
+    pair_counts = Counter()
+    for _, grp in ob.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp["p_brand"]), 2):
+            pair_counts[(a, b)] += 1
+    expected = {
+        k: v for k, v in pair_counts.items() if v >= 10
+    }
+    got = {(r.brand_a, r.brand_b): (r.n_ab, r.lift) for r in rows}
+    assert set(got) == set(expected)
+    import pytest as _pt
+
+    for (a, b), n_ab in expected.items():
+        lift = n_ab * n_orders / (n_b[a] * n_b[b])
+        assert got[(a, b)][0] == n_ab
+        assert got[(a, b)][1] == _pt.approx(lift, abs=2e-6)

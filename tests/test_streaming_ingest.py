@@ -98,3 +98,63 @@ def test_streaming_ingest_matches_sequential_batches(spark, paths):
         r.doc_id for r in spark.read.parquet(paths["stage"]).collect()
     }
     assert stage_ids == kept
+
+
+class TestStreamingPostings:
+    """Incremental inverted index: BM25 served from the streamed postings
+    stage must equal BM25 recomputed from the raw union corpus."""
+
+    def test_staged_bm25_equals_from_raw(self, spark, paths):
+        import time
+
+        from datafusion_functions_extra_spark.functions.text import (
+            bm25_topk,
+            bm25_topk_from_postings,
+        )
+        from datafusion_functions_extra_spark.streaming.ingest import (
+            streaming_postings,
+        )
+
+        batches = [
+            [(1, A), (2, B)],
+            [(3, C), (4, "spark joins and shuffles with spark aggregation")],
+            [(5, "windows sampling sketches joins and spark engines today")],
+        ]
+        os.makedirs(paths["src"], exist_ok=True)
+        t0 = time.time() - 100
+        for i, rows in enumerate(batches):
+            _write_batch(spark, f"{paths['src']}/b{i}", rows, t0 + i)
+
+        sdf = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(paths["src"] + "/*")
+        )
+        q = streaming_postings(
+            sdf, stage_path=paths["stage"], checkpoint=paths["ckpt"]
+        )
+        q.awaitTermination(120)
+
+        corpus = spark.createDataFrame(
+            [r for b in batches for r in b], "doc_id bigint, text string"
+        )
+        queries = [("q1", ["spark", "joins"]), ("q2", ["lazy", "dog"])]
+        expected = {
+            (r.query_id, r.doc_id, r.score, r.rk)
+            for r in bm25_topk(corpus, "text", "doc_id", queries, k=4).collect()
+        }
+        qrel = spark.createDataFrame(
+            [(qid, t) for qid, ts in queries for t in ts],
+            "query_id string, term string",
+        )
+        staged = {
+            (r.query_id, r.doc_id, r.score, r.rk)
+            for r in bm25_topk_from_postings(
+                spark.read.parquet(paths["stage"]), "doc_id", qrel, k=4
+            ).collect()
+        }
+        assert staged == expected and len(staged) > 0
+        # the stage holds exactly the union corpus postings, no dup rows
+        stage = spark.read.parquet(paths["stage"])
+        assert stage.count() == stage.select("doc_id", "term").distinct().count()
+        assert set(r.doc_id for r in stage.select("doc_id").distinct().collect()) == {1, 2, 3, 4, 5}

@@ -242,3 +242,94 @@ def test_leakage_split_is_component_consistent(spark, texts):
     comp_split: dict[int, str] = {}
     for r in rows:
         assert comp_split.setdefault(r.component, r.split) == r.split
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators: skyline dominance, BM25 scoring — property checks on
+# arbitrary inputs (the suite queries pin fixed corpora; these pin the math)
+# ---------------------------------------------------------------------------
+
+point_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pts=point_lists)
+@SET
+def test_pareto_sweep_equals_dominance_definition(spark, pts):
+    """The sort-sweep window identity must equal the NOT-EXISTS dominance
+    definition on arbitrary (price, size) multisets (duplicates, ties,
+    collinear points included)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(p), s) for p, s in pts], "price double, sz int"
+    ).distinct()
+    w = Window.orderBy(F.col("price").asc(), F.col("sz").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    got = {
+        (r.price, r.sz)
+        for r in df.withColumn("best", F.min("sz").over(w))
+        .where(F.col("best").isNull() | (F.col("sz") < F.col("best")))
+        .collect()
+    }
+    uniq = {(float(p), s) for p, s in pts}
+    expected = {
+        a
+        for a in uniq
+        if not any(
+            q[0] <= a[0] and q[1] <= a[1] and q != a for q in uniq
+        )
+    }
+    assert got == expected
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"]),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=docs_strategy)
+@SET
+def test_bm25_matches_reference_formula(spark, docs):
+    """bm25_topk must reproduce the closed-form Okapi formula on arbitrary
+    tiny corpora (all docs returned: k = corpus size)."""
+    import math as m
+
+    from datafusion_functions_extra_spark.functions.text import bm25_topk
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.score
+        for r in bm25_topk(
+            df, "text", "doc_id", [("q", ["alpha", "beta"])], k=len(docs)
+        ).collect()
+    }
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs) / N
+    df_counts = {
+        t: sum(1 for d in docs if t in d) for t in ("alpha", "beta")
+    }
+    for i, toks in enumerate(docs):
+        score = 0.0
+        for t in ("alpha", "beta"):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = m.log(1 + (N - df_counts[t] + 0.5) / (df_counts[t] + 0.5))
+            score += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        if score > 0:
+            assert out[i] == pytest.approx(round(score, 6), abs=2e-6)
+        else:
+            assert i not in out  # no zero-score rows: index probe, not scan

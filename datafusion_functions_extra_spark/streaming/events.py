@@ -509,3 +509,71 @@ def streaming_cms_values(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window.start").alias("window_start"), "r", "c", "cnt")
     )
+
+
+def streaming_cusum(
+    events: DataFrame,
+    mu0: float,
+    k: float = 10.0,
+    h: float = 120.0,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key CUSUM change-point detection on the event stream via
+    ``applyInPandasWithState`` — the second custom stateful operator
+    (after ``streaming_dedup``), for semantics windowed aggregation
+    cannot express: the statistic is a SEQUENTIAL fold over each key's
+    value history (Page 1954),
+
+        s+ := max(0, s+ + (x - mu0 - k));  s- := max(0, s- + (mu0 - x - k))
+
+    with an alarm row emitted (and both sides reset) whenever a side
+    exceeds ``h`` — the drift monitor that catches slow shifts a
+    per-window mean race misses.
+
+    State per key is two doubles; the stream partitions by key, so the
+    state store scales like any keyed aggregation.  Rows are folded in
+    (ts, event_id) order within each micro-batch, so a time-ordered
+    replay (availableNow over time-split files) reproduces the batch
+    fold exactly — pinned against a pandas replica in
+    tests/test_streaming.py.  The per-row Python loop is the declared
+    Arrow-batched boundary that stateful custom operators are allowed
+    (SURVEY §2.2b multimodal/dedup precedent): the fold is inherently
+    sequential per key, there is nothing for codegen to vectorize.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = [key_col, "event_id", "direction", "stat"]
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            sp, sn = state.get
+        else:
+            sp, sn = 0.0, 0.0
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            alarms = []
+            for row in pdf.itertuples():
+                x = float(getattr(row, value_col))
+                sp = max(0.0, sp + (x - mu0 - k))
+                sn = max(0.0, sn + (mu0 - x - k))
+                if sp > h:
+                    alarms.append((key[0], row.event_id, "up", round(sp, 6)))
+                    sp, sn = 0.0, 0.0
+                elif sn > h:
+                    alarms.append((key[0], row.event_id, "down", round(sn, 6)))
+                    sp, sn = 0.0, 0.0
+            if alarms:
+                yield pd.DataFrame(alarms, columns=out_cols)
+        state.update((sp, sn))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} bigint, event_id bigint, direction string, stat double",
+        stateStructType="s_pos double, s_neg double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

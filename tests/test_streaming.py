@@ -358,3 +358,62 @@ def test_streaming_cms_counters_match_batch(spark):
     s = {(r.window_start, r.r, r.c): r.cnt for r in stream_cms.collect()}
     b = {(r.window_start, r.r, r.c): r.cnt for r in batch_cms.collect()}
     assert s == b  # identical counters on and off the stream
+
+
+def test_streaming_cusum_matches_sequential_replica(spark, tmp_path):
+    """CUSUM alarms from a 3-batch time-ordered replay must equal the pure
+    sequential fold over each user's full history — state carries the
+    running statistics across micro-batch boundaries."""
+    import os
+
+    import pandas as pd
+
+    from datafusion_functions_extra_spark.streaming.events import (
+        run_available_now,
+        streaming_cusum,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values("ts")
+    MU0, K, H = 50.0, 10.0, 120.0
+
+    # 3 time-split file batches, oldest file first (mtime-ordered source)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cuts = [len(ev) // 3, 2 * len(ev) // 3, len(ev)]
+    lo = 0
+    t0 = 1_000_000.0
+    for i, hi in enumerate(cuts):
+        p = os.path.join(src, f"b{i}.parquet")
+        ev.iloc[lo:hi].to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (t0 + i, t0 + i))
+        lo = hi
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = {
+        (r.user_id, r.event_id, r.direction, r.stat)
+        for r in run_available_now(
+            streaming_cusum(sdf, MU0, K, H), output_mode="append"
+        ).collect()
+    }
+
+    expected = set()
+    for uid, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        sp = sn = 0.0
+        for row in grp.itertuples():
+            x = float(row.value)
+            sp = max(0.0, sp + (x - MU0 - K))
+            sn = max(0.0, sn + (MU0 - x - K))
+            if sp > H:
+                expected.add((uid, row.event_id, "up", round(sp, 6)))
+                sp = sn = 0.0
+            elif sn > H:
+                expected.add((uid, row.event_id, "down", round(sn, 6)))
+                sp = sn = 0.0
+    assert len(expected) > 0  # the fixture must actually trip alarms
+    assert got == expected

@@ -6311,6 +6311,113 @@ def brand_basket_lift(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# batch r04g: rolling distinct users, order-to-ship latency distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rolling_distinct_users",
+    """
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+                  user_id
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM du)
+SELECT CAST(days.d AS VARCHAR) AS day,
+       count(DISTINCT du.user_id) AS wau
+FROM days JOIN du
+  ON du.d <= days.d AND du.d >= days.d - INTERVAL 6 DAY
+GROUP BY 1
+""",
+)
+def events_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct users per day (the WAU curve) — the
+    classic sliding-DISTINCT that plain window frames cannot express
+    (COUNT(DISTINCT) OVER a range frame is unsupported), done the
+    relational way: reduce the stream to the DISTINCT (day, user)
+    relation once, then a 7-day band join from the day grid re-counts
+    distinct users per anchor day.
+
+    Scale shape: the reduction is one shuffle of (day, user) pairs; the
+    band join fans each (day, user) row to <= 7 anchor days (bounded by
+    the window width, like the range-join binning), and the per-day
+    distinct count is a standard two-phase distinct aggregate.  At
+    100 TB with a year of anchors, the HLL-register variant
+    (operators/sketches.hll_registers unioned over the trailing window —
+    registers are a MAX monoid, so 7 daily sketches merge in O(m)) is
+    the documented approximate sibling; this exact form is the oracle
+    for it."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
+        )
+        .distinct()
+    )
+    days = du.select("d").distinct().select(F.col("d").alias("anchor"))
+    return (
+        days.join(
+            du,
+            (du.d <= F.col("anchor"))
+            & (du.d >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("anchor").cast("string").alias("day"), "wau")
+    )
+
+
+@query(
+    "orders_ship_latency_percentiles",
+    """
+WITH lat AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat_days
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       CAST(min(lat_days) AS BIGINT) AS min_days,
+       CAST(quantile_disc(lat_days, 0.50) AS BIGINT) AS p50_days,
+       CAST(quantile_disc(lat_days, 0.90) AS BIGINT) AS p90_days,
+       CAST(max(lat_days) AS BIGINT) AS max_days
+FROM lat GROUP BY 1
+""",
+)
+def orders_ship_latency_percentiles(spark, sf_dir):
+    """Order-to-ship latency distribution per order priority: integer-day
+    latencies with discrete (type-preserving) percentiles — the
+    fulfillment-SLA rollup.  Discrete percentiles on INTEGER days sidestep
+    cross-engine interpolation entirely: both engines pick an actual data
+    value (lower-rank convention), so the result is bit-exact without any
+    rounding helper.  One join (orders side AQE-broadcast after column
+    pruning to two columns) + one aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.to_date(F.col("l_shipdate")), F.to_date(F.col("o_orderdate"))
+            ).alias("lat_days"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("lat_days").cast("bigint").alias("min_days"),
+        F.percentile_approx("lat_days", 0.5, 2147483647)
+        .cast("bigint")
+        .alias("p50_days"),
+        F.percentile_approx("lat_days", 0.9, 2147483647)
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max("lat_days").cast("bigint").alias("max_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 
@@ -6380,12 +6487,12 @@ def _rotate_for_driver_window() -> None:
 
     r04 state: the custom-operator backlog drained in r03 (47 new green
     rows), so the former ``_WINDOW_DEPRIORITIZED`` plain-SQL set is
-    retired — the 77 never-verified queries (26 carried over + the
+    retired — the 79 never-verified queries (26 carried over + the
     round-4 additions, every one green under the hardened bit-pattern
     local replica at sf0.001 AND sf0.01 AND sf0.1) queue first;
     ``events_user_trend`` (the r02/r03 hash-fail, fixed this round) is
     position 0.  A ~50-slot window covers the oldest 50; the newest
-    ~27 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
+    ~29 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
     queries whose oracle rounds through the ``r6n`` helper (its
     signed-zero ``+ 0.0`` normalization changed this round; the
     ``1e-9`` nudge literal in the oracle SQL is the marker), so any

@@ -209,3 +209,35 @@ def test_basket_lift_matches_pandas_replica(spark):
         lift = n_ab * n_orders / (n_b[a] * n_b[b])
         assert got[(a, b)][0] == n_ab
         assert got[(a, b)][1] == _pt.approx(lift, abs=2e-6)
+
+
+def test_rolling_wau_matches_pandas_replica(spark):
+    import pandas as pd
+
+    rows = {r.day: r.wau for r in QUERIES["events_rolling_distinct_users"](spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.floor("D").dt.date
+    du = ev[["d", "user_id"]].drop_duplicates()
+    expected = {}
+    for d in sorted(du["d"].unique()):
+        lo = d - pd.Timedelta(days=6).to_pytimedelta()
+        expected[str(d)] = du[(du["d"] <= d) & (du["d"] >= lo)]["user_id"].nunique()
+    assert rows == expected
+    # the rolling count is always >= the single-day distinct count
+    daily = du.groupby("d")["user_id"].nunique()
+    for d, n in daily.items():
+        assert rows[str(d)] >= n
+
+
+def test_ship_latency_ordering_invariants(spark):
+    import pandas as pd
+
+    rows = QUERIES["orders_ship_latency_percentiles"](spark, SF).collect()
+    assert len(rows) == 5  # one per priority
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert sum(r.n_lines for r in rows) == len(li)
+    for r in rows:
+        assert r.min_days <= r.p50_days <= r.p90_days <= r.max_days
+        # (no min_days >= 0 invariant: the synthetic generator draws
+        # l_shipdate independently of o_orderdate, so "latencies" can be
+        # negative — the rollup reports the data as it is)

@@ -6429,14 +6429,45 @@ def orders_ship_latency_percentiles(spark, sf_dir):
 #: rows so the window keeps advancing until every query has seen the
 #: hard signal.
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # CORRECTNESS_r01.json (27) ∪ CORRECTNESS_r02.json (50), hash-green only
-    "dedup_exact_kept_rows", "dedup_exact_stats", "docs_sequence_packing",
-    "docs_stratified_sample", "docs_train_test_split_counts",
-    "events_cube_counts", "events_moving_avg", "events_sessionization",
-    "events_tumbling_hourly", "events_value_histogram",
-    "flagship_lineitem_profile", "kurtosis_events_by_type",
-    "kurtosis_pop_by_linestatus", "kurtosis_pop_quantity_global",
-    "kurtosis_totalprice_global", "lineitem_rollup_totals",
+    # hash-green union of CORRECTNESS_r01..r04.json (145 queries).
+    # Regenerated each round from the driver files themselves (r05 fix:
+    # the hand-maintained r01 list wrongly included events_tumbling_hourly
+    # and events_sessionization, which were r01 RED from the TIMESTAMP
+    # NANOS reader bug — now correctly excluded so they rotate forward).
+    "asof_nearest_purchase_to_view", "asof_next_error_after_purchase",
+    "asof_purchase_attribution", "brand_supplier_reach",
+    "corpus_clean_pipeline", "corpus_quality_filter", "corpus_token_budget",
+    "corpus_token_entropy", "customer_balance_deciles",
+    "customers_without_orders", "dedup_exact_kept_rows",
+    "dedup_exact_stats", "docs_chunks", "docs_cross_snapshot_dedup",
+    "docs_decontaminated", "docs_dsir_importance",
+    "docs_dup_ngram_coverage", "docs_dup_token_spans",
+    "docs_fuzzy_decontaminated", "docs_k_anonymity",
+    "docs_leakage_safe_split", "docs_sentence_dedup",
+    "docs_sequence_packing", "docs_snapshot_diff", "docs_source_cap_sample",
+    "docs_stratified_sample", "docs_temperature_mixture",
+    "docs_train_test_split_counts", "docs_weighted_reservoir",
+    "docs_weighted_sample", "documents_profile",
+    "edit_distance_verified_pairs", "embedding_ann_topk",
+    "embedding_cosine_topk", "embedding_hard_negatives",
+    "embedding_int8_quant", "embedding_ivf_topk",
+    "embedding_kmeans_clusters", "embedding_matryoshka_topk",
+    "embedding_near_dup_pairs", "embedding_prototype_confusion",
+    "embedding_semdedup", "embedding_standardize", "events_anomaly_zscore",
+    "events_cdc_latest_state", "events_cube_counts", "events_ewma",
+    "events_funnel_conversion", "events_gap_fill", "events_hourly_heatmap",
+    "events_join_size_estimate", "events_moving_avg",
+    "events_new_users_daily", "events_pii_scrub", "events_props_json",
+    "events_robust_zscore_mad", "events_scd2_intervals",
+    "events_session_window_native", "events_sliding_windows",
+    "events_streaming_sessions", "events_type_transitions",
+    "events_user_trend", "events_value_histogram", "events_window_dedup",
+    "events_zorder_keys", "flagship_lineitem_profile", "hll_users_by_type",
+    "kurtosis_events_by_type", "kurtosis_pop_by_linestatus",
+    "kurtosis_pop_quantity_global", "kurtosis_totalprice_global",
+    "lang_id_confusion", "lang_id_kappa", "lineitem_pricing_summary",
+    "lineitem_rollup_totals", "lineitem_small_quantity_revenue",
+    "lineitem_status_priority_counts", "lineitem_winsorized_stats",
     "max_by_customer_global", "max_by_orders_by_priority",
     "max_by_part_by_brand", "min_by_lineitem_by_returnflag",
     "min_by_supplier_global", "mode_events_ts_by_type",
@@ -6444,38 +6475,30 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "mode_mktsegment_by_nation", "mode_orderdate_by_priority",
     "mode_quantity_global", "mode_returnflag_global",
     "mode_shipdate_by_linestatus", "multimodal_decode_meta",
-    "multimodal_png_dims", "multimodal_sniff_stats", "near_dup_clusters",
-    "near_dup_components", "near_dup_pairs", "ngram_jaccard_pairs",
-    "orders_pivot_status", "price_quantiles_by_returnflag",
-    "range_join_errors_in_purchase_sessions", "revenue_by_region_nation",
-    "salted_join_revenue_by_segment", "simhash_fingerprints",
-    "skewness_by_returnflag", "skewness_extendedprice_global",
-    "stats_profile_by_returnflag", "text_fingerprints", "text_lang_id",
-    "text_quality_scores", "text_token_counts", "text_top_terms",
-    # CORRECTNESS_r03.json (47 new hash-green rows)
-    "asof_nearest_purchase_to_view", "asof_next_error_after_purchase",
-    "asof_purchase_attribution", "corpus_clean_pipeline",
-    "corpus_quality_filter", "corpus_token_budget", "docs_chunks",
-    "docs_decontaminated", "docs_dup_ngram_coverage", "docs_sentence_dedup",
-    "docs_snapshot_diff", "docs_temperature_mixture",
-    "docs_weighted_reservoir", "docs_weighted_sample",
-    "edit_distance_verified_pairs", "embedding_ann_topk",
-    "embedding_cosine_topk", "embedding_int8_quant", "embedding_ivf_topk",
-    "embedding_kmeans_clusters", "embedding_matryoshka_topk",
-    "embedding_near_dup_pairs", "embedding_prototype_confusion",
-    "embedding_standardize", "events_anomaly_zscore",
-    "events_cdc_latest_state", "events_ewma", "events_funnel_conversion",
-    "events_gap_fill", "events_props_json", "events_scd2_intervals",
-    "events_session_window_native", "events_sliding_windows",
-    "events_streaming_sessions", "events_zorder_keys",
-    "multimodal_frame_samples", "near_dup_degree_hist",
+    "multimodal_frame_samples", "multimodal_png_dims",
+    "multimodal_sniff_stats", "near_dup_clusters", "near_dup_components",
+    "near_dup_degree_hist", "near_dup_eval_metrics",
+    "near_dup_incremental_pairs", "near_dup_pairs", "near_dup_pairs_staged",
     "near_dup_rate_by_source", "ngram_containment_pairs",
-    "orders_bloom_semi_probe", "simhash_near_dup_pairs",
-    "source_lang_kl_drift", "text_pmi_collocations",
-    "text_repetition_scores", "text_tfidf_top_terms",
-    "text_unigram_logprob", "text_vocabulary",
-    # events_user_trend stays out (r02+r03 hash-FAIL, signed zero): its
-    # round-4 fix must land inside the window again
+    "ngram_jaccard_pairs", "orders_bloom_semi_probe",
+    "orders_large_volume_customers", "orders_pivot_status",
+    "orders_priority_late_ship", "orders_revenue_growth_mom",
+    "parts_promo_revenue", "price_quantiles_binned",
+    "price_quantiles_by_returnflag", "promo_revenue_share",
+    "quality_calibration_bins", "range_join_errors_in_purchase_sessions",
+    "regional_local_supplier_revenue", "revenue_by_region_nation",
+    "rich_customers_without_orders", "salted_join_revenue_by_segment",
+    "simhash_fingerprints", "simhash_near_dup_pairs",
+    "simhash_near_dup_pairs_staged", "skewness_by_returnflag",
+    "skewness_extendedprice_global", "source_lang_kl_drift",
+    "source_overlap_jaccard", "stats_profile_by_returnflag",
+    "suppliers_with_returned_items", "text_bigram_logprob",
+    "text_fingerprints", "text_lang_id", "text_oov_rate",
+    "text_pmi_collocations", "text_quality_scores",
+    "text_repetition_scores", "text_tfidf_top_terms", "text_token_counts",
+    "text_top_terms", "text_unigram_logprob", "text_vocabulary",
+    "token_cms_estimates", "top_building_orders", "top_orders_per_segment",
+    "user_cohort_retention"
 })
 
 
@@ -6485,19 +6508,18 @@ def _rotate_for_driver_window() -> None:
     untouched, so name lookups and full sweeps are unaffected; only the
     driver's first-N window shifts.
 
-    r04 state: the custom-operator backlog drained in r03 (47 new green
-    rows), so the former ``_WINDOW_DEPRIORITIZED`` plain-SQL set is
-    retired — the 79 never-verified queries (26 carried over + the
-    round-4 additions, every one green under the hardened bit-pattern
-    local replica at sf0.001 AND sf0.01 AND sf0.1) queue first;
-    ``events_user_trend`` (the r02/r03 hash-fail, fixed this round) is
-    position 0.  A ~50-slot window covers the oldest 50; the newest
-    ~29 (late round-4 additions) roll to r05.  Any spare tail slots re-verify
-    queries whose oracle rounds through the ``r6n`` helper (its
-    signed-zero ``+ 0.0`` normalization changed this round; the
-    ``1e-9`` nudge literal in the oracle SQL is the marker), so any
-    unexpected interaction surfaces inside the window rather than
-    silently."""
+    r05 state: ``_DRIVER_VERIFIED`` is now regenerated from the actual
+    hash-green rows of CORRECTNESS_r01..r04 (145 queries), which also
+    fixes the two r01-RED events queries that the hand-maintained list
+    wrongly marked verified.  The 27 oracle-able never-verified
+    carryovers (all judge-verified green locally in r04's verdict) queue
+    first in registration order, with the two stale-red
+    ``events_tumbling_hourly`` / ``events_sessionization`` among them;
+    round-5 additions follow; verified queries fill the tail.  With a
+    ~50-slot window the whole carryover backlog plus this round's new
+    queries land inside the hard driver gate.  Any spare tail slots
+    re-verify queries whose oracle rounds through the ``r6n`` helper
+    (the ``1e-9`` nudge literal in the oracle SQL is the marker)."""
     global QUERIES, ORACLES
     rows_only = {"price_quantiles_approx", "approx_distinct_users"}
     order = sorted(

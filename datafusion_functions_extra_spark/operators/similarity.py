@@ -317,7 +317,12 @@ def near_dup_components(
     one-step keep rule.  Each round is one join + one aggregate — the
     standard scalable CC loop (GraphFrames does the same dance); the loop
     runs on the driver but every data operation is distributed, and
-    intermediate labels are persisted so lineage stays flat.
+    intermediate labels are persisted so re-EXECUTION stays flat.  The
+    LOGICAL plan, though, still grows per round (persist dedupes
+    execution, not the analyzed tree — §9.1), so every 5 rounds the
+    label relation is ``localCheckpoint``-ed, which truncates lineage to
+    the materialized blocks; at deeper graph diameters the analyzer cost
+    stays O(5 rounds), not O(total rounds).
     """
     pairs = near_dup_pairs(df, text_col, id_col, threshold).select("id_a", "id_b")
     edges = (
@@ -326,7 +331,7 @@ def near_dup_components(
         .persist()
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.id)
             .groupBy("id_a")
@@ -352,6 +357,13 @@ def near_dup_components(
         labels = new_labels
         if changed == 0:
             break
+        if (it + 1) % 5 == 0:
+            # truncate the unrolled logical plan — the convergence .count()
+            # above already materialized this round's labels, so the
+            # checkpoint is a cheap block copy, not a recompute
+            ckpt = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = ckpt
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
 

@@ -551,10 +551,17 @@ def streaming_cusum(
             sp, sn = state.get
         else:
             sp, sn = 0.0, 0.0
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A key's micro-batch rows can span multiple Arrow record batches
+        # (spark.sql.execution.arrow.maxRecordsPerBatch), and the chunks
+        # arrive in shuffle order — concatenate ALL chunks first and sort
+        # ONCE so the fold sees the key's full micro-batch in global
+        # (ts, event_id) order; per-chunk sorting would fold chunks in
+        # arrival order and corrupt the trajectory at scale.
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             alarms = []
             for row in pdf.itertuples():
                 x = float(getattr(row, value_col))

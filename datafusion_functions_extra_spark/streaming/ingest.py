@@ -135,20 +135,32 @@ def postings_batch(
     stage_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: int = 0,
 ) -> None:
-    """Append one micro-batch's (id, term, tf) postings to the stage.
+    """Write one micro-batch's (id, term, tf) postings to the stage,
+    IDEMPOTENTLY: rows land in a ``batch_id=<n>`` partition written with
+    dynamic partition overwrite, so a foreachBatch re-run after a crash
+    (foreachBatch is at-least-once — the batch can replay if the failure
+    falls between the data commit and the checkpoint write) REPLACES its
+    own partition instead of appending duplicate postings rows that would
+    silently inflate tf/dl/N/df and corrupt downstream BM25 scores.
 
     Document ids are unique across batches (append-only corpus), so the
-    per-doc postings of different batches are DISJOINT rows — the stage is
-    a pure append, no merge step.  Everything BM25 needs beyond tf
-    (document length, N, avgdl, per-term df) derives from the staged
-    relation at read time, which keeps the ingest write trivially cheap
-    and the stage schema stable.
+    per-doc postings of different batches are DISJOINT rows — no merge
+    step.  Everything BM25 needs beyond tf (document length, N, avgdl,
+    per-term df) derives from the staged relation at read time, which
+    keeps the ingest write trivially cheap and the stage schema stable.
     """
+    from pyspark.sql import functions as F
+
     from ..functions.text import term_frequencies
 
-    term_frequencies(batch_df, text_col, id_col).write.parquet(
-        stage_path, mode="append"
+    (
+        term_frequencies(batch_df, text_col, id_col)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(stage_path, mode="overwrite")
     )
 
 
@@ -165,15 +177,22 @@ def streaming_postings(
     appended to the parquet stage; BM25 (``functions.text.
     bm25_topk_from_postings``) then serves queries from the stage without
     ever rescanning text — the lexical analog of the MinHash signature
-    stage (``similarity.write_signatures_table``), with the same
-    restart-safety: the checkpoint makes batch appends exactly-once.
-    At 100 TB the stage append is a table-format append (Delta/Iceberg);
-    parquet-dir append is the local stand-in.
+    stage (``similarity.write_signatures_table``).  Restart-safety:
+    foreachBatch is AT-LEAST-once, so the write must be idempotent — each
+    batch overwrites its own ``batch_id`` partition (dynamic partition
+    overwrite), making a post-crash replay a no-op rather than a
+    duplicate append.  At 100 TB the stage write is a table-format
+    replaceWhere/MERGE (Delta/Iceberg); partitioned parquet is the local
+    stand-in.
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         postings_batch(
-            batch_df, stage_path=stage_path, text_col=text_col, id_col=id_col
+            batch_df,
+            stage_path=stage_path,
+            text_col=text_col,
+            id_col=id_col,
+            batch_id=batch_id,
         )
 
     return (

@@ -53,6 +53,7 @@ from .operators.timeseries import (
     gap_fill_interpolate,
     gap_fill_interpolate_oracle_sql,
 )
+from .cache import persist_tracked, release_all as release_cached_intermediates  # noqa: F401
 from .sources.catalog import load_dim, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -3533,19 +3534,18 @@ GROUP BY 1
 )
 def text_oov_rate(spark, sf_dir):
     """Tokenizer-coverage metric: per-doc out-of-vocabulary rate against
-    the corpus top-32 vocabulary (build_vocab's ordering).  The vocab is
-    one vocab-sized aggregate + rank, broadcast back onto the exploded
-    corpus — the OOV scan itself is a broadcast left join, no shuffle of
-    token rows by term."""
-    from pyspark.sql import Window
-
+    the corpus top-32 vocabulary (build_vocab's ordering).  The top-32
+    cut is sort+limit — Spark plans TakeOrderedAndProject (parallel
+    per-partition top-k, tiny merge), NOT a single-partition rank window
+    over the unbounded term relation, so the plan survives a web-scale
+    vocabulary.  The OOV scan itself is a broadcast left join, no
+    shuffle of token rows by term."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
     c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
     vocab = (
-        c.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 32)
+        c.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(32)
         .select("term", F.lit(1).alias("in_vocab"))
     )
     return (
@@ -5196,11 +5196,13 @@ def corpus_zipf_slope(spark, sf_dir):
     intercept of ln(count) on ln(rank) for the top-1000 terms — the
     standard sanity check that a scraped corpus has natural-language
     token statistics (slope near -1) rather than boilerplate or spam
-    (flat or cliffed curves).  The only full sort is vocabulary-sized
-    (rank assignment); the corpus contributes one explode + one hash
-    aggregate.  Closed-form OLS over power sums — the same mergeable
-    power-sum design as the reference moment aggregates — so the fit is
-    one aggregate, not an iterative solver."""
+    (flat or cliffed curves).  The top-1000 cut is sort+limit
+    (TakeOrderedAndProject — parallel per-partition top-k), and only the
+    BOUNDED 1000-row result sees a rank window, so no unbounded relation
+    ever lands on one partition; the corpus contributes one explode +
+    one hash aggregate.  Closed-form OLS over power sums — the same
+    mergeable power-sum design as the reference moment aggregates — so
+    the fit is one aggregate, not an iterative solver."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -5209,10 +5211,10 @@ def corpus_zipf_slope(spark, sf_dir):
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(1000)
     w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
     ranked = (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 1000)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(
             F.log(F.col("rnk").cast("double")).alias("x"),
             F.log(F.col("cnt").cast("double")).alias("y"),
@@ -5539,8 +5541,10 @@ def events_session_top_paths(spark, sf_dir):
     windows AND the within-session row_number (same ordering key), the
     path assembly is an array_sort over ≤5 collected (rn, type) structs
     per session (bounded state, deterministic by the unique event_id
-    tiebreak), and the final top-10 ranks the path-count relation, which
-    is path-cardinality-sized."""
+    tiebreak), and the final top-10 is sort+limit (TakeOrderedAndProject)
+    with the rank assigned over the BOUNDED 10-row result — the path
+    relation (unbounded distinct sequences at web scale) never lands on
+    a single-partition rank window."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -5563,11 +5567,10 @@ def events_session_top_paths(spark, sf_dir):
         )
     )
     counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(10)
     wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
-    return (
-        counts.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") <= 10)
-        .select("path", "n_sessions", F.col("rk").cast("int").alias("rk"))
+    return top.withColumn("rk", F.row_number().over(wr)).select(
+        "path", "n_sessions", F.col("rk").cast("int").alias("rk")
     )
 
 
@@ -5965,9 +5968,11 @@ def near_dup_triangles(spark, sf_dir):
     join) bounds the skew of the path join; the LSH df-cap already
     removes the boilerplate hubs that would need it here."""
     d = load_table(spark, sf_dir, "documents")
-    e = SIM.near_dup_pairs(d, "text", "doc_id", threshold=0.5).select(
-        "id_a", "id_b"
-    ).persist()
+    e = persist_tracked(
+        SIM.near_dup_pairs(d, "text", "doc_id", threshold=0.5).select(
+            "id_a", "id_b"
+        )
+    )
     deg = (
         e.select(F.col("id_a").alias("v"))
         .unionAll(e.select(F.col("id_b").alias("v")))
@@ -6145,21 +6150,57 @@ def parts_pareto_frontier(spark, sf_dir):
     preceding argmin witnesses dominance; exact duplicates are removed
     first so the remaining price-tie case is strict in size).  One
     distinct aggregate + one window over the deduplicated point set.
-    The global-order window is the documented small-data tail: at 100 TB
-    you first grid-prune map-side (drop every point dominated by another
-    bucket's corner — eliminates ~all of a large catalog), then sweep
-    the surviving sliver; the sweep itself is output-sized."""
+
+    r05: the grid-prune head is now implemented, not just documented.
+    Points bucket into 256 price strata; the per-bucket min size rolls
+    into a strictly-preceding-bucket running minimum (a 256-row BOUNDED
+    window), broadcast back so every point already beaten by an earlier
+    (strictly cheaper) bucket's best size is dropped map-side — for a
+    random catalog that eliminates ~everything, and it provably never
+    drops a frontier point (an earlier-bucket witness has strictly
+    smaller price and <= size = dominance).  Only the surviving sliver
+    — frontier plus per-bucket slop, output-sized for non-adversarial
+    data — reaches the exact global sort-sweep, whose single-partition
+    window is therefore bounded by the prune, not by |part|."""
     from pyspark.sql import Window
 
     p = load_table(spark, sf_dir, "part")
     pts = p.select(
         F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
     ).distinct()
+    stats = pts.agg(
+        F.min("price").alias("pmin"), F.max("price").alias("pmax")
+    )
+    b = pts.join(F.broadcast(stats)).withColumn(
+        "bkt",
+        F.when(F.col("pmax") == F.col("pmin"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("price") - F.col("pmin"))
+                    * 256.0
+                    / (F.col("pmax") - F.col("pmin"))
+                ),
+            )
+        ).cast("int"),
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prev = (
+        b.groupBy("bkt")
+        .agg(F.min("sz").alias("m"))
+        .withColumn("prev_min", F.min("m").over(wb))
+        .select("bkt", "prev_min")
+    )
+    surv = (
+        b.join(F.broadcast(prev), "bkt")
+        .where(F.col("prev_min").isNull() | (F.col("sz") < F.col("prev_min")))
+        .select("price", "sz")
+    )
     w = Window.orderBy(F.col("price").asc(), F.col("sz").asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     return (
-        pts.withColumn("best_sz", F.min("sz").over(w))
+        surv.withColumn("best_sz", F.min("sz").over(w))
         .where(F.col("best_sz").isNull() | (F.col("sz") < F.col("best_sz")))
         .select("price", "sz")
     )
@@ -6274,11 +6315,10 @@ def brand_basket_lift(spark, sf_dir):
     lift is a count ratio -> boundary-nudged rounding."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    ob = (
+    ob = persist_tracked(
         li.join(p, li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
-        .persist()
     )
     n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
@@ -6339,9 +6379,15 @@ def events_rolling_distinct_users(spark, sf_dir):
     relation once, then a 7-day band join from the day grid re-counts
     distinct users per anchor day.
 
-    Scale shape: the reduction is one shuffle of (day, user) pairs; the
-    band join fans each (day, user) row to <= 7 anchor days (bounded by
-    the window width, like the range-join binning), and the per-day
+    Scale shape (r05): the band membership ``d in [anchor-6, anchor]``
+    is realized as an EXPLODED EQUI-JOIN, not a theta join — each
+    (day, user) row explodes over ``sequence(0, 6)`` into its exactly-7
+    candidate anchors (``anchor = date_add(d, off)``), then a hash
+    semi-join against the broadcast day grid drops anchors with no
+    events (matching the oracle's day-grid driver).  That keeps the plan
+    on shuffled/broadcast HASH joins end to end — the previous
+    formulation planned a BroadcastNestedLoopJoin over the grid — and
+    the fixed fan-out 7 is skew-transparent to AQE.  The per-day
     distinct count is a standard two-phase distinct aggregate.  At
     100 TB with a year of anchors, the HLL-register variant
     (operators/sketches.hll_registers unioned over the trailing window —
@@ -6355,13 +6401,14 @@ def events_rolling_distinct_users(spark, sf_dir):
         )
         .distinct()
     )
-    days = du.select("d").distinct().select(F.col("d").alias("anchor"))
+    days = du.select(F.col("d").alias("anchor")).distinct()
+    fanned = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        F.col("d"),
+    ).select(F.date_add(F.col("d"), F.col("off")).alias("anchor"), "user_id")
     return (
-        days.join(
-            du,
-            (du.d <= F.col("anchor"))
-            & (du.d >= F.date_sub(F.col("anchor"), 6)),
-        )
+        fanned.join(F.broadcast(days), "anchor")
         .groupBy("anchor")
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.col("anchor").cast("string").alias("day"), "wau")
@@ -6375,24 +6422,47 @@ WITH lat AS (
   SELECT o_orderpriority,
          date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat_days
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+c AS (
+  SELECT o_orderpriority, lat_days, count(*) AS cnt
+  FROM lat GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, lat_days, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lat_days
+                        ROWS UNBOUNDED PRECEDING) AS cumc,
+         sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM c
 )
 SELECT o_orderpriority,
-       count(*) AS n_lines,
+       CAST(max(n) AS BIGINT) AS n_lines,
        CAST(min(lat_days) AS BIGINT) AS min_days,
-       CAST(quantile_disc(lat_days, 0.50) AS BIGINT) AS p50_days,
-       CAST(quantile_disc(lat_days, 0.90) AS BIGINT) AS p90_days,
+       CAST(min(CASE WHEN cumc >= floor(0.50 * (n - 1)) + 1 THEN lat_days END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN cumc >= floor(0.90 * (n - 1)) + 1 THEN lat_days END) AS BIGINT) AS p90_days,
        CAST(max(lat_days) AS BIGINT) AS max_days
-FROM lat GROUP BY 1
+FROM cum GROUP BY 1
 """,
 )
 def orders_ship_latency_percentiles(spark, sf_dir):
     """Order-to-ship latency distribution per order priority: integer-day
     latencies with discrete (type-preserving) percentiles — the
-    fulfillment-SLA rollup.  Discrete percentiles on INTEGER days sidestep
-    cross-engine interpolation entirely: both engines pick an actual data
-    value (lower-rank convention), so the result is bit-exact without any
-    rounding helper.  One join (orders side AQE-broadcast after column
-    pruning to two columns) + one aggregate."""
+    fulfillment-SLA rollup.
+
+    Cross-engine exactness is by CONSTRUCTION, not by luck: instead of
+    pairing Spark ``percentile_approx`` against DuckDB ``quantile_disc``
+    (whose rank conventions pick ADJACENT order statistics for some
+    (n, q) — e.g. n=13, q=0.9 — masked only while heavy integer-day ties
+    align them), both sides compute the SAME explicit discrete rank
+    ``floor(q*(n-1)) + 1`` (1-indexed lower order statistic, the
+    quantile_disc convention) from a (priority, lat_days) count
+    histogram + cumulative sum.  The histogram is the scale story too:
+    the fact table reduces to the BOUNDED integer-day domain (~100
+    distinct latencies per priority) before any window runs, so the
+    cumulative-sum window partitions are histogram-sized, never
+    row-sized.  One join (orders side AQE-broadcast after column
+    pruning) + one histogram aggregate."""
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     lat = (
@@ -6404,15 +6474,28 @@ def orders_ship_latency_percentiles(spark, sf_dir):
             ).alias("lat_days"),
         )
     )
-    return lat.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_lines"),
+    c = lat.groupBy("o_orderpriority", "lat_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lat_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    cum = c.withColumn("cumc", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+
+    def _disc(q):
+        rank = F.floor(F.lit(q) * (F.col("n") - 1)) + 1
+        return F.min(F.when(F.col("cumc") >= rank, F.col("lat_days")))
+
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
         F.min("lat_days").cast("bigint").alias("min_days"),
-        F.percentile_approx("lat_days", 0.5, 2147483647)
-        .cast("bigint")
-        .alias("p50_days"),
-        F.percentile_approx("lat_days", 0.9, 2147483647)
-        .cast("bigint")
-        .alias("p90_days"),
+        _disc(0.50).cast("bigint").alias("p50_days"),
+        _disc(0.90).cast("bigint").alias("p90_days"),
         F.max("lat_days").cast("bigint").alias("max_days"),
     )
 

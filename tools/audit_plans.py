@@ -6,6 +6,17 @@ parquet scans prune columns (ReadSchema), whole-stage-codegen coverage,
 cache usage, and any Python-on-executor operators (expected ONLY for the
 mapInPandas decode query and the Structured Streaming drain).
 
+r05 additions (VERDICT r04 "plan-audit blind spots"): BroadcastNestedLoopJoin
+gets its OWN column (it was folded into the bcast count, which hid the
+rolling-WAU theta join), and single-partition WindowExec (a window with no
+partition spec — Spark moves the whole relation to ONE task) is detected and
+flagged.  Both conditions ⚠-flag the query unless it carries an explicit
+BOUNDED annotation below: a 1-row scalar join-back (stats broadcast) plans
+as BNLJ but cannot blow up, and a rank window over a sort+limit head or a
+<=256-row bucket relation is bounded by construction.  The annotation table
+IS the contract — a new query that introduces either operator without a
+documented bound fails the audit.
+
 Usage: python tools/audit_plans.py [--sf-dir DIR]
 """
 
@@ -15,14 +26,144 @@ import argparse
 import re
 import sys
 
+_SCALAR = (
+    "build side is a 1-row scalar aggregate (corpus stats join-back) — "
+    "a single broadcast row, cannot grow with data"
+)
+_QUERYSET = (
+    "build side is the broadcast QUERY/probe set (non-equi self-exclusion "
+    "or label predicate) — bounded by the query-set size, not the corpus"
+)
+_SEEDS = (
+    "plus k-row centroid crossJoin(broadcast) per Lloyd assign step — "
+    "build side is the k-centroid relation"
+)
+_GRID = (
+    "build side is the 10-row doc-id checkpoint grid (theta probe against "
+    "a constant-size grid)"
+)
+
+#: queries allowed to contain BroadcastNestedLoopJoin, with the bound that
+#: makes it safe: every entry is a scalar/constant-size build side (1-row
+#: aggregate join-back, a broadcast query set, or a constant grid), never
+#: a data-sized relation.
+BNLJ_BOUNDED: dict[str, str] = {
+    "text_bm25_topk": _SCALAR,
+    "hybrid_rrf_topk": _SCALAR + "; " + _QUERYSET,
+    "corpus_heaps_curve": _GRID,
+    "embedding_ann_recall": _SCALAR + "; " + _QUERYSET,
+    "near_dup_triangles": _SCALAR,
+    "parts_pareto_frontier": _SCALAR + " (pmin/pmax + 256-bucket prune table)",
+    "near_dup_threshold_curve": _SCALAR,
+    "brand_basket_lift": _SCALAR,
+    "lang_id_kappa": _SCALAR,
+    "text_tfidf_top_terms": _SCALAR,
+    "docs_temperature_mixture": _SCALAR,
+    "corpus_token_budget": _SCALAR,
+    "embedding_kmeans_clusters": _SEEDS,
+    "text_unigram_logprob": _SCALAR,
+    "embedding_prototype_confusion": _SCALAR,
+    "text_pmi_collocations": _SCALAR,
+    "source_lang_kl_drift": _SCALAR,
+    "text_bigram_logprob": _SCALAR,
+    "embedding_semdedup": _SCALAR + "; " + _SEEDS,
+    "docs_dsir_importance": _SCALAR,
+    "embedding_hard_negatives": _QUERYSET,
+    "events_join_size_estimate": _SCALAR,
+    "embedding_cosine_topk": _QUERYSET,
+    "embedding_ivf_topk": _SCALAR + "; " + _QUERYSET,
+    "events_funnel_conversion": _SCALAR,
+    "customer_balance_deciles": _SCALAR + " (percentile cutoffs)",
+    "embedding_matryoshka_topk": _QUERYSET,
+    "rich_customers_without_orders": _SCALAR,
+}
+
+#: queries allowed to contain an unpartitioned WindowExec, with the bound:
+#: the window input is a sort+limit head (top-k), a fixed bucket/seed/
+#: partition-count relation, or a calendar-sized rollup — never an
+#: unbounded data relation.
+UNPART_WINDOW_BOUNDED: dict[str, str] = {
+    "corpus_zipf_slope": "rank over the sort+limit(1000) head — 1000 rows",
+    "events_session_top_paths": "rank over the sort+limit(10) head — 10 rows",
+    "parts_pareto_frontier": (
+        "256-row bucket cum-min + final sweep over grid-prune SURVIVORS "
+        "(frontier + per-bucket slop, output-sized for non-adversarial data)"
+    ),
+    "text_vocabulary": (
+        "cumulative offsets over the <= shuffle-partition-count row-count "
+        "relation (two-phase ranking)"
+    ),
+    "embedding_kmeans_clusters": "row_number over the k seed rows",
+    "embedding_semdedup": "row_number over the k seed rows (x3 reuse)",
+    "events_new_users_daily": (
+        "cumulative sum over the per-DAY rollup — calendar-bounded "
+        "(~365 rows/year regardless of data volume)"
+    ),
+    "orders_revenue_growth_mom": (
+        "lag over the per-MONTH revenue rollup — calendar-bounded"
+    ),
+}
+
+
+def _top_level_groups(s: str) -> int:
+    """Count top-level [...] groups in a plan line (nested brackets fold
+    into their parent) — a WindowExec line prints as
+    ``Window [funcs], [partSpec], [orderSpec]`` when partitioned and
+    ``Window [funcs], [orderSpec]`` when the partition spec is empty."""
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def count_unpartitioned_windows(plan: str) -> int:
+    """WindowExec prints ``Window [funcs], [partSpec], [orderSpec]`` —
+    2 top-level groups means the partition spec is absent.  The
+    WindowGroupLimit rewrite prints ``WindowGroupLimit [partSpec],
+    [orderSpec], fn, k, Mode`` — unpartitioned iff its FIRST group is
+    empty ``[]``.  Partial/Final WindowGroupLimit pairs and the Window
+    above them all derive from the same user window, but each line is
+    counted — the column measures operator instances, not source
+    windows."""
+    n = 0
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*(0123456789)")
+        if stripped.startswith("Window "):
+            groups = _top_level_groups(stripped)
+            if groups <= 1:
+                n += 1
+            elif groups == 2:
+                # ``Window [funcs], [X]`` — X is either a partition spec
+                # (partitioned window with no ordering: whole-partition
+                # frame, fine) or an order spec (GLOBAL ordered window:
+                # the single-partition case).  Order specs carry sort
+                # directions; partition specs never do.
+                second = stripped.split("], [", 1)
+                if len(second) == 2 and (
+                    " ASC" in second[1] or " DESC" in second[1]
+                ):
+                    n += 1
+        elif stripped.startswith("WindowGroupLimit "):
+            first = stripped.split("]", 1)[0]
+            if first.rstrip().endswith("["):  # "WindowGroupLimit [" + "]"
+                n += 1
+    return n
+
 
 def audit(plan: str) -> dict:
     return {
         "exchanges": plan.count("Exchange"),
-        "broadcast_joins": plan.count("BroadcastHashJoin")
-        + plan.count("BroadcastNestedLoopJoin"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "cartesian": plan.count("CartesianProduct"),
+        "unpart_window": count_unpartitioned_windows(plan),
         # codegen'd operators print as "*(n) OpName" in the plan string
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "cached_scans": plan.count("InMemoryTableScan"),
@@ -54,12 +195,16 @@ def main() -> int:
         f"Generated by `tools/audit_plans.py` at sf-dir `{args.sf_dir}`.",
         "Health criteria: no CartesianProduct anywhere; SortMergeJoin only",
         "where both sides are large; Python operators only in the explicit",
-        "mapInPandas decode query; parquet ReadSchema pruned to used columns.",
+        "mapInPandas decode query; parquet ReadSchema pruned to used columns;",
+        "BroadcastNestedLoopJoin only for annotated scalar join-backs;",
+        "single-partition WindowExec only over annotated BOUNDED relations",
+        "(sort+limit heads, fixed bucket counts) — never an unbounded one.",
         "",
-        "| query | shuffles | bcast joins | SMJ | cartesian | codegen spans | cached scans | python ops |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | bcast hash | BNLJ | SMJ | cartesian | 1-part window | codegen spans | cached scans | python ops |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     schemas: list[str] = []
+    notes: list[str] = []
     bad = 0
     for name, fn in suite.QUERIES.items():
         if name == "events_streaming_sessions":
@@ -75,14 +220,32 @@ def main() -> int:
         py_ok = {"multimodal_decode_meta", "multimodal_frame_samples"}
         if a["cartesian"] or (a["python_ops"] and name not in py_ok):
             flag = " ⚠"
+        if a["bnlj"]:
+            if name in BNLJ_BOUNDED:
+                notes.append(f"- `{name}` BNLJ x{a['bnlj']}: {BNLJ_BOUNDED[name]}")
+            else:
+                flag = " ⚠"
+        if a["unpart_window"]:
+            if name in UNPART_WINDOW_BOUNDED:
+                notes.append(
+                    f"- `{name}` 1-part window x{a['unpart_window']}: "
+                    f"{UNPART_WINDOW_BOUNDED[name]}"
+                )
+            else:
+                flag = " ⚠"
+        if flag:
             bad += 1
         lines.append(
             f"| {name}{flag} | {a['exchanges']} | {a['broadcast_joins']} | "
-            f"{a['sortmerge_joins']} | {a['cartesian']} | {a['codegen_spans']} | "
+            f"{a['bnlj']} | {a['sortmerge_joins']} | {a['cartesian']} | "
+            f"{a['unpart_window']} | {a['codegen_spans']} | "
             f"{a['cached_scans']} | {a['python_ops']} |"
         )
         for s in a["read_schemas"]:
             schemas.append(f"- `{name}`: `{s}`")
+    if notes:
+        lines += ["", "## Annotated bounded BNLJ / single-partition windows", ""]
+        lines += notes
     lines += ["", "## Parquet read schemas (column pruning)", ""] + schemas
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")

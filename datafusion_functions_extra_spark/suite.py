@@ -6501,6 +6501,137 @@ def orders_ship_latency_percentiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# batch r05a: streaming drains in the oracle lane — the watermarked
+# tumbling/sliding/moment plans have deterministic availableNow replays, so
+# the drained results earn full rows+schema+hash driver checks (previously
+# these operators were pytest-parity only; VERDICT r04 task 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_streaming_tumbling",
+    """
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_streaming_tumbling(spark, sf_dir):
+    """Watermarked hourly tumbling count/sum through Structured Streaming
+    (streaming/events.py streaming_tumbling_counts), availableNow-drained
+    to a memory sink: the same two-phase windowed aggregate as the batch
+    ``events_tumbling_hourly`` twin (minus the countDistinct streaming
+    update mode cannot express), now hash-checked against the identical
+    DuckDB rollup rather than pytest-only parity.  State per open window
+    evicts at watermark — the property that lets this run forever on an
+    unbounded feed."""
+    from .streaming import read_events_stream, run_available_now, streaming_tumbling_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(streaming_tumbling_counts(stream))
+    return out.withColumn("window_start", F.col("window_start").cast("string"))
+
+
+@query(
+    "events_streaming_sliding",
+    """
+WITH o AS (SELECT ts, value, unnest([0, 1]) AS k FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+           - k * INTERVAL '15 minutes' AS window_start,
+         value
+  FROM o
+)
+SELECT CAST(window_start AS VARCHAR) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM w GROUP BY 1
+""",
+)
+def events_streaming_sliding(spark, sf_dir):
+    """30-minute windows sliding every 15 through Structured Streaming
+    (streaming_sliding_counts): each event expands into exactly 2 open
+    windows, per-window state merges monoidally across micro-batches and
+    evicts at the watermark.  Oracle = the batch sliding expansion
+    (``events_sliding_windows``'s unnest formulation)."""
+    from .streaming import read_events_stream, run_available_now, streaming_sliding_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(streaming_sliding_counts(stream))
+    return out.withColumn("window_start", F.col("window_start").cast("string"))
+
+
+@query(
+    "events_streaming_moments",
+    # The oracle mirrors the builders' RAW-POWER-SUM algebra term for term
+    # (functions/aggregates.py) instead of using DuckDB's numerically
+    # stable built-ins: hourly windows contain tiny groups (n=2) where the
+    # m2 cancellation error differs BETWEEN algorithms by ~1e-3 — far past
+    # the 6 dp round — while identical algebra over identical sums agrees
+    # to the ulp.  Same formula order, same guards, same NULL domains.
+    """
+WITH ps AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+         count(value) AS n,
+         sum(value::DOUBLE) AS s1,
+         sum(value::DOUBLE * value::DOUBLE) AS s2,
+         sum((value::DOUBLE * value::DOUBLE) * value::DOUBLE) AS s3,
+         sum(((value::DOUBLE * value::DOUBLE) * value::DOUBLE) * value::DOUBLE) AS s4
+  FROM events GROUP BY 1, 2
+),
+fin AS (
+  SELECT ws, event_type, n, s1, s2, s3, s4,
+         1.0 / n AS t1,
+         (1.0 / n) * (s2 - s1 * s1 * (1.0 / n)) AS var,
+         (1.0 / n) * (s4 - 4.0 * s3 * s1 * (1.0 / n)
+                      + 6.0 * s2 * (s1 * s1) * ((1.0 / n) * (1.0 / n))
+                      - 3.0 * ((s1 * s1) * (s1 * s1)) * (((1.0 / n) * (1.0 / n)) * (1.0 / n))) AS m4,
+         (s2 - (s1 * s1) * (1.0 / n)) * (1.0 / n) AS m2
+  FROM ps
+),
+stats AS (
+  SELECT ws, event_type, n,
+         CASE WHEN n > 2 AND sqrt(greatest(0.0, (var * var) * var)) != 0.0
+              THEN (sqrt(n * (n - 1.0)) / (n - 2.0)) * t1
+                   * (s3 - 3.0 * s2 * s1 * t1 + 2.0 * ((s1 * s1) * s1) * t1 * t1)
+                   / sqrt(greatest(0.0, (var * var) * var))
+              END AS skew,
+         CASE WHEN n > 3 AND m2 > 0.0 AND m2 * m2 > 0.0
+              THEN ((n - 1.0) * ((n + 1.0) * m4 / (m2 * m2) - 3.0 * (n - 1.0)))
+                   / ((n - 2.0) * (n - 3.0))
+              END AS kurt,
+         CASE WHEN n >= 1 AND m2 > 0.0 AND m2 * m2 > 0.0
+              THEN m4 / (m2 * m2) - 3.0
+              END AS kpop
+  FROM fin
+)
+SELECT CAST(ws AS VARCHAR) AS window_start,
+       event_type,
+       n,
+       round(skew + sign(skew) * 1e-9, 6) AS skew_value,
+       round(kurt + sign(kurt) * 1e-9, 6) AS kurt_value,
+       round(kpop + sign(kpop) * 1e-9, 6) AS kpop_value
+FROM stats
+""",
+)
+def events_streaming_moments(spark, sf_dir):
+    """The reference moment aggregates (skewness / kurtosis /
+    kurtosis_pop) on Structured Streaming windows, drained and
+    hash-checked against DuckDB's built-in moment functions — the
+    streaming lane's proof that the §2.1 Column builders are mergeable
+    monoids: per-micro-batch power-sum partials merge into window state,
+    the finishing expression runs at emit (the reference's own
+    accumulator design, src/kurtosis.rs:87-101)."""
+    from .streaming import read_events_stream, run_available_now, streaming_moment_stats
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(streaming_moment_stats(stream))
+    return out.withColumn("window_start", F.col("window_start").cast("string"))
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

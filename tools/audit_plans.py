@@ -207,9 +207,9 @@ def main() -> int:
     notes: list[str] = []
     bad = 0
     for name, fn in suite.QUERIES.items():
-        if name == "events_streaming_sessions":
-            # building the streaming query runs it (availableNow); plan
-            # shape is covered by the batch session_window entry
+        if name.startswith("events_streaming_"):
+            # building a streaming drain RUNS it (availableNow); plan
+            # shape is covered by the matching batch twin entries
             continue
         df = fn(spark, args.sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -8,11 +8,11 @@ module gives them the pipeline surface a 100 TB training-data build needs:
 * **payload stats** (byte size, hex/base64 bridges) — built-in expressions;
 * **container-header parsing** (PNG IHDR width/height) — JVM expressions:
   big-endian ints are four hex chars away from ``conv``;
-* **decode plumbing** via Arrow-batched ``mapInPandas`` — the schema,
-  batching, and header parse are real; *pixel* decoding needs imaging
-  libraries this environment does not ship, so :func:`decode_pixels` is an
-  explicit ``NotImplementedError`` stub while :func:`decode_meta` does a
-  genuine pure-Python header parse.
+* **decode plumbing** via Arrow-batched ``mapInPandas`` — the schema and
+  batching are real, and so is the decode: :func:`decode_pixels` uses
+  Pillow when installed, else a pure-stdlib baseline-PNG decoder (zlib
+  inflate + scanline unfilter, all five filter types), with NULL rows for
+  undecodable payloads; :func:`decode_meta` does the cheap header parse.
 
 The synthetic-payload builder (:func:`synth_payload`) exists so the suite
 can manufacture deterministic binary fixtures from the ``documents`` table
@@ -266,16 +266,144 @@ WHERE (g.i - 1) * {FRAME_STRIDE} + {FRAME_BYTES} <= octet_length({payload_expr})
 """
 
 
-def decode_pixels(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
-    """STUB — pixel decoding requires an imaging library (PIL/opencv) that
-    this environment does not provide.  The Spark-side contract when it
-    lands: ``mapInPandas`` over (id, payload) yielding
-    ``doc_id bigint, pixels array<float>, shape array<int>`` with the same
-    batching as :func:`decode_meta`.
+def _png_decode_py(b: bytes):
+    """Pure-stdlib PNG pixel decode (zlib inflate + scanline unfilter).
+
+    Supports the baseline subset the pipeline fixtures use: 8-bit depth,
+    non-interlaced, gray / gray+alpha / RGB / RGBA.  Returns
+    ``(pixels, [h, w, channels])`` with pixels as row-major floats in
+    0..255, or ``None`` for non-PNG / unsupported payloads.  All five
+    scanline filter types (None/Sub/Up/Average/Paeth) are implemented —
+    this is a real decode, not a header peek; only exotic formats (16-bit,
+    palette, interlaced) fall back to the optional-Pillow path.
     """
-    raise NotImplementedError(
-        "pixel decoding needs PIL/opencv, not available in this environment; "
-        "see decode_meta for the working header-parse plumbing"
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or interlace != 0 or channels is None or not w or not h:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _row in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                up = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out += line
+        prev = line
+    return [float(v) for v in out], [int(h), int(w), int(channels)]
+
+
+DECODE_PIXELS_SCHEMA = "doc_id bigint, shape array<int>, pixels array<float>"
+
+
+def decode_pixels(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Pixel decode over binary payloads via the same Arrow-batched
+    ``mapInPandas`` plumbing as :func:`decode_meta`: yields
+    ``(doc_id, shape [h, w, channels], pixels row-major float 0..255)``,
+    with NULL shape/pixels for payloads that aren't decodable images.
+
+    Decoder resolution order (per executor, import-gated — no hard
+    dependency): Pillow if installed (any format it reads), else the
+    pure-stdlib baseline-PNG decoder :func:`_png_decode_py` (zlib
+    inflate + all five scanline filters).  The environment ships no
+    imaging library, so the stdlib path is the one the pytest fixtures
+    exercise end-to-end against PNGs they encode themselves; non-PNG
+    formats without Pillow come back NULL rather than raising — the
+    100 TB contract is per-row decode failure tolerance, not job abort.
+    """
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        try:
+            from PIL import Image  # optional dependency
+            import io
+
+            def _decode(b: bytes):
+                try:
+                    img = Image.open(io.BytesIO(b))
+                    import numpy as np
+
+                    arr = np.asarray(img, dtype="float32")
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    h, w, c = arr.shape
+                    return [float(v) for v in arr.reshape(-1)], [h, w, c]
+                except Exception:
+                    return _png_decode_py(b)
+
+        except ImportError:
+
+            def _decode(b: bytes):
+                return _png_decode_py(b)
+
+        for pdf in batches:
+            ids, shapes, pixels = [], [], []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                res = _decode(bytes(b))
+                ids.append(did)
+                if res is None:
+                    shapes.append(None)
+                    pixels.append(None)
+                else:
+                    px, shape = res
+                    shapes.append(shape)
+                    pixels.append(px)
+            yield pd.DataFrame(
+                {"doc_id": ids, "shape": shapes, "pixels": pixels}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, DECODE_PIXELS_SCHEMA
     )
 
 

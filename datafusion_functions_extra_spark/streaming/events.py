@@ -482,19 +482,20 @@ def streaming_cms_values(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    value_col: str = "value",
 ) -> DataFrame:
     """Windowed count-min sketch maintenance on a stream: per (window,
     r, c), the summed counter — CMS counters are a SUM monoid, the
     second sketch family (after the HLL MAX monoid of
     ``streaming_hll_users``) that streaming windowed aggregation
     carries natively.  Counters sketch the event value frequency
-    distribution (cast to string, same keying as the batch
+    distribution (``value_col`` cast to string, same keying as the batch
     ``cms_build``); state per open window is depth x width counters.
     """
     from ..operators.similarity import MERSENNE_P, hash60
     from ..operators.sketches import CMS_DEPTH, _cms_col
 
-    h = (hash60(F.col("value").cast("string")) % F.lit(MERSENNE_P)).alias("h")
+    h = (hash60(F.col(value_col).cast("string")) % F.lit(MERSENNE_P)).alias("h")
     rows = F.array(
         *[
             F.struct(F.lit(r).alias("r"), _cms_col(F.col("h"), r).alias("c"))

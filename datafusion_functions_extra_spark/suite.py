@@ -6631,6 +6631,81 @@ def events_streaming_moments(spark, sf_dir):
     return out.withColumn("window_start", F.col("window_start").cast("string"))
 
 
+@query(
+    "events_streaming_hll",
+    f"""
+WITH src AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+         {{h}} AS h
+  FROM events
+)
+SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+       h % {SKCH.HLL_M} AS bucket,
+       max({{rho}}) AS r
+FROM src GROUP BY 1, 2, 3
+""".format(
+        h=SIM._hash60_sql("user_id::VARCHAR"),
+        rho=SKCH._hll_rho_sql(f"(h >> {SKCH.HLL_P})"),
+    ),
+)
+def events_streaming_hll(spark, sf_dir):
+    """Windowed HLL register maintenance on Structured Streaming
+    (streaming/events.py streaming_hll_users), drained and hash-checked:
+    per (hour window, event_type, bucket) the max 52-bit rank — the
+    register MAX monoid carried natively by streaming windowed
+    aggregation, <=256 small ints of state per open group, evicted at
+    the watermark.  The DuckDB oracle reproduces the md5 bucket/rank
+    math bit-exactly (the operators/sketches.py integer-comparison
+    chain), so the streaming lane now has a driver-hashed SKETCH row,
+    not just pytest parity."""
+    from .streaming import read_events_stream, run_available_now
+    from .streaming.events import streaming_hll_users
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(streaming_hll_users(stream))
+    return out.withColumn("window_start", F.col("window_start").cast("string"))
+
+
+@query(
+    "events_streaming_cms",
+    f"""
+WITH src AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+         {{h}} % {SIM.MERSENNE_P} AS h
+  FROM events
+),
+ex AS (
+  SELECT ws, h, unnest(generate_series(0, {SKCH.CMS_DEPTH - 1})) AS r
+  FROM src
+)
+SELECT CAST(ws AS VARCHAR) AS window_start, r,
+       CASE r {{cols}} END AS c,
+       count(*) AS cnt
+FROM ex GROUP BY 1, 2, 3
+""".format(
+        h=SIM._hash60_sql("user_id::VARCHAR"),
+        cols=" ".join(
+            f"WHEN {r} THEN {SKCH._cms_col_sql('h', r)}"
+            for r in range(SKCH.CMS_DEPTH)
+        ),
+    ),
+)
+def events_streaming_cms(spark, sf_dir):
+    """Windowed count-min sketch maintenance on Structured Streaming
+    (streaming_cms_values over the user-id stream): per (hour window,
+    row, column) summed counters — the SUM-monoid sketch family next to
+    the HLL MAX monoid, depth x width bounded state per open window.
+    Sketching user_id (exact integer-to-string cast on both engines)
+    rather than the double value column keeps the hash input
+    cross-engine byte-identical."""
+    from .streaming import read_events_stream, run_available_now
+    from .streaming.events import streaming_cms_values
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(streaming_cms_values(stream, value_col="user_id"))
+    return out.withColumn("window_start", F.col("window_start").cast("string"))
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -346,6 +346,49 @@ def sentence_dedup_stats(
     )
 
 
+def sentence_dedup_rebuild(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The write-back sibling of :func:`sentence_dedup_stats`: rebuild
+    each document's text with corpus-duplicate sentences REMOVED (keep =
+    globally first occurrence by (doc_id, position), same total order),
+    returning (id, n_kept, clean_text) for documents that keep at least
+    one sentence — the transformation a C4-style pipeline actually ships
+    to training, not just the bookkeeping counts.
+
+    Plan: identical dedup core (one explode, one corpus-wide window
+    keyed on sentence text), then ONE per-doc aggregate reassembles the
+    surviving sentences in original order via an in-row array sort —
+    text shuffles exactly twice (once by sentence for the global keep
+    decision, once by doc for reassembly), both unavoidable for the
+    semantics.
+    """
+    sent = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(normalize_text(text_col), _SENT_SPLIT),
+                    lambda x: F.regexp_replace(x, "[.!?]+$", ""),
+                ),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("pos", "s"),
+    )
+    w = Window.partitionBy("s").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    kept = sent.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x.s,
+            ),
+        ).alias("clean_text"),
+    )
+
+
 def duplicate_ngram_coverage(
     df: DataFrame, text_col: str, id_col: str, k: int = SHINGLE_WORDS
 ) -> DataFrame:

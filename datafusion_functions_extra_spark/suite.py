@@ -6706,6 +6706,179 @@ def events_streaming_cms(spark, sf_dir):
     return out.withColumn("window_start", F.col("window_start").cast("string"))
 
 
+@query(
+    "docs_sentence_dedup_rebuild",
+    f"""
+WITH t AS (SELECT doc_id, {SIM._NORM_SQL} AS norm FROM documents),
+s0 AS (
+  SELECT doc_id,
+         regexp_replace(unnest(regexp_split_to_array(norm, '[.!?]+ ')),
+                        '[.!?]+$', '') AS s,
+         generate_subscripts(regexp_split_to_array(norm, '[.!?]+ '), 1) - 1 AS pos
+  FROM t
+),
+sent AS (SELECT doc_id, pos, s FROM s0 WHERE length(s) > 0),
+r AS (
+  SELECT doc_id, pos, s,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM sent
+)
+SELECT doc_id,
+       count(*) AS n_kept,
+       string_agg(s, ' ' ORDER BY pos) AS clean_text
+FROM r WHERE rn = 1 GROUP BY 1
+""",
+)
+def docs_sentence_dedup_rebuild(spark, sf_dir):
+    """C4-style sentence dedup with TEXT RECONSTRUCTION (functions/
+    text.py sentence_dedup_rebuild): drop every corpus-duplicate
+    sentence (keep = globally first by (doc_id, pos)) and reassemble
+    each surviving document's clean text in original sentence order —
+    the pipeline's actual write-back output, complementing the
+    counts-only docs_sentence_dedup row.  Text shuffles twice (sentence
+    key, then doc key), both forced by the semantics; reassembly is an
+    in-row array sort, not a window."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.sentence_dedup_rebuild(d, "text", "doc_id")
+
+
+@query(
+    "source_length_psi",
+    f"""
+WITH b AS (
+  SELECT source, least(n_chars // 100, 9) AS bin, count(*) AS n_sb
+  FROM documents GROUP BY 1, 2
+),
+st AS (SELECT source, sum(n_sb)::BIGINT AS n_s FROM b GROUP BY 1),
+cb AS (SELECT bin, sum(n_sb)::BIGINT AS n_b FROM b GROUP BY 1),
+tot AS (SELECT sum(n_sb)::BIGINT AS n FROM b)
+SELECT b.source,
+       max(st.n_s) AS n_docs,
+       {{psi}} AS psi
+FROM b JOIN st USING (source) JOIN cb USING (bin), tot
+GROUP BY 1
+""".format(
+        psi=_r6n_sql(
+            """sum(((b.n_sb::DOUBLE / st.n_s) - (cb.n_b::DOUBLE / tot.n))
+           * ln((b.n_sb::DOUBLE / st.n_s) / (cb.n_b::DOUBLE / tot.n)))"""
+        )
+    ),
+)
+def source_length_psi(spark, sf_dir):
+    """Per-source population-stability index of the document-length
+    distribution vs the corpus marginal: PSI = sum over observed bins of
+    (p_source - p_corpus) * ln(p_source / p_corpus), lengths bucketed
+    into ten fixed 100-char bins — the recipe-monitoring drift metric
+    next to the KL language drift (a source whose length mix diverges
+    signals scraper truncation or boilerplate floods).  Observed-cells
+    convention: a bin contributes only where the source has mass, and
+    the corpus marginal is then nonzero by construction — no smoothing
+    constant to disagree on.  Three tiny rollups over |sources| x 10
+    cells, all broadcast join-backs; the corpus is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select(
+            "source",
+            F.least(
+                F.floor(F.col("n_chars") / F.lit(100)), F.lit(9)
+            ).alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_sb"))
+    )
+    st = b.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
+    cb = b.groupBy("bin").agg(F.sum("n_sb").alias("n_b"))
+    tot = b.agg(F.sum("n_sb").alias("n"))
+    p_s = F.col("n_sb").cast("double") / F.col("n_s")
+    p_c = F.col("n_b").cast("double") / F.col("n")
+    return (
+        b.join(F.broadcast(st), "source")
+        .join(F.broadcast(cb), "bin")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            _r6n(F.sum((p_s - p_c) * F.log(p_s / p_c))).alias("psi"),
+        )
+    )
+
+
+@query(
+    "corpus_curriculum_phases",
+    f"""
+WITH t AS (SELECT doc_id, len({_TOKENS_SQL}) AS ntok FROM documents),
+h AS (SELECT ntok, count(*) AS n_at FROM t GROUP BY 1),
+c AS (SELECT ntok, sum(n_at) OVER (ORDER BY ntok ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+n AS (SELECT count(*)::BIGINT AS n, sum(ntok)::BIGINT AS tot_toks FROM t),
+cut AS (SELECT __CUTS__ FROM c, n),
+dec AS (SELECT t.ntok, CAST(1 + __DEC__ AS INT) AS phase FROM t, cut),
+g AS (SELECT phase, count(*) AS n_docs, sum(ntok)::BIGINT AS n_tokens
+      FROM dec GROUP BY 1),
+cg AS (SELECT phase, n_docs, n_tokens,
+              sum(n_tokens) OVER (ORDER BY phase ROWS UNBOUNDED PRECEDING) AS cum_toks
+       FROM g)
+SELECT phase, n_docs, n_tokens,
+       {_r6n_sql('cg.cum_toks::DOUBLE / n.tot_toks')} AS cum_token_share
+FROM cg, n
+""".replace("__CUTS__", """min(CASE WHEN cum >= floor(10 * (n.n - 1) / 100) + 1 THEN ntok END) AS p_0, min(CASE WHEN cum >= floor(20 * (n.n - 1) / 100) + 1 THEN ntok END) AS p_1, min(CASE WHEN cum >= floor(30 * (n.n - 1) / 100) + 1 THEN ntok END) AS p_2, min(CASE WHEN cum >= floor(40 * (n.n - 1) / 100) + 1 THEN ntok END) AS p_3, min(CASE WHEN cum >= floor(50 * (n.n - 1) / 100) + 1 THEN ntok END) AS p_4, min(CASE WHEN cum >= floor(60 * (n.n - 1) / 100) + 1 THEN ntok END) AS p_5, min(CASE WHEN cum >= floor(70 * (n.n - 1) / 100) + 1 THEN ntok END) AS p_6, min(CASE WHEN cum >= floor(80 * (n.n - 1) / 100) + 1 THEN ntok END) AS p_7, min(CASE WHEN cum >= floor(90 * (n.n - 1) / 100) + 1 THEN ntok END) AS p_8""").replace("__DEC__", """(CASE WHEN t.ntok > cut.p_0 THEN 1 ELSE 0 END) + (CASE WHEN t.ntok > cut.p_1 THEN 1 ELSE 0 END) + (CASE WHEN t.ntok > cut.p_2 THEN 1 ELSE 0 END) + (CASE WHEN t.ntok > cut.p_3 THEN 1 ELSE 0 END) + (CASE WHEN t.ntok > cut.p_4 THEN 1 ELSE 0 END) + (CASE WHEN t.ntok > cut.p_5 THEN 1 ELSE 0 END) + (CASE WHEN t.ntok > cut.p_6 THEN 1 ELSE 0 END) + (CASE WHEN t.ntok > cut.p_7 THEN 1 ELSE 0 END) + (CASE WHEN t.ntok > cut.p_8 THEN 1 ELSE 0 END)"""),
+)
+def corpus_curriculum_phases(spark, sf_dir):
+    """Length-curriculum phase table: documents split into ten phases by
+    token-count decile (short -> long, the classic curriculum-learning
+    schedule), with per-phase doc/token totals and the cumulative token
+    share a training scheduler consumes as phase boundaries.
+
+    The scale shape is the point: decile cutoffs come from
+    functions/distribution.py ``discrete_percentile_cutoffs`` — a
+    (token-count, docs) histogram put through the TWO-PHASE global
+    cumulative sum (range repartition -> parallel local cumsum ->
+    broadcast per-partition offsets), the explicit lower-order-statistic
+    rank ``floor(q*(n-1))+1``, and a single tiny aggregate — so the only
+    globally-ordered structures are the <= #partitions offset table and
+    the 10-row phase rollup.  No corpus-sized relation ever sees a
+    single-partition window, unlike the naive ntile(10)-over-everything
+    formulation.  Phase assignment is a broadcast 1-row cutoff join;
+    ratios round through the boundary-nudged helper."""
+    from .functions import distribution as DIST
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.size(TX.tokens("text")).alias("ntok"))
+    hist = toks.groupBy("ntok").agg(F.count(F.lit(1)).alias("n_at"))
+    cuts = DIST.discrete_percentile_cutoffs(
+        hist, "ntok", "n_at", [q / 100.0 for q in range(10, 100, 10)]
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ntok").alias("tot_toks")
+    )
+    phase = F.lit(1)
+    for i in range(9):
+        phase = phase + F.when(F.col("ntok") > F.col(f"p_{i}"), 1).otherwise(0)
+    dec = toks.crossJoin(F.broadcast(cuts)).select(
+        "ntok", phase.cast("int").alias("phase")
+    )
+    g = dec.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+    )
+    w10 = Window.orderBy("phase").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.withColumn("cum_toks", F.sum("n_tokens").over(w10))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "phase",
+            "n_docs",
+            "n_tokens",
+            _r6n(
+                F.col("cum_toks").cast("double") / F.col("tot_toks")
+            ).alias("cum_token_share"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

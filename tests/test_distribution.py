@@ -1,0 +1,65 @@
+"""Two-phase global-cumsum primitives (functions/distribution.py): must
+equal the naive single-partition formulation on any input."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_extra_spark.functions.distribution import (
+    discrete_percentile_cutoffs,
+    global_cumsum,
+)
+
+
+@pytest.fixture(scope="module")
+def hist(spark):
+    # deliberately unsorted input with gaps; keys unique (histogram shape)
+    rows = [(k, (k * 7) % 13 + 1) for k in [5, 1, 9, 2, 30, 17, 4, 8, 26, 11]]
+    return spark.createDataFrame(rows, "k int, n int")
+
+
+def test_global_cumsum_matches_naive(hist):
+    got = {
+        r.k: r.cum for r in global_cumsum(hist, "k", "n", "cum").collect()
+    }
+    rows = sorted((r.k, r.n) for r in hist.collect())
+    acc, want = 0, {}
+    for k, n in rows:
+        acc += n
+        want[k] = acc
+    assert got == want
+
+
+def test_global_cumsum_descending(hist):
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(hist, "k", "n", "cum", ascending=False).collect()
+    }
+    rows = sorted(((r.k, r.n) for r in hist.collect()), reverse=True)
+    acc, want = 0, {}
+    for k, n in rows:
+        acc += n
+        want[k] = acc
+    assert got == want
+
+
+def test_discrete_percentile_cutoffs_match_expansion(hist):
+    qs = [0.1, 0.25, 0.5, 0.9]
+    row = discrete_percentile_cutoffs(hist, "k", "n", qs).collect()[0]
+    expanded = sorted(
+        k for k, n in ((r.k, r.n) for r in hist.collect()) for _ in range(n)
+    )
+    n = len(expanded)
+    for i, q in enumerate(qs):
+        # lower order statistic at 1-indexed rank floor(q*(n-1)) + 1
+        want = expanded[math.floor(round(q * 100) * (n - 1) / 100)]
+        assert row[f"p_{i}"] == want, (q, row[f"p_{i}"], want)
+
+
+def test_global_cumsum_more_partitions_than_rows(spark):
+    tiny = spark.createDataFrame([(1, 2), (2, 3)], "k int, n int")
+    got = {r.k: r.cum for r in global_cumsum(tiny, "k", "n", "cum").collect()}
+    assert got == {1: 2, 2: 5}

@@ -110,3 +110,27 @@ def test_bigram_logprob_orders_garbage_below_prose(spark):
     for r in rows:
         assert r.n_bigrams >= 1
         assert r.avg_logprob < 0.0  # log of probability < 1
+
+
+def test_sentence_dedup_rebuild_drops_global_dupes(spark):
+    from datafusion_functions_extra_spark.functions.text import (
+        sentence_dedup_rebuild,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta. Shared cookie banner. Gamma delta."),
+            (2, "Shared cookie banner. Unique middle text. Alpha beta."),
+            (3, "Shared cookie banner."),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_kept, r.clean_text)
+        for r in sentence_dedup_rebuild(docs, "text", "doc_id").collect()
+    }
+    # doc 1 keeps everything (first occurrences); doc 2 loses both shared
+    # sentences; doc 3 (all duplicate) drops out of the result entirely
+    assert got[1] == (3, "alpha beta shared cookie banner gamma delta")
+    assert got[2] == (1, "unique middle text")
+    assert 3 not in got

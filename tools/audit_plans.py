@@ -76,6 +76,8 @@ BNLJ_BOUNDED: dict[str, str] = {
     "customer_balance_deciles": _SCALAR + " (percentile cutoffs)",
     "embedding_matryoshka_topk": _QUERYSET,
     "rich_customers_without_orders": _SCALAR,
+    "source_length_psi": _SCALAR,
+    "corpus_curriculum_phases": _SCALAR + " (decile cutoffs + token totals)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -101,6 +103,10 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     ),
     "orders_revenue_growth_mom": (
         "lag over the per-MONTH revenue rollup — calendar-bounded"
+    ),
+    "corpus_curriculum_phases": (
+        "two-phase cumsum offset windows (<= #partitions rows) + the "
+        "10-row phase rollup cumsum"
     ),
 }
 

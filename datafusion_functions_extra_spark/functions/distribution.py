@@ -60,6 +60,41 @@ def global_cumsum(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str,
+) -> DataFrame:
+    """Add ``out_col`` = global contiguous 1-based ``row_number`` in
+    ``order_cols`` order, via the same two-phase shape as
+    :func:`global_cumsum`: range repartition -> parallel per-partition
+    local rank -> broadcast per-partition row-count offsets.  The key
+    tuple must be unique per row (a distinct/aggregated relation) so
+    range boundaries cannot split ties.  This is ``build_vocab``'s
+    ranking, factored out for any operator that needs a total order over
+    an unbounded relation (frequency ranks for prefix-filter similarity
+    joins, leaderboards) without a single-partition window.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(wl))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(wo), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def discrete_percentile_cutoffs(
     hist: DataFrame,
     key_col: str,

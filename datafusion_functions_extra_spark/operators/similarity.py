@@ -1838,3 +1838,250 @@ SELECT n_truth, n_pred, tp, fp, fn,
        {r6n_sql('tp::DOUBLE / n_truth::DOUBLE')} AS recall
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join over distinct 3-word SHINGLE
+    sets via prefix filtering (the AllPairs/PPJoin family, Bayardo et
+    al. WWW'07) — the deterministic sibling of the MinHash-LSH candidate
+    pipeline: no hashing, no probability of a missed pair, and the same
+    shingle universe the MinHash signatures estimate (distinct token
+    sets are uselessly dense on templated corpora — measured 7M
+    qualifying pairs at sf0.1 — while shingle sets are discriminative).
+
+    Shingles get a global rarity rank (ascending document frequency; the
+    two-phase ``functions.distribution.global_rank``, no single-partition
+    window); each doc's prefix is its ``sz - ceil(theta*sz) + 1``
+    rarest shingles.  The prefix-filter lemma guarantees any pair with
+    J >= theta shares a token within BOTH prefixes (with a consistent
+    total order, if |A∩B| >= alpha then prefixes of length
+    |x| - alpha + 1 intersect; here alpha = ceil(theta*max(|A|,|B|)) >=
+    each per-set bound), so the equi-join on prefix tokens — rare tokens,
+    hence few collisions — produces a candidate superset, and the exact
+    intersection count then keeps ``100*inter >= pct*(union)``: an
+    INTEGER threshold test, no float boundary to disagree on.
+
+    Scale shape: the only corpus-sized shuffles are the (id, token)
+    explode and its frequency/prefix joins; the quadratic risk lives
+    only in prefix-token collisions, which the rare-first ordering
+    minimizes (the classic result: cost tracks the true result size on
+    non-pathological corpora).  Returns (id_a, id_b, n_inter, jacc
+    rounded 6 dp) with id_a < id_b.
+    """
+    from ..functions.distribution import global_rank
+    from pyspark.sql import Window
+
+    pct = int(threshold_pct)
+    from ..functions.text import shingles_or_whole
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_or_whole(text_col))).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    ranked = global_rank(
+        freq, [F.col("df_t").asc(), F.col("token").asc()], "trank"
+    ).select("token", "trank")
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    wd = Window.partitionBy("id").orderBy(F.col("trank").asc())
+    prefix = (
+        tok.join(ranked, "token")
+        .withColumn("pos", F.row_number().over(wd))
+        .join(sizes, "id")
+        .where(
+            F.col("pos")
+            <= F.col("sz")
+            - F.floor((F.lit(pct) * F.col("sz") + 99) / 100)
+            + 1
+        )
+        .select("id", "token")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.lit(100) * F.col("n_inter") >= F.lit(pct) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            r6n(F.col("n_inter").cast("double") / union_sz).alias("jacc"),
+        )
+    )
+
+
+def prefix_filter_jaccard_oracle_sql(threshold_pct: int = 60) -> str:
+    """Ground-truth oracle: ALL-PAIRS exact Jaccard at the same integer
+    threshold — so the driver hash also certifies the prefix filter's
+    no-false-negative lemma, not just the arithmetic."""
+    pct = int(threshold_pct)
+    return f"""
+WITH t0 AS (SELECT doc_id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks FROM documents),
+t AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [norm] END) AS grams
+  FROM t0
+),
+e AS (SELECT doc_id AS id, unnest(grams) AS token FROM t),
+sz AS (SELECT id, count(*) AS sz FROM e GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM e a JOIN e b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       {r6n_sql('n_inter::DOUBLE / (sa.sz + sb.sz - n_inter)')} AS jacc
+FROM inter
+JOIN sz sa ON sa.id = id_a
+JOIN sz sb ON sb.id = id_b
+WHERE 100 * n_inter >= {pct} * (sa.sz + sb.sz - n_inter)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+
+def near_dup_pagerank(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the (symmetric) near-dup candidate graph, restricted
+    to non-isolated nodes: the eigenvector upgrade of the degree
+    histogram for boilerplate hunting — a template hub scores high even
+    when its individual edges are spread across many mid-degree
+    neighbors.
+
+    r_{k+1}(v) = round6((1-d)/N + d * sum_{u~v} r_k(u) / deg(u)),
+    uniform init 1/N; restricting to nodes with >= 1 edge makes the
+    graph dangling-free, so no leaked-mass correction term.  Per-round
+    trajectory rounding (the k-means rule) keeps both engines on the
+    identical path, so the whole iteration is oracle-hashable.
+
+    Scale shape: each round is ONE edge-keyed join + ONE aggregate
+    (the standard distributed PR step); the edge relation is computed
+    once and persisted via the tracked-cache registry; iterations are a
+    FIXED small unroll (3), so the logical plan grows linearly and needs
+    no checkpoint truncation (the label-propagation loop's localCheckpoint
+    handles the unbounded-iteration case).
+    """
+    from ..cache import persist_tracked
+
+    pairs = near_dup_pairs(df, text_col, id_col, threshold).select("id_a", "id_b")
+    edges = persist_tracked(
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ).distinct()
+    )
+    deg = edges.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("id_a").alias("id"), "deg")
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = (
+        nodes.join(F.broadcast(n))
+        .select("id", "deg", r6n(F.lit(1.0) / F.col("n")).alias("rank"))
+    )
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(r, edges.id_a == r.id)
+            .select(F.col("id_b").alias("id"), (F.col("rank") / F.col("deg")).alias("w"))
+            .groupBy("id")
+            .agg(F.sum("w").alias("c"))
+        )
+        r = (
+            nodes.join(F.broadcast(n))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                "deg",
+                r6n(
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return r.select(F.col("id").alias(id_col), "deg", "rank")
+
+
+def near_dup_pagerank_oracle_sql(
+    threshold: float = 0.5, n_iters: int = 3, damping: float = 0.85
+) -> str:
+    """Unrolled-iteration DuckDB mirror; shared relations MATERIALIZED
+    (the §9.1 lesson — DuckDB inlines CTEs by default and a relation
+    referenced per round would re-run the whole LSH pipeline each time)."""
+    eq_terms = f"""list_sum(list_transform(generate_series(1, {MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"""
+    parts = [
+        f"""pairs AS MATERIALIZED (
+  SELECT cand.id_a, cand.id_b FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE {eq_terms}::DOUBLE / {MINHASH_K}.0 >= {threshold}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT id, deg, {r6n_sql('1.0 / nn.n')} AS rank FROM deg, nn
+)"""
+    ]
+    for k in range(1, n_iters + 1):
+        step = (
+            f"{1.0 - damping} / nn.n + {damping} * coalesce(c.c, 0.0)"
+        )
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(r.rank / r.deg) AS c
+  FROM edges e JOIN r{k - 1} r ON r.id = e.src
+  GROUP BY 1
+),
+r{k} AS MATERIALIZED (
+  SELECT d.id, d.deg, {r6n_sql(step)} AS rank
+  FROM deg d LEFT JOIN c{k} c USING (id), nn
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {_sig_cte()}, {_bands_cte()},
+{body}
+SELECT id AS doc_id, deg, rank FROM r{n_iters}
+"""

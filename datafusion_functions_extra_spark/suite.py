@@ -6879,6 +6879,40 @@ def corpus_curriculum_phases(spark, sf_dir):
     )
 
 
+@query(
+    "prefix_filter_jaccard_pairs",
+    SIM.prefix_filter_jaccard_oracle_sql(threshold_pct=60),
+)
+def prefix_filter_jaccard_pairs(spark, sf_dir):
+    """EXACT Jaccard >= 0.6 self-join via prefix filtering
+    (operators/similarity.py prefix_filter_jaccard_pairs; AllPairs/
+    PPJoin family) — the deterministic complement to the MinHash-LSH
+    pipeline: rare-first global token ranks (two-phase, no
+    single-partition window), per-doc prefixes sized by the prefix
+    lemma, candidates from the rare-token equi-join, and an INTEGER
+    threshold verify.  The oracle is the quadratic all-pairs ground
+    truth, so the hash certifies the filter's completeness (no missed
+    pair), not just its arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.prefix_filter_jaccard_pairs(d, "text", "doc_id", threshold_pct=60)
+
+
+@query(
+    "near_dup_pagerank",
+    SIM.near_dup_pagerank_oracle_sql(threshold=0.5, n_iters=3, damping=0.85),
+)
+def near_dup_pagerank(spark, sf_dir):
+    """PageRank (3 rounds, d=0.85) over the symmetric near-dup candidate
+    graph (operators/similarity.py near_dup_pagerank): the eigenvector
+    boilerplate-hub score next to the degree histogram — template hubs
+    surface even when their mass is spread across mid-degree neighbors.
+    Each round is one edge join + one aggregate; per-round 6 dp
+    trajectory rounding (k-means rule) keeps the full iteration
+    oracle-hashed; dangling-free by restriction to non-isolated nodes."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.near_dup_pagerank(d, "text", "doc_id", threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

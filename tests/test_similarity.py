@@ -240,3 +240,67 @@ def test_ensure_signatures_table_builds_once_and_invalidates(spark, tmp_path):
     assert s3.count() == 3
     markers = [p for p in os.listdir(path) if p.startswith("_stage_token_")]
     assert len(markers) == 1  # only the current token survives
+
+
+class TestPrefixFilterJaccard:
+    def test_matches_brute_force(self, spark):
+        """The prefix-filtered exact join must equal all-pairs exact
+        Jaccard over shingle sets (completeness + exactness)."""
+        from datafusion_functions_extra_spark.operators.similarity import (
+            prefix_filter_jaccard_pairs,
+        )
+        from datafusion_functions_extra_spark.functions.text import (
+            shingles_or_whole,
+        )
+        from pyspark.sql import functions as F
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "a completely different document about spark joins",
+            "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+            "short doc",
+            "short doc",  # exact dup of 5 via whole-text fallback
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts, 1)), "doc_id bigint, text string"
+        )
+        got = {
+            (r.id_a, r.id_b): (r.n_inter, r.jacc)
+            for r in prefix_filter_jaccard_pairs(
+                docs, "text", "doc_id", threshold_pct=50
+            ).collect()
+        }
+        sets = {
+            r.doc_id: set(r.g)
+            for r in docs.select(
+                "doc_id", F.array_distinct(shingles_or_whole("text")).alias("g")
+            ).collect()
+        }
+        want = {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and 100 * inter >= 50 * union:
+                    want[(a, b)] = inter
+        assert set(got) == set(want)
+        for k, inter in want.items():
+            assert got[k][0] == inter
+
+
+class TestNearDupPagerank:
+    def test_rank_mass_and_symmetry(self, spark, docs):
+        from datafusion_functions_extra_spark.operators.similarity import (
+            near_dup_pagerank,
+        )
+
+        out = near_dup_pagerank(docs, "text", "doc_id").collect()
+        if not out:  # graph can be empty on tiny fixtures
+            return
+        total = sum(r.rank for r in out)
+        # PR over a dangling-free graph conserves mass ~1 (6 dp rounding
+        # drift per node per round is the only slack)
+        assert abs(total - 1.0) < 1e-4 * len(out) + 1e-6
+        assert all(r.deg >= 1 for r in out)

@@ -78,6 +78,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "rich_customers_without_orders": _SCALAR,
     "source_length_psi": _SCALAR,
     "corpus_curriculum_phases": _SCALAR + " (decile cutoffs + token totals)",
+    "near_dup_pagerank": _SCALAR + " (node count N, once per unrolled round)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -107,6 +108,9 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "corpus_curriculum_phases": (
         "two-phase cumsum offset windows (<= #partitions rows) + the "
         "10-row phase rollup cumsum"
+    ),
+    "prefix_filter_jaccard_pairs": (
+        "two-phase global_rank offset window (<= #partitions rows)"
     ),
 }
 

@@ -325,10 +325,16 @@ def near_dup_components(
     stays O(5 rounds), not O(total rounds).
     """
     pairs = near_dup_pairs(df, text_col, id_col, threshold).select("id_a", "id_b")
+    # localCheckpoint (not just persist): every iteration references the
+    # edge relation twice, and persist dedupes EXECUTION but still inlines
+    # the whole MinHash/LSH logical subtree (~6 shuffles) at each
+    # reference — the analyzed plan grew ~60 shuffle nodes per round.
+    # Checkpointing collapses edges to a LogicalRDD leaf, so each round
+    # adds only its own join+aggregate to the plan.
     edges = (
         pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
     for it in range(max_iters):
@@ -364,7 +370,9 @@ def near_dup_components(
             ckpt = labels.localCheckpoint(eager=True)
             labels.unpersist()
             labels = ckpt
-    edges.unpersist()
+    # edges is a localCheckpoint: its blocks are released by the
+    # ContextCleaner once the returned plan (whose LogicalRDD leaf pins
+    # them) is garbage-collected — no unpersist handle to manage
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
 
 

@@ -21,7 +21,7 @@ import statistics
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--medians", default="BENCH_local_r4.json")
+    ap.add_argument("--medians", default="BENCH_local_r5.json")
     ap.add_argument("runs", nargs="+")
     args = ap.parse_args()
 

@@ -292,12 +292,20 @@ def streaming_dedup(
             (seen,) = state.get
         else:
             seen = False
-        for pdf in pdf_iter:
-            if seen or pdf.empty:
-                continue
-            seen = True
-            # first physical row for this key wins
-            yield pdf.sort_values(id_col).head(1)
+        # Concatenate ALL Arrow chunks before choosing the winner: a
+        # key's micro-batch rows can span record batches arriving in
+        # shuffle order, and "min id of the first chunk" would be
+        # nondeterministic — same fix class as streaming_cusum.  The
+        # kept row is the min-id row of the key's FIRST micro-batch,
+        # which makes a single-batch availableNow replay exactly
+        # min-per-key (the oracle-able contract).
+        if not seen:
+            chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+            if chunks:
+                seen = True
+                yield pd.concat(chunks, ignore_index=True).sort_values(
+                    id_col
+                ).head(1)
         state.update((seen,))
         if timeout_minutes:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)

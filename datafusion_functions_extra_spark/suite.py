@@ -6913,6 +6913,46 @@ def near_dup_pagerank(spark, sf_dir):
     return SIM.near_dup_pagerank(d, "text", "doc_id", threshold=0.5)
 
 
+@query(
+    "docs_streaming_dedup",
+    """
+WITH r AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang, n_chars FROM r WHERE rn = 1
+""",
+)
+def docs_streaming_dedup(spark, sf_dir):
+    """The custom STATEFUL streaming operator in the oracle lane:
+    ingest-time exact dedup via ``applyInPandasWithState``
+    (streaming/events.py streaming_dedup) over a document stream keyed
+    by content hash — per-key boolean state crosses micro-batches, the
+    kept row is the min-id row of the key's first batch.  An
+    availableNow drain of the single corpus file is one micro-batch, so
+    the kept set is exactly min-doc-id-per-distinct-text and the drained
+    result earns a full driver hash row — previously every
+    applyInPandasWithState operator was pytest-parity only.  State is
+    sharded by the key hash like any keyed aggregation; an optional
+    processing-time timeout bounds it on unbounded feeds."""
+    from .streaming import run_available_now, streaming_dedup
+
+    sdf = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("k", F.md5(F.col("text")))
+    )
+    out = run_available_now(
+        streaming_dedup(sdf, key_col="k", id_col="doc_id"),
+        output_mode="append",
+    )
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

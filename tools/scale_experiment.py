@@ -136,6 +136,12 @@ PROBES = (
     "embedding_pca_top_component",  # iterative: corpus-sized work = 1 cov agg
     "hybrid_rrf_topk",             # BM25 + cosine legs fused (r04c)
     "text_bm25_topk",              # inverted-index lexical retrieval
+    "prefix_filter_jaccard_pairs",  # exact set-similarity join (r05)
+    "near_dup_pagerank",           # iterative graph op, fixed unroll (r05)
+    "corpus_curriculum_phases",    # two-phase global cumsum + cutoffs (r05)
+    "text_vocabulary",             # two-phase global ranking (r05 rewrite)
+    "parts_pareto_frontier",       # grid-pruned skyline sweep (r05 rewrite)
+    "events_rolling_distinct_users",  # exploded band equi-join (r05 rewrite)
 )
 
 

@@ -652,3 +652,64 @@ def bm25_topk_from_postings(
         .where(F.col("rk") <= k)
         .select("query_id", id_col, "score", "rk")
     )
+
+
+#: Gopher-style quality rule thresholds (Rae et al. 2021, Table A1 —
+#: simplified to the subset computable identically in any SQL engine;
+#: shared verbatim with the DuckDB oracle)
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality_rules(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Gopher-style RULE-based quality filter (Rae et al. 2021): the
+    hard-threshold companion to the continuous :func:`quality_score` —
+    production pipelines run the rule battery first (cheap, explainable
+    drops) and score only the survivors.  Per document: word count,
+    mean word length, alphabetic-word fraction, stopword hits, one
+    boolean per rule, and the conjunctive ``keep``.
+
+    Everything is integer/ratio arithmetic over the shared token array
+    (one ``bind_once`` materialization, zero Python), so both engines
+    compute literally the same booleans: ratio thresholds compare as
+    cross-multiplied INTEGERS (e.g. ``sum_len*10 >= n*30`` for mean
+    word length >= 3.0) — no float boundary to disagree on.
+    """
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        sum_len = F.aggregate(
+            F.transform(t, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+        n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+        r_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+        # 3.0 <= sum_len/n <= 10.0, as integers: 10*sum_len >= 30*n etc.
+        r_wlen = (sum_len * 10 >= n * int(GOPHER_MIN_MEAN_WORD_LEN * 10)) & (
+            sum_len * 10 <= n * int(GOPHER_MAX_MEAN_WORD_LEN * 10)
+        )
+        r_alpha = n_alpha * 100 >= n * int(GOPHER_MIN_ALPHA_WORD_FRAC * 100)
+        r_stop = n_stop >= GOPHER_MIN_STOP_HITS
+        return F.struct(
+            n.cast("bigint").alias("n_words"),
+            sum_len.cast("bigint").alias("sum_word_len"),
+            n_alpha.cast("bigint").alias("n_alpha_words"),
+            n_stop.cast("bigint").alias("n_stop_hits"),
+            r_words.alias("ok_word_count"),
+            r_wlen.alias("ok_mean_word_len"),
+            r_alpha.alias("ok_alpha_frac"),
+            r_stop.alias("ok_stopwords"),
+            (r_words & r_wlen & r_alpha & r_stop).alias("keep"),
+        )
+
+    g = bind_once(tokens(text_col), build)
+    return df.select(F.col(id_col), g.alias("g")).select(id_col, "g.*")

@@ -6953,6 +6953,78 @@ def docs_streaming_dedup(spark, sf_dir):
     return out.select("doc_id", "source", "lang", "n_chars")
 
 
+@query(
+    "docs_gopher_rules",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         list_sum(list_transform(toks, x -> length(x)))::BIGINT AS sum_word_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
+         len(list_filter(toks, x -> list_contains(__STOP__, x)))::BIGINT AS n_stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_hits,
+       (n_words >= {TX.GOPHER_MIN_WORDS} AND n_words <= {TX.GOPHER_MAX_WORDS}) AS ok_word_count,
+       (sum_word_len * 10 >= n_words * {int(TX.GOPHER_MIN_MEAN_WORD_LEN * 10)}
+        AND sum_word_len * 10 <= n_words * {int(TX.GOPHER_MAX_MEAN_WORD_LEN * 10)}) AS ok_mean_word_len,
+       (n_alpha_words * 100 >= n_words * {int(TX.GOPHER_MIN_ALPHA_WORD_FRAC * 100)}) AS ok_alpha_frac,
+       (n_stop_hits >= {TX.GOPHER_MIN_STOP_HITS}) AS ok_stopwords,
+       ((n_words >= {TX.GOPHER_MIN_WORDS} AND n_words <= {TX.GOPHER_MAX_WORDS})
+        AND (sum_word_len * 10 >= n_words * {int(TX.GOPHER_MIN_MEAN_WORD_LEN * 10)}
+             AND sum_word_len * 10 <= n_words * {int(TX.GOPHER_MAX_MEAN_WORD_LEN * 10)})
+        AND (n_alpha_words * 100 >= n_words * {int(TX.GOPHER_MIN_ALPHA_WORD_FRAC * 100)})
+        AND (n_stop_hits >= {TX.GOPHER_MIN_STOP_HITS})) AS keep
+FROM m
+""".replace("__STOP__", "['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'that', 'this', 'for', 'on', 'with', 'as', 'at', 'by', 'be']"),
+)
+def docs_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-based quality battery (functions/text.py
+    gopher_quality_rules; Rae et al. 2021 Table A1 subset): word-count
+    bounds, mean-word-length bounds, alphabetic-word fraction, stopword
+    floor — one boolean per rule plus the conjunctive keep, the cheap
+    explainable filter pass production pipelines run BEFORE continuous
+    scoring.  All thresholds compare as cross-multiplied integers over
+    one shared token-array materialization, so the booleans are
+    bit-identical cross-engine and the whole battery is a single
+    codegen'd projection — no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.gopher_quality_rules(d, "text", "doc_id")
+
+
+@query(
+    "events_streaming_interval_join",
+    """
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+l AS (SELECT user_id, event_id AS left_id, ts AS lts FROM e WHERE event_type = 'click'),
+r AS (SELECT user_id, event_id AS right_id, ts AS rts FROM e WHERE event_type = 'purchase')
+SELECT l.user_id, left_id, right_id,
+       epoch_us(lts) AS left_ts_us, epoch_us(rts) AS right_ts_us
+FROM l JOIN r ON l.user_id = r.user_id
+            AND rts >= lts AND rts <= lts + INTERVAL 30 MINUTE
+""",
+)
+def events_streaming_interval_join(spark, sf_dir):
+    """The stream-stream interval join in the oracle lane: clicks x
+    purchases within 30 minutes per user (streaming/events.py
+    streaming_interval_join) — two watermarked sides, two-sided time
+    bound so per-side state evicts, availableNow drain of the single
+    events file (one micro-batch: the inner join emits every qualifying
+    pair, the watermark drops nothing) hash-checked against the batch
+    interval join.  Completes the streaming-lane coverage: windows,
+    sketches, stateful dedup, and now the two-stream join all carry
+    driver-hash rows."""
+    from .streaming import read_events_stream, run_available_now
+    from .streaming.events import streaming_interval_join
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        streaming_interval_join(stream), output_mode="append"
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

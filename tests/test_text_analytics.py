@@ -134,3 +134,28 @@ def test_sentence_dedup_rebuild_drops_global_dupes(spark):
     assert got[1] == (3, "alpha beta shared cookie banner gamma delta")
     assert got[2] == (1, "unique middle text")
     assert 3 not in got
+
+
+def test_gopher_rules_thresholds(spark):
+    from datafusion_functions_extra_spark.functions.text import (
+        gopher_quality_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 12 prose words, healthy lengths, stopwords present -> keep
+            (1, "the quick brown fox jumps over the lazy dog in the field"),
+            # too short (< 10 words)
+            (2, "tiny doc of words"),
+            # numeric spam: alpha fraction fails and no stopwords
+            (3, "111 222 333 444 555 666 777 888 999 000 123 456"),
+            # mean word length too high (>10) despite word count
+            (4, " ".join(["supercalifragilistic"] * 12)),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_rules(docs, "text", "doc_id").collect()}
+    assert got[1].keep and got[1].ok_word_count and got[1].ok_stopwords
+    assert not got[2].keep and not got[2].ok_word_count
+    assert not got[3].keep and not got[3].ok_alpha_frac and not got[3].ok_stopwords
+    assert not got[4].keep and not got[4].ok_mean_word_len

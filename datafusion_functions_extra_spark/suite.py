@@ -7025,6 +7025,148 @@ def events_streaming_interval_join(spark, sf_dir):
     return out
 
 
+@query(
+    "brand_value_share_q11",
+    """
+WITH bv AS (
+  SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS brand_value
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), tot AS (SELECT sum(brand_value) AS total_value FROM bv)
+SELECT p_brand, brand_value
+FROM bv, tot
+WHERE brand_value > 0.02 * total_value
+""",
+)
+def brand_value_share_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important-stock identification) on the synthetic
+    schema: brand revenue exceeding a fixed fraction of the global total.
+    Q11's HAVING-against-a-scalar-subquery decorrelates to ONE grouped
+    aggregate (brand-sized) whose global re-sum is a 1-row relation
+    cross-joined back as a broadcast — lineitem is scanned once, the
+    threshold compare never re-reads the fact table.  Completes the
+    22/22 TPC-H query-shape sweep together with
+    ``suppliers_dominant_part_share_q20``.  Per-brand values are rounded
+    to 2 dp before the global re-sum (sum of identical multisets; the
+    0.02x threshold compare sits ~1e7 ulps from any boundary)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bv = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("brand_value")
+        )
+    )
+    tot = bv.agg(F.sum("brand_value").alias("total_value"))
+    return (
+        bv.crossJoin(F.broadcast(tot))
+        .where(F.col("brand_value") > 0.02 * F.col("total_value"))
+        .select("p_brand", "brand_value")
+    )
+
+
+@query(
+    "suppliers_dominant_part_share_q20",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+  GROUP BY l_partkey, l_suppkey
+), pt AS (
+  SELECT l_partkey, sum(pair_qty) AS part_qty
+  FROM ps GROUP BY l_partkey
+), dom AS (
+  SELECT ps.l_suppkey, count(*) AS n_dominant_parts
+  FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+  WHERE 2 * ps.pair_qty > pt.part_qty
+  GROUP BY ps.l_suppkey
+)
+SELECT s_suppkey, s_name, n_dominant_parts
+FROM supplier JOIN dom ON s_suppkey = dom.l_suppkey
+""",
+)
+def suppliers_dominant_part_share_q20(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion) on the synthetic
+    schema: suppliers who shipped more than half of some part's 1995
+    volume.  Q20's correlated ``availqty > 0.5 * sum(...)`` subquery
+    decorrelates the Q17 way — per-(part, supplier) quantities roll up
+    to per-part totals *from the already-aggregated relation* (no second
+    lineitem scan), the half-share cut is an integer-exact ``2 * pair >
+    total`` compare, and the supplier semi-join side carries a dominance
+    count instead of a bare EXISTS.  One fact-table scan, two reductions,
+    one dim join — the at-scale plan for every nested-IN chain of this
+    family."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    dom = (
+        ps.join(pt, "l_partkey")
+        .where(2 * F.col("pair_qty") > F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+    return s.join(dom, s.s_suppkey == dom.l_suppkey).select(
+        "s_suppkey", "s_name", "n_dominant_parts"
+    )
+
+
+@query(
+    "events_ohlc_bars",
+    f"""
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bar_ts,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       max(value) AS high_value,
+       min(value) AS low_value,
+       {_r6n_sql('sum(value)')} AS volume,
+       count(*) AS n_events
+FROM r GROUP BY event_type, bar_ts
+""",
+)
+def events_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC resample bars per event type — the reference
+    ``max_by``/``min_by`` aggregates (src/max_min_by.rs:6-212) doing
+    their canonical production job: ``open = min_by(value, (ts,
+    event_id))``, ``close = max_by(value, (ts, event_id))`` with a
+    composite struct ordering for deterministic intra-second ties.  ONE
+    single-pass grouped aggregate — six measures share the (type, hour)
+    shuffle, no window, no self-join; at 100 TB this is a map-side
+    partial per (type, hour) merging tiny state.  The oracle mirrors the
+    argmin/argmax picks as explicit row_number windows because DuckDB's
+    ``arg_min/arg_max`` cannot take a composite ordering (same
+    determinism rationale as the mode oracles, SURVEY §5)."""
+    e = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar_ts")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("event_type", bar).agg(
+        min_by(F.col("value"), ordk).alias("open_value"),
+        max_by(F.col("value"), ordk).alias("close_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        _r6n(F.sum("value")).alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

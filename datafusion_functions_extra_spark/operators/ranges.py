@@ -22,6 +22,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int = 1800,
+) -> DataFrame:
+    """Join interval rows to every same-key interval row they overlap
+    (inclusive bounds: ``l_start <= r_end AND r_start <= l_end``) — the
+    interval-interval sibling of :func:`point_in_interval_join`.
+
+    Both sides explode to one row per covered time bin and meet in a
+    plain equi-join on (key..., bin).  An overlapping pair shares every
+    bin of its intersection, so the join would emit duplicates; instead
+    of a ``distinct`` (a second shuffle carrying the whole payload) the
+    residual filter keeps each pair only in the ONE bin that contains
+    ``greatest(l_start, r_start)`` — the first bin of the intersection —
+    making the join exactly-once by construction.  Cost scales with
+    span/bin_width per side; at 100 TB both exploded relations
+    hash-partition on (key, bin), so skew follows the busiest time bin,
+    not the busiest key alone.
+    """
+    binw = F.lit(bin_seconds * 1_000_000)
+    l_lo = (F.unix_micros(F.col(l_start)) / binw).cast("long")
+    l_hi = (F.unix_micros(F.col(l_end)) / binw).cast("long")
+    r_lo = (F.unix_micros(F.col(r_start)) / binw).cast("long")
+    r_hi = (F.unix_micros(F.col(r_end)) / binw).cast("long")
+
+    l = left.withColumn("__bin", F.explode(F.sequence(l_lo, l_hi)))
+    r = right.withColumn("__bin", F.explode(F.sequence(r_lo, r_hi)))
+    meet = (
+        F.unix_micros(F.greatest(F.col(l_start), F.col(r_start))) / binw
+    ).cast("long")
+    return (
+        l.join(r, on + ["__bin"])
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__bin") == meet)
+        )
+        .drop("__bin")
+    )
+
+
 def point_in_interval_join(
     points: DataFrame,
     intervals: DataFrame,

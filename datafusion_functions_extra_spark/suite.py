@@ -7167,6 +7167,188 @@ def events_ohlc_bars(spark, sf_dir):
     )
 
 
+@query(
+    "sessions_incident_overlap",
+    """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+b AS (
+  SELECT CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) AS bucket, count(*) AS n
+  FROM e WHERE event_type = 'error' GROUP BY 1
+),
+st AS (SELECT 2.0 * sum(n) / count(*) AS thr FROM b),
+fl AS (SELECT bucket FROM b, st WHERE n > thr),
+isl AS (
+  SELECT bucket,
+         CASE WHEN bucket - lag(bucket) OVER (ORDER BY bucket) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM fl
+),
+inc AS (
+  SELECT CAST(iid AS BIGINT) AS incident_id,
+         min(bucket) * 300000000 AS i_start_us,
+         (max(bucket) + 1) * 300000000 - 1 AS i_end_us
+  FROM (SELECT bucket, sum(brk) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS iid
+        FROM isl)
+  GROUP BY 1
+),
+lagd AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM e WHERE event_type <> 'error'
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagd
+),
+sv AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts)) AS session_end_us
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, session_id, session_start_us, session_end_us,
+       incident_id, i_start_us AS incident_start_us, i_end_us AS incident_end_us,
+       least(session_end_us, i_end_us) - greatest(session_start_us, i_start_us)
+         AS overlap_us
+FROM sv JOIN inc
+  ON session_start_us <= i_end_us AND i_start_us <= session_end_us
+""",
+)
+def sessions_incident_overlap(spark, sf_dir):
+    """Interval-interval overlap join (operators/ranges.py
+    interval_overlap_join): which user sessions ran concurrently with a
+    platform error-burst incident.  Incidents are detected from a
+    5-minute error-count histogram (threshold = 2x the mean bucket
+    count, a scale-adaptive 1-row broadcast) coalesced gaps-and-islands
+    style into intervals — that global window runs over the CALENDAR-
+    sized flagged-bucket relation (<= span/5min rows regardless of
+    corpus size; annotated bounded in tools/audit_plans.py).  Sessions
+    are the standard per-user gap windows.  The overlap join itself is
+    the new binned exactly-once plan: both interval sets explode to
+    30-min bins, meet in a hash equi-join, and each qualifying pair
+    survives only in the bin containing greatest(starts) — no distinct,
+    no BroadcastNestedLoopJoin."""
+    from pyspark.sql import Window
+
+    from .operators.ranges import interval_overlap_join
+
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_micros(F.col("ts")) / F.lit(300_000_000)).cast("long")
+    b = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    thr = b.agg((2.0 * F.sum("n") / F.count(F.lit(1))).alias("thr"))
+    fl = b.crossJoin(F.broadcast(thr)).where(F.col("n") > F.col("thr"))
+    w = Window.orderBy("bucket")
+    isl = fl.select(
+        "bucket",
+        F.when(F.col("bucket") - F.lag("bucket").over(w) == 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk"),
+    )
+    inc = (
+        isl.withColumn(
+            "iid",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(F.col("iid").alias("incident_id"))
+        .agg(
+            (F.min("bucket") * 300_000_000).alias("i_start_us"),
+            ((F.max("bucket") + 1) * 300_000_000 - 1).alias("i_end_us"),
+        )
+        .select(
+            "incident_id",
+            F.timestamp_micros(F.col("i_start_us")).alias("i_start"),
+            F.timestamp_micros(F.col("i_end_us")).alias("i_end"),
+        )
+    )
+    sv = SS.session_stats(e.where(F.col("event_type") != "error")).select(
+        "user_id", "session_id",
+        F.col("t_start").alias("s_start"), F.col("t_end").alias("s_end"),
+    )
+    joined = interval_overlap_join(
+        sv, inc, on=[], l_start="s_start", l_end="s_end",
+        r_start="i_start", r_end="i_end", bin_seconds=1800,
+    )
+    return joined.select(
+        "user_id", "session_id",
+        F.unix_micros("s_start").alias("session_start_us"),
+        F.unix_micros("s_end").alias("session_end_us"),
+        "incident_id",
+        F.unix_micros("i_start").alias("incident_start_us"),
+        F.unix_micros("i_end").alias("incident_end_us"),
+        (
+            F.least(F.unix_micros("s_end"), F.unix_micros("i_end"))
+            - F.greatest(F.unix_micros("s_start"), F.unix_micros("i_start"))
+        ).alias("overlap_us"),
+    )
+
+
+@query(
+    "orders_active_daily",
+    """
+WITH oi AS (
+  SELECT o_orderkey,
+         date_trunc('day', min(o_orderdate)) AS sd,
+         date_trunc('day', max(l_shipdate)) AS ed
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1
+),
+d AS (
+  SELECT sd AS day, 1 AS delta FROM oi
+  UNION ALL
+  SELECT ed + INTERVAL 1 DAY AS day, -1 AS delta FROM oi
+),
+h AS (SELECT day, sum(delta) AS dd FROM d GROUP BY 1)
+SELECT day,
+       CAST(sum(dd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS active_orders
+FROM h
+""",
+)
+def orders_active_daily(spark, sf_dir):
+    """Sweep-line interval concurrency: how many orders are "open"
+    (placed but not fully shipped) on each day.  The classic
+    O(n log n) sweep re-expressed relationally: each order interval
+    [orderdate, max shipdate] becomes a +1 delta at its start day and a
+    -1 the day after its end, deltas reduce to a DAY-sized histogram
+    (one shuffle over the fact table, then <= span-in-days rows), and
+    the running total is the two-phase ``global_cumsum`` primitive
+    (functions/distribution.py) — range-repartitioned local cumsums +
+    broadcast offsets, never a single-partition window over an
+    unbounded relation.  The alternative (explode each interval into
+    its covered days) would fan out 100 TB of orders by avg-duration;
+    the sweep ships two rows per order regardless of duration."""
+    from .functions.distribution import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.date_trunc("day", F.min("o_orderdate")).alias("sd"),
+            F.date_trunc("day", F.max("l_shipdate")).alias("ed"),
+        )
+    )
+    d = oi.select(F.col("sd").alias("day"), F.lit(1).alias("delta")).unionAll(
+        oi.select(
+            F.timestamp_add("DAY", F.lit(1), F.col("ed")).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    h = d.groupBy("day").agg(F.sum("delta").alias("dd"))
+    return global_cumsum(h, "day", "dd", "active_orders").select(
+        "day", F.col("active_orders").cast("long").alias("active_orders")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

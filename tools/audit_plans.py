@@ -79,6 +79,8 @@ BNLJ_BOUNDED: dict[str, str] = {
     "source_length_psi": _SCALAR,
     "corpus_curriculum_phases": _SCALAR + " (decile cutoffs + token totals)",
     "near_dup_pagerank": _SCALAR + " (node count N, once per unrolled round)",
+    "brand_value_share_q11": _SCALAR + " (global total for the 2% threshold)",
+    "sessions_incident_overlap": _SCALAR + " (mean error-bucket threshold)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -111,6 +113,14 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     ),
     "prefix_filter_jaccard_pairs": (
         "two-phase global_rank offset window (<= #partitions rows)"
+    ),
+    "sessions_incident_overlap": (
+        "gaps-and-islands over the FLAGGED error-bucket relation — "
+        "calendar-bounded (<= span/5min rows regardless of event volume)"
+    ),
+    "orders_active_daily": (
+        "two-phase global_cumsum offset window (<= #partitions rows); "
+        "the daily histogram itself is calendar-bounded"
     ),
 }
 

@@ -7349,6 +7349,119 @@ def orders_active_daily(spark, sf_dir):
     )
 
 
+@query(
+    "parts_name_matches",
+    """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+blocked AS (
+  SELECT name, g.i AS pos, split_part(name, ' ', g.i) AS w
+  FROM names, generate_series(1, 2) g(i)
+),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM blocked a JOIN blocked b ON a.pos = b.pos AND a.w = b.w
+  WHERE a.name < b.name
+),
+pairs AS (
+  SELECT name_a, name_b, levenshtein(name_a, name_b) AS distance
+  FROM cand WHERE levenshtein(name_a, name_b) <= 3
+),
+cnt AS (SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1)
+SELECT name_a, name_b, distance,
+       ca.n AS n_parts_a, cb.n AS n_parts_b
+FROM pairs
+JOIN cnt ca ON name_a = ca.name
+JOIN cnt cb ON name_b = cb.name
+""",
+)
+def parts_name_matches(spark, sf_dir):
+    """Blocked entity resolution (operators/entity.py
+    blocked_name_matches): near-identical part names found by
+    canonicalize -> multi-pass word blocking -> Levenshtein verify.
+    The at-scale invariant is step 1: matching runs over the DISTINCT
+    name relation (bounded by name-domain cardinality — 64 here at
+    every SF), so the pair space is keys^2, not rows^2; the 20k-row
+    part table at sf0.1 would otherwise offer 2x10^8 raw pairs.  Each
+    word position is one blocking pass (equi-join), passes union with a
+    distinct before the verify, and Levenshtein (JVM built-in, also in
+    DuckDB for the oracle) runs on candidates only.  Per-name row
+    counts re-attach by broadcast equi-join at the end."""
+    from .operators.entity import blocked_name_matches
+
+    p = load_table(spark, sf_dir, "part")
+    pairs = blocked_name_matches(p, "p_name", max_distance=3)
+    cnt = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pairs.join(
+            F.broadcast(cnt.withColumnRenamed("n", "n_parts_a")),
+            pairs.name_a == F.col("name"),
+        )
+        .drop("name")
+        .join(
+            F.broadcast(cnt.withColumnRenamed("n", "n_parts_b")),
+            pairs.name_b == F.col("name"),
+        )
+        .drop("name")
+        .select("name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
+    )
+
+
+@query(
+    "docs_l_diversity",
+    f"""
+WITH g AS (
+  SELECT lang, n_chars // 100 AS size_bucket, source, count(*) AS c
+  FROM documents GROUP BY 1, 2, 3
+),
+tots AS (
+  SELECT lang, size_bucket, sum(c) AS n FROM g GROUP BY 1, 2
+)
+SELECT g.lang, g.size_bucket,
+       max(n)::BIGINT AS group_size,
+       count(*) AS distinct_sources,
+       {_r6n_sql('-sum((c::DOUBLE / n) * ln(c::DOUBLE / n))')} AS source_entropy,
+       (count(*) >= 3) AS ok_distinct_l,
+       ({_r6n_sql('-sum((c::DOUBLE / n) * ln(c::DOUBLE / n))')} >= 1.098612)
+         AS ok_entropy_l
+FROM g JOIN tots USING (lang, size_bucket)
+GROUP BY 1, 2
+""",
+)
+def docs_l_diversity(spark, sf_dir):
+    """l-diversity audit — the governance screen k-anonymity
+    (``docs_k_anonymity``) cannot express: a group can be large (k-safe)
+    yet leak its sensitive attribute if every member shares one value.
+    Per quasi-identifier group (lang, size bucket) over sensitive
+    attribute ``source``: distinct-l (>= 3 distinct sources) and entropy
+    l-diversity (entropy >= ln 3; Machanavajjhala et al. 2007).  Two
+    stacked hash aggregates — (QI, source) counts, then per-QI entropy
+    with the group total joined back — the same shape as
+    ``corpus_token_entropy``; scales as a pair of shuffles whose state
+    is the (QI x source) histogram, never row-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+        "source",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tots = g.groupBy("lang", "size_bucket").agg(F.sum("c").alias("n"))
+    frac = F.col("c").cast("double") / F.col("n")
+    ent = _r6n(-F.sum(frac * F.log(frac)))
+    return (
+        g.join(tots, ["lang", "size_bucket"])
+        .groupBy("lang", "size_bucket")
+        .agg(
+            F.max("n").cast("long").alias("group_size"),
+            F.count(F.lit(1)).alias("distinct_sources"),
+            ent.alias("source_entropy"),
+            (F.count(F.lit(1)) >= 3).alias("ok_distinct_l"),
+            (ent >= 1.098612).alias("ok_entropy_l"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

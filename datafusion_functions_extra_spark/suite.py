@@ -4190,10 +4190,10 @@ def hll_users_by_type(spark, sf_dir):
     )
 
 
-@query(
-    "text_bigram_logprob",
-    f"""
-WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+#: shared bigram-LM CTE chain ending in ``sc(doc_id, lp)`` — used by the
+#: text_bigram_logprob oracle and the perplexity-band pruner so the two
+#: can never walk different score trajectories
+_BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 bg AS (
   SELECT doc_id, u.w1, u.w2 FROM (
     SELECT doc_id,
@@ -4216,7 +4216,13 @@ sc AS (
   JOIN c1 ON c1.w1 = bg.w1
   JOIN cu ON cu.term = bg.w2
   CROSS JOIN tot
-)
+)"""
+
+
+@query(
+    "text_bigram_logprob",
+    f"""
+WITH {_BIGRAM_CTES}
 SELECT doc_id, count(*) AS n_bigrams, {_r6n_sql('avg(lp)')} AS avg_logprob
 FROM sc GROUP BY 1
 """,
@@ -4231,6 +4237,13 @@ def text_bigram_logprob(spark, sf_dir):
     relations are vocab-sized and broadcast — the corpus is exploded
     once into (doc_id, w1, w2) and never moves again."""
     d = load_table(spark, sf_dir, "documents")
+    return _bigram_doc_scores(d)
+
+
+def _bigram_doc_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — the interpolated bigram LM
+    score pipeline shared by ``text_bigram_logprob`` and the
+    perplexity-band pruner ``docs_perplexity_prune``."""
     toks = d.select("doc_id", TX.tokens("text").alias("toks"))
     bg = (
         toks.where(F.size("toks") >= 2)
@@ -7459,6 +7472,170 @@ def docs_l_diversity(spark, sf_dir):
             (F.count(F.lit(1)) >= 3).alias("ok_distinct_l"),
             (ent >= 1.098612).alias("ok_entropy_l"),
         )
+    )
+
+
+@query(
+    "docs_perplexity_prune",
+    f"""
+WITH {_BIGRAM_CTES},
+sc2 AS (
+  SELECT doc_id, {_r6n_sql('avg(lp)')} AS s FROM sc GROUP BY 1
+),
+h AS (SELECT s, count(*) AS cnt FROM sc2 GROUP BY 1),
+cum AS (
+  SELECT s, cnt,
+         sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cumc,
+         sum(cnt) OVER () AS n
+  FROM h
+),
+cut AS (
+  SELECT min(CASE WHEN cumc >= floor(0.25 * (n - 1)) + 1 THEN s END) AS lo,
+         min(CASE WHEN cumc >= floor(0.75 * (n - 1)) + 1 THEN s END) AS hi
+  FROM cum
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s >= lo AND s <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       {_r6n_sql('avg(CASE WHEN s >= lo AND s <= hi THEN s END)')} AS mean_kept_logprob
+FROM sc2 JOIN documents d USING (doc_id), cut
+GROUP BY 1
+""",
+)
+def docs_perplexity_prune(spark, sf_dir):
+    """Middle-perplexity data pruning (Marion et al. 2023, "When Less is
+    More": pruning to the MIDDLE perplexity band beats keeping the
+    easiest or hardest text): each doc's interpolated bigram LM score
+    (shared pipeline with ``text_bigram_logprob``) is banded by the
+    corpus p25/p75 DISCRETE cutoffs and only the middle band survives;
+    reported per source as kept/total counts + mean kept score.  The
+    cutoffs come from ``discrete_percentile_cutoffs``
+    (functions/distribution.py) over the score HISTOGRAM — an explicit
+    ``floor(q*(n-1))+1`` rank both engines compute from the same
+    integers, via the two-phase global cumsum, then one broadcast row
+    joined back.  No global sort of doc scores at any scale."""
+    from .functions.distribution import discrete_percentile_cutoffs
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = _bigram_doc_scores(d).select(
+        "doc_id", F.col("avg_logprob").alias("s")
+    )
+    h = scores.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    cut = discrete_percentile_cutoffs(h, "s", "cnt", [0.25, 0.75])
+    kept = F.when(
+        (F.col("s") >= F.col("p_0")) & (F.col("s") <= F.col("p_1")), F.col("s")
+    )
+    return (
+        scores.join(d.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.isNotNull().cast("int")).cast("long").alias("n_kept"),
+            _r6n(F.avg(kept)).alias("mean_kept_logprob"),
+        )
+    )
+
+
+@query(
+    "corpus_unimax_allocation",
+    f"""
+WITH t AS (SELECT lang, {_TOKENS_SQL} AS toks FROM documents),
+caps AS (SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS cap_tokens FROM t GROUP BY 1),
+b AS (SELECT (sum(cap_tokens) * 6) // 10 AS budget, count(*) AS n FROM caps),
+o AS (
+  SELECT lang, cap_tokens,
+         row_number() OVER (ORDER BY cap_tokens, lang) AS i,
+         coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS presum_prev
+  FROM caps
+),
+f AS (
+  SELECT o.*, b.budget, b.n,
+         (cap_tokens * (n - i + 1) + presum_prev <= budget) AS full_cap
+  FROM o, b
+),
+k AS (
+  SELECT CAST(coalesce(sum(CASE WHEN full_cap THEN 1 END), 0) AS BIGINT) AS kk,
+         CAST(coalesce(max(CASE WHEN full_cap THEN presum_prev + cap_tokens END), 0) AS BIGINT) AS presum_k
+  FROM f
+)
+SELECT lang, cap_tokens,
+       {_r6n_sql("CASE WHEN full_cap THEN cap_tokens::DOUBLE ELSE (budget - presum_k)::DOUBLE / (n - kk) END")} AS alloc_tokens,
+       {_r6n_sql("CASE WHEN full_cap THEN 1.0 ELSE ((budget - presum_k)::DOUBLE / (n - kk)) / cap_tokens END")} AS epochs
+FROM f, k
+""",
+)
+def corpus_unimax_allocation(spark, sf_dir):
+    """UniMax language sampling (Chung et al., ICLR 2023): distribute a
+    token budget as uniformly as possible across languages subject to a
+    per-language epoch cap (here 1 epoch = the language's own token
+    count, budget = 60% of the corpus).  The closed form is
+    WATER-FILLING: ascending by cap, a language gets its full cap iff
+    ``cap*(langs_remaining) + tokens_already_committed <= budget`` — an
+    ALL-INTEGER prefix test (the capped set is always an ascending
+    prefix), so both engines agree exactly; everyone else shares the
+    remaining budget evenly at the water level.  Token caps are one
+    corpus aggregate; the ordering windows run over the LANGUAGE-domain
+    relation (bounded by #languages at any corpus size — annotated in
+    the plan audit), and the (k, committed) pair is a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    caps = (
+        d.select("lang", TX.tokens("text").alias("toks"))
+        .groupBy("lang")
+        .agg(F.sum(F.size("toks")).cast("long").alias("cap_tokens"))
+    )
+    b = caps.agg(
+        F.floor(F.sum("cap_tokens") * 6 / 10).cast("long").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("cap_tokens", "lang")
+    o = caps.select(
+        "lang",
+        "cap_tokens",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("presum_prev"),
+    )
+    f = o.crossJoin(F.broadcast(b)).withColumn(
+        "full_cap",
+        F.col("cap_tokens") * (F.col("n") - F.col("i") + 1)
+        + F.col("presum_prev")
+        <= F.col("budget"),
+    )
+    k = f.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("full_cap"), F.lit(1))), F.lit(0)
+        ).cast("long").alias("kk"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("full_cap"), F.col("presum_prev") + F.col("cap_tokens")
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("presum_k"),
+    )
+    level = (F.col("budget") - F.col("presum_k")).cast("double") / (
+        F.col("n") - F.col("kk")
+    )
+    return f.crossJoin(F.broadcast(k)).select(
+        "lang",
+        "cap_tokens",
+        _r6n(
+            F.when(F.col("full_cap"), F.col("cap_tokens").cast("double")).otherwise(
+                level
+            )
+        ).alias("alloc_tokens"),
+        _r6n(
+            F.when(F.col("full_cap"), F.lit(1.0)).otherwise(
+                level / F.col("cap_tokens")
+            )
+        ).alias("epochs"),
     )
 
 

@@ -81,6 +81,8 @@ BNLJ_BOUNDED: dict[str, str] = {
     "near_dup_pagerank": _SCALAR + " (node count N, once per unrolled round)",
     "brand_value_share_q11": _SCALAR + " (global total for the 2% threshold)",
     "sessions_incident_overlap": _SCALAR + " (mean error-bucket threshold)",
+    "docs_perplexity_prune": _SCALAR + " (p25/p75 cutoffs + unigram total)",
+    "corpus_unimax_allocation": _SCALAR + " (budget row + (k, committed) row)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -121,6 +123,13 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "orders_active_daily": (
         "two-phase global_cumsum offset window (<= #partitions rows); "
         "the daily histogram itself is calendar-bounded"
+    ),
+    "docs_perplexity_prune": (
+        "two-phase percentile-cutoff offset window (<= #partitions rows)"
+    ),
+    "corpus_unimax_allocation": (
+        "water-filling order/cumsum over the LANGUAGE-domain cap relation "
+        "— bounded by #languages at any corpus size"
     ),
 }
 

@@ -160,6 +160,244 @@ def kmeans_oracle_sql(
     return f"WITH {body}\nSELECT vec_id, cid AS cluster, dist FROM a{n_iters}"
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI) — the vector-compression half of
+# IVF-PQ indexes (FAISS's workhorse layout).
+# ---------------------------------------------------------------------------
+
+#: PQ layout for the suite query: 64-dim vectors split into 4 subspaces
+#: of 16 dims, 8-centroid codebook per subspace (2 bytes of code per
+#: vector at this size; 1 byte each with k=256 in production)
+PQ_SUBSPACES = 4
+PQ_SUB_DIM = EMBEDDING_DIM // PQ_SUBSPACES
+PQ_SEED_IDS: tuple[int, ...] = tuple(range(100, 108))
+PQ_ITERS = 2
+
+
+def _pq_train_sub(vecs: DataFrame, seed_ids, n_iters: int):
+    """(codebook, codes) for ONE subspace: Lloyd iterations identical in
+    shape to :func:`kmeans_assign`, returning the FINAL centroid relation
+    alongside the final assignment."""
+    w = Window.orderBy("vec_id")
+    centroids = (
+        vecs.where(F.col("vec_id").isin(list(seed_ids)))
+        .select(
+            (F.row_number().over(w) - 1).alias("cid"), F.col("vec").alias("cvec")
+        )
+    )
+    assigned = _assign(vecs, centroids)
+    for _ in range(n_iters - 1):
+        centroids = _update(assigned)
+        assigned = _assign(vecs, centroids)
+    return centroids, assigned
+
+
+def pq_codebooks_and_codes(
+    emb: DataFrame,
+    n_sub: int = PQ_SUBSPACES,
+    sub_dim: int = PQ_SUB_DIM,
+    seed_ids: tuple[int, ...] = PQ_SEED_IDS,
+    n_iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train per-subspace codebooks and encode the corpus.
+
+    Returns ``(codebooks, codes)``: ``codebooks`` is the (sub, cid,
+    cvec) relation — n_sub x k rows, the entire index metadata, always
+    broadcastable; ``codes`` is (vec_id, sub, code) — the compressed
+    corpus, n_sub small integers per vector (the 100 TB point: 8 B of
+    code replaces 256 B of float32, and every downstream distance scan
+    touches only codes + the broadcast codebook).  Each subspace slice
+    trains independently with the deterministic Lloyd recipe of
+    :func:`kmeans_assign` (6-dp rounding, min-(dist, cid) ties, corpus-row
+    seeds) so the DuckDB oracle can replay the exact trajectory."""
+    books = None
+    codes = None
+    for sub in range(n_sub):
+        vecs = emb.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.slice(F.col(vec_col), sub * sub_dim + 1, sub_dim)).alias(
+                "vec"
+            ),
+        )
+        centroids, assigned = _pq_train_sub(vecs, seed_ids, n_iters)
+        b = centroids.select(F.lit(sub).alias("sub"), "cid", "cvec")
+        c = assigned.select(
+            "vec_id", F.lit(sub).alias("sub"), F.col("cluster").alias("code")
+        )
+        books = b if books is None else books.unionAll(b)
+        codes = c if codes is None else codes.unionAll(c)
+    return books, codes
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_sub: int = PQ_SUBSPACES,
+    sub_dim: int = PQ_SUB_DIM,
+    seed_ids: tuple[int, ...] = PQ_SEED_IDS,
+    n_iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: (q_id,
+    neighbor_id, adc_dist, rank).
+
+    The query keeps its exact sub-vectors; per (query, sub, centroid)
+    partial squared distances form a (|Q| x n_sub x k)-row LOOKUP TABLE
+    — broadcast — and each corpus vector's distance is the sum of
+    n_sub table entries selected by its codes: a broadcast hash join on
+    (sub, code) + one keyed sum, never a per-pair vector scan.  Partial
+    distances are fixed-point micro-units (round(d * 1e6) as BIGINT) so
+    the 4-term sum is INTEGER-exact and the ranking deterministic across
+    engines and summation orders; ties break on neighbor id."""
+    from pyspark.sql import Window as W
+
+    books, codes = pq_codebooks_and_codes(
+        emb, n_sub, sub_dim, seed_ids, n_iters, id_col, vec_col
+    )
+    qsubs = None
+    for sub in range(n_sub):
+        qs = emb.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("q_id"),
+            F.lit(sub).alias("sub"),
+            _as_double(F.slice(F.col(vec_col), sub * sub_dim + 1, sub_dim)).alias(
+                "qv"
+            ),
+        )
+        qsubs = qs if qsubs is None else qsubs.unionAll(qs)
+    pd = qsubs.join(books, "sub").select(
+        "q_id",
+        "sub",
+        F.col("cid").alias("code"),
+        F.round(_sq_dist(F.col("qv"), F.col("cvec")) * 1_000_000)
+        .cast("long")
+        .alias("pdi"),
+    )
+    adc = (
+        codes.join(F.broadcast(pd), ["sub", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg((F.sum("pdi") / 1_000_000.0).alias("adc_dist"))
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def _pq_sub_cte(sub: int, sub_dim: int, seed_ids, n_iters: int) -> str:
+    """Per-subspace Lloyd CTE chain (prefix ``s{sub}_``) mirroring
+    :func:`_pq_train_sub` — the sliced-input sibling of
+    :func:`_kmeans_cte_body`."""
+    p = f"s{sub}_"
+    lo, hi = sub * sub_dim + 1, (sub + 1) * sub_dim
+    ids = ", ".join(str(i) for i in seed_ids)
+    dist = (
+        f"round(list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i]))), 6)"
+    )
+    parts = [
+        f"""
+{p}v AS (SELECT vec_id, list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS vec
+      FROM embeddings),
+{p}c1 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec AS cvec
+       FROM {p}v WHERE vec_id IN ({ids}))"""
+    ]
+    for it in range(1, n_iters + 1):
+        parts.append(
+            f"""
+{p}d{it} AS (
+  SELECT v.vec_id, v.vec, c.cid, {dist} AS dist
+  FROM {p}v v, {p}c{it} c
+),
+{p}a{it} AS (
+  SELECT vec_id, vec, cid, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cid ASC) AS rn
+    FROM {p}d{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it < n_iters:
+            parts.append(
+                f"""
+{p}u{it} AS (
+  SELECT cid, g.i AS pos, {r6n_sql(f'avg(vec[g.i])')} AS m
+  FROM {p}a{it}, generate_series(1, {sub_dim}) g(i)
+  GROUP BY cid, g.i
+),
+{p}c{it + 1} AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM {p}u{it} GROUP BY cid)"""
+            )
+    return ",".join(parts)
+
+
+def pq_adc_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_sub: int = PQ_SUBSPACES,
+    sub_dim: int = PQ_SUB_DIM,
+    seed_ids: tuple[int, ...] = PQ_SEED_IDS,
+    n_iters: int = PQ_ITERS,
+) -> str:
+    """DuckDB mirror of :func:`pq_adc_topk`: identical per-subspace
+    trajectories, fixed-point partial distances, integer-exact sums."""
+    subs = ",".join(
+        _pq_sub_cte(sub, sub_dim, seed_ids, n_iters) for sub in range(n_sub)
+    )
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, cid AS code FROM s{s}_a{n_iters}"
+        for s in range(n_sub)
+    )
+    books = " UNION ALL ".join(
+        f"SELECT {s} AS sub, cid, cvec FROM s{s}_c{n_iters}"
+        for s in range(n_sub)
+    )
+    qids = ", ".join(str(i) for i in query_ids)
+    qsubs = " UNION ALL ".join(
+        f"SELECT vec_id AS q_id, {s} AS sub, "
+        f"list_transform(embedding[{s * sub_dim + 1}:{(s + 1) * sub_dim}], "
+        f"x -> x::DOUBLE) AS qv "
+        f"FROM embeddings WHERE vec_id IN ({qids})"
+        for s in range(n_sub)
+    )
+    pdist = (
+        f"round(list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"i -> (q.qv[i] - b.cvec[i]) * (q.qv[i] - b.cvec[i]))) * 1000000)"
+    )
+    return f"""
+WITH {subs},
+codes AS ({codes}),
+books AS ({books}),
+qs AS ({qsubs}),
+pd AS (
+  SELECT q.q_id, b.sub, b.cid AS code, CAST({pdist} AS BIGINT) AS pdi
+  FROM qs q JOIN books b ON q.sub = b.sub
+),
+adc AS (
+  SELECT pd.q_id, c.vec_id AS neighbor_id, sum(pdi) / 1000000.0 AS adc_dist
+  FROM codes c JOIN pd ON c.sub = pd.sub AND c.code = pd.code
+  WHERE c.vec_id <> pd.q_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT q_id, neighbor_id, adc_dist, rank::INT AS rank FROM r WHERE rank <= {k}
+"""
+
+
 #: SemDeDup within-cluster cosine cut — above the corpus p99 (~0.29) so the
 #: drop set is the true near-duplicate tail, not the bulk
 SEMDEDUP_THRESHOLD = 0.3

@@ -7639,6 +7639,23 @@ def corpus_unimax_allocation(spark, sf_dir):
     )
 
 
+@query("embedding_pq_topk", CL.pq_adc_topk_oracle_sql(list(range(8)), 5))
+def embedding_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/clustering.py pq_adc_topk;
+    Jégou et al. 2011): 64-dim vectors compressed to 4 subspace codes
+    (8-centroid codebook each, per-subspace Lloyd trained with the
+    deterministic kmeans recipe), queried by asymmetric distance — the
+    query's exact sub-vectors against a broadcast (query x sub x
+    centroid) partial-distance LOOKUP TABLE, summed per corpus vector as
+    integer micro-units so ranking is summation-order-exact.  This is
+    the missing compression leg of the ANN family (exact / LSH /
+    multiprobe / IVF / matryoshka / int8): at 100 TB the scan reads 8 B
+    of codes per vector instead of 256 B of floats, and the distance
+    work is n_sub lookups, not a dim-length dot product."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return CL.pq_adc_topk(e, ANN_QUERY_IDS, k=5)
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

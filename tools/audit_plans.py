@@ -83,6 +83,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "sessions_incident_overlap": _SCALAR + " (mean error-bucket threshold)",
     "docs_perplexity_prune": _SCALAR + " (p25/p75 cutoffs + unigram total)",
     "corpus_unimax_allocation": _SCALAR + " (budget row + (k, committed) row)",
+    "embedding_pq_topk": _SEEDS + " (x4 subspaces)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -130,6 +131,9 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "corpus_unimax_allocation": (
         "water-filling order/cumsum over the LANGUAGE-domain cap relation "
         "— bounded by #languages at any corpus size"
+    ),
+    "embedding_pq_topk": (
+        "row_number over the 8 seed rows, once per subspace (x4)"
     ),
 }
 

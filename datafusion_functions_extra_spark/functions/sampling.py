@@ -304,3 +304,78 @@ def pack_sequences_sql(
         f"floor({cum_before} / {budget})::BIGINT AS bin, "
         f"({cum_before} % {budget})::BIGINT AS offset_in_bin"
     )
+
+
+def unimax_allocation(
+    caps: DataFrame,
+    key_col: str,
+    cap_col: str,
+    budget_num: int = 6,
+    budget_den: int = 10,
+) -> DataFrame:
+    """UniMax water-filling (Chung et al., ICLR 2023): allocate a token
+    budget (``floor(total * num / den)``) as uniformly as possible across
+    keys, capped per key at its own ``cap_col`` (= one epoch).
+
+    Closed form, no iteration: ordering keys by ascending cap, the fully-
+    satisfied set is always a PREFIX, and membership is the all-integer
+    test ``cap * keys_remaining + tokens_committed <= budget``; everyone
+    past the prefix shares the remainder evenly at the water level.
+    Returns (key, cap, alloc_tokens, epochs) with the doubles 6-dp
+    boundary-nudge rounded (r6n) for cross-engine hashing.
+
+    The ordering/cumsum windows run over the KEY-domain relation
+    (#languages / #sources — bounded at any corpus size); the (k,
+    committed) reduction is a 1-row broadcast.
+    """
+    w = Window.orderBy(cap_col, key_col)
+    b = caps.agg(
+        F.floor(F.sum(cap_col) * budget_num / budget_den)
+        .cast("long")
+        .alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    o = caps.select(
+        key_col,
+        cap_col,
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum(cap_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("presum_prev"),
+    )
+    f = o.crossJoin(F.broadcast(b)).withColumn(
+        "full_cap",
+        F.col(cap_col) * (F.col("n") - F.col("i") + 1) + F.col("presum_prev")
+        <= F.col("budget"),
+    )
+    k = f.agg(
+        F.coalesce(F.sum(F.when(F.col("full_cap"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("kk"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("full_cap"), F.col("presum_prev") + F.col(cap_col))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("presum_k"),
+    )
+    level = (F.col("budget") - F.col("presum_k")).cast("double") / (
+        F.col("n") - F.col("kk")
+    )
+    return f.crossJoin(F.broadcast(k)).select(
+        key_col,
+        cap_col,
+        r6n(
+            F.when(F.col("full_cap"), F.col(cap_col).cast("double")).otherwise(
+                level
+            )
+        ).alias("alloc_tokens"),
+        r6n(
+            F.when(F.col("full_cap"), F.lit(1.0)).otherwise(
+                level / F.col(cap_col)
+            )
+        ).alias("epochs"),
+    )

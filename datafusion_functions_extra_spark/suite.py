@@ -7579,64 +7579,13 @@ def corpus_unimax_allocation(spark, sf_dir):
     corpus aggregate; the ordering windows run over the LANGUAGE-domain
     relation (bounded by #languages at any corpus size — annotated in
     the plan audit), and the (k, committed) pair is a 1-row broadcast."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     caps = (
         d.select("lang", TX.tokens("text").alias("toks"))
         .groupBy("lang")
         .agg(F.sum(F.size("toks")).cast("long").alias("cap_tokens"))
     )
-    b = caps.agg(
-        F.floor(F.sum("cap_tokens") * 6 / 10).cast("long").alias("budget"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    w = Window.orderBy("cap_tokens", "lang")
-    o = caps.select(
-        "lang",
-        "cap_tokens",
-        F.row_number().over(w).alias("i"),
-        F.coalesce(
-            F.sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("presum_prev"),
-    )
-    f = o.crossJoin(F.broadcast(b)).withColumn(
-        "full_cap",
-        F.col("cap_tokens") * (F.col("n") - F.col("i") + 1)
-        + F.col("presum_prev")
-        <= F.col("budget"),
-    )
-    k = f.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("full_cap"), F.lit(1))), F.lit(0)
-        ).cast("long").alias("kk"),
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("full_cap"), F.col("presum_prev") + F.col("cap_tokens")
-                )
-            ),
-            F.lit(0),
-        ).cast("long").alias("presum_k"),
-    )
-    level = (F.col("budget") - F.col("presum_k")).cast("double") / (
-        F.col("n") - F.col("kk")
-    )
-    return f.crossJoin(F.broadcast(k)).select(
-        "lang",
-        "cap_tokens",
-        _r6n(
-            F.when(F.col("full_cap"), F.col("cap_tokens").cast("double")).otherwise(
-                level
-            )
-        ).alias("alloc_tokens"),
-        _r6n(
-            F.when(F.col("full_cap"), F.lit(1.0)).otherwise(
-                level / F.col("cap_tokens")
-            )
-        ).alias("epochs"),
-    )
+    return SMP.unimax_allocation(caps, "lang", "cap_tokens", 6, 10)
 
 
 @query("embedding_pq_topk", CL.pq_adc_topk_oracle_sql(list(range(8)), 5))

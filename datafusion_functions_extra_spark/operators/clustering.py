@@ -186,11 +186,15 @@ def _pq_train_sub(vecs: DataFrame, seed_ids, n_iters: int):
             (F.row_number().over(w) - 1).alias("cid"), F.col("vec").alias("cvec")
         )
     )
-    assigned = _assign(vecs, centroids)
     for _ in range(n_iters - 1):
-        centroids = _update(assigned)
-        assigned = _assign(vecs, centroids)
-    return centroids, assigned
+        centroids = _update(_assign(vecs, centroids))
+    # the final k-row centroid relation is consumed twice (codebook
+    # output AND the final assign) — cache it so each subspace's Lloyd
+    # chain executes once, not once per consumer
+    from ..cache import persist_tracked
+
+    centroids = persist_tracked(centroids)
+    return centroids, _assign(vecs, centroids)
 
 
 def pq_codebooks_and_codes(

@@ -7350,12 +7350,19 @@ def orders_active_daily(spark, sf_dir):
             F.date_trunc("day", F.max("l_shipdate")).alias("ed"),
         )
     )
-    d = oi.select(F.col("sd").alias("day"), F.lit(1).alias("delta")).unionAll(
-        oi.select(
-            F.timestamp_add("DAY", F.lit(1), F.col("ed")).alias("day"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+    # one pass: each interval emits its two boundary deltas in-row
+    # (exploded 2-array), instead of a union that scans the join twice
+    d = oi.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("sd").alias("day"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.timestamp_add("DAY", F.lit(1), F.col("ed")).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.delta")
     h = d.groupBy("day").agg(F.sum("delta").alias("dd"))
     return global_cumsum(h, "day", "dd", "active_orders").select(
         "day", F.col("active_orders").cast("long").alias("active_orders")
@@ -7517,8 +7524,10 @@ def docs_perplexity_prune(spark, sf_dir):
     from .functions.distribution import discrete_percentile_cutoffs
 
     d = load_table(spark, sf_dir, "documents")
-    scores = _bigram_doc_scores(d).select(
-        "doc_id", F.col("avg_logprob").alias("s")
+    # the score relation feeds BOTH the cutoff histogram and the final
+    # per-source rollup — cache it so the bigram pipeline runs once
+    scores = persist_tracked(
+        _bigram_doc_scores(d).select("doc_id", F.col("avg_logprob").alias("s"))
     )
     h = scores.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     cut = discrete_percentile_cutoffs(h, "s", "cnt", [0.25, 0.75])

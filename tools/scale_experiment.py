@@ -142,6 +142,11 @@ PROBES = (
     "text_vocabulary",             # two-phase global ranking (r05 rewrite)
     "parts_pareto_frontier",       # grid-pruned skyline sweep (r05 rewrite)
     "events_rolling_distinct_users",  # exploded band equi-join (r05 rewrite)
+    "sessions_incident_overlap",   # binned interval-interval overlap join (r05b)
+    "orders_active_daily",         # sweep-line deltas + global cumsum (r05b)
+    "embedding_pq_topk",           # PQ codebooks + ADC lookup join (r05b)
+    "docs_perplexity_prune",       # bigram scores + discrete cutoffs (r05b)
+    "parts_name_matches",          # canonicalized blocked ER (r05b)
 )
 
 

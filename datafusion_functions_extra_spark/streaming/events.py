@@ -194,6 +194,50 @@ def streaming_moment_stats(
     )
 
 
+def streaming_ohlc(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hourly OHLC bars maintained on a stream — the reference
+    ``min_by``/``max_by`` (composite struct ordering for deterministic
+    open/close picks) running as STREAMING window state.
+
+    Works unchanged from the batch form (`suite.events_ohlc_bars`)
+    because ``max_by(x, k)`` is an algebraic aggregate with a mergeable
+    two-slot state (current best key, value at it): per-micro-batch
+    partials merge by keeping the larger key — exactly the monoid
+    property streaming windowed aggregation requires, same argument as
+    the moment family in :func:`streaming_moment_stats`.
+    """
+    from ..functions.aggregates import max_by, min_by
+    from ..functions.rounding import r6n
+
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            min_by(F.col("value"), ordk).alias("open_value"),
+            max_by(F.col("value"), ordk).alias("close_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            r6n(F.sum("value")).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bar_ts"),
+            "event_type",
+            "open_value",
+            "close_value",
+            "high_value",
+            "low_value",
+            "volume",
+            "n_events",
+        )
+    )
+
+
 def streaming_interval_join(
     events: DataFrame,
     left_type: str = "click",

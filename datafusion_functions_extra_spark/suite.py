@@ -7134,9 +7134,9 @@ def suppliers_dominant_part_share_q20(spark, sf_dir):
     )
 
 
-@query(
-    "events_ohlc_bars",
-    f"""
+#: hourly OHLC oracle — shared by the batch bars and the streaming drain
+#: (availableNow replay of one file = the same hourly windows)
+_OHLC_ORACLE = f"""
 WITH r AS (
   SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
@@ -7153,8 +7153,10 @@ SELECT event_type, bar_ts,
        {_r6n_sql('sum(value)')} AS volume,
        count(*) AS n_events
 FROM r GROUP BY event_type, bar_ts
-""",
-)
+"""
+
+
+@query("events_ohlc_bars", _OHLC_ORACLE)
 def events_ohlc_bars(spark, sf_dir):
     """Hourly OHLC resample bars per event type — the reference
     ``max_by``/``min_by`` aggregates (src/max_min_by.rs:6-212) doing
@@ -7612,6 +7614,199 @@ def embedding_pq_topk(spark, sf_dir):
     work is n_sub lookups, not a dim-length dot product."""
     e = load_table(spark, sf_dir, "embeddings")
     return CL.pq_adc_topk(e, ANN_QUERY_IDS, k=5)
+
+
+@query("events_streaming_ohlc", _OHLC_ORACLE)
+def events_streaming_ohlc(spark, sf_dir):
+    """The OHLC bars maintained as STREAMING window state
+    (streaming/events.py streaming_ohlc) and drained availableNow into
+    the oracle lane: the reference ``min_by``/``max_by`` are algebraic
+    aggregates with mergeable two-slot state (best ordering key, value
+    at it), so per-micro-batch partials fold into window state exactly
+    like the moment family — the same Column builders, batch and
+    stream, one more proof the §2.1 aggregates are 100-TB-shaped.
+    Oracle = the shared hourly-OHLC SQL (single-file availableNow
+    replay emits every window; the watermark drops nothing)."""
+    from .streaming import read_events_stream, run_available_now
+    from .streaming.events import streaming_ohlc
+
+    stream = read_events_stream(spark, sf_dir)
+    # complete mode: the single availableNow batch emits EVERY window,
+    # including the tail windows a 2h watermark would still hold open
+    # under append (the established drain convention, see
+    # events_streaming_tumbling)
+    return run_available_now(streaming_ohlc(stream))
+
+
+@query(
+    "orders_rolling_median_revenue",
+    """
+WITH d AS (
+  SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT o_orderpriority, day, rev,
+         list_sort(list(rev) OVER (PARTITION BY o_orderpriority ORDER BY day
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+  FROM d
+)
+SELECT o_orderpriority, day, rev,
+       CAST(len(fr) AS BIGINT) AS n_in_frame,
+       fr[CAST((len(fr) - 1) // 2 AS INT) + 1] AS rolling_median_rev
+FROM w
+""",
+)
+def orders_rolling_median_revenue(spark, sf_dir):
+    """Rolling 7-day median of daily order revenue per priority — the
+    robust trend line a mean can't give (medians are NOT algebraic, so
+    no plain windowed sum exists; the standard at-scale form is exactly
+    this: collect the BOUNDED frame, sort in-row, pick the explicit
+    lower-median order statistic ``floor((n-1)/2)+1``).  The frame is
+    <= 7 elements by construction so the in-row sort is O(1) per row;
+    the window partitions by priority over the calendar-sized daily
+    rollup, never over raw orders.  Daily revenues are rounded to 2 dp
+    BEFORE the frame so both engines sort identical doubles."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        "o_orderpriority", F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    fr = F.array_sort(F.collect_list("rev").over(w))
+    return d.select(
+        "o_orderpriority",
+        "day",
+        "rev",
+        F.size(fr).cast("long").alias("n_in_frame"),
+        F.element_at(fr, (F.floor((F.size(fr) - 1) / 2) + 1).cast("int")).alias(
+            "rolling_median_rev"
+        ),
+    )
+
+
+@query(
+    "events_seasonal_anomalies",
+    """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         ((((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 4) % 7 + 7) % 7) AS dow,
+         (((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000)
+            % 86400000000) // 3600000000) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+st AS (
+  SELECT dow, hod, count(*) AS n_weeks,
+         sum(n) AS sn, sum(n * n) AS snn
+  FROM b GROUP BY 1, 2
+),
+z AS (
+  SELECT b.bucket, b.dow, b.hod, b.n,
+         sn::DOUBLE / n_weeks AS mu,
+         sqrt(snn::DOUBLE / n_weeks - (sn::DOUBLE / n_weeks) * (sn::DOUBLE / n_weeks)) AS sigma
+  FROM b JOIN st USING (dow, hod)
+)
+SELECT bucket, dow, hod, n,
+       round(mu + 1e-9, 6) AS baseline_mean,
+       round((n - mu) / sigma + 1e-9, 6) AS zscore
+FROM z
+WHERE sigma > 0 AND abs(n - mu) > 1.5 * sigma
+""",
+)
+def events_seasonal_anomalies(spark, sf_dir):
+    """Seasonal anomaly screen: hourly event-count buckets scored
+    against their own (day-of-week, hour-of-day) seasonal baseline —
+    the ops alarm that a flat z-score (events_anomaly_zscore) gets
+    wrong because Tuesday 3am is SUPPOSED to be quiet.  Baselines are
+    population mean/std from integer power sums per seasonal cell (a
+    168-row relation joined back broadcast); day-of-week/hour use the
+    portable epoch-integer calendar math of events_hourly_heatmap.
+    Everything reduces to the calendar-bounded hourly histogram before
+    any per-cell work; the |n - mu| > 1.5 sigma cut is evaluated on
+    UNROUNDED values identically in both engines, outputs are
+    boundary-nudge rounded."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    day_us = F.lit(86400000000)
+    epoch_day = (us - F.pmod(us, day_us)).cast("long") / day_us
+    b = (
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.pmod(epoch_day.cast("long") + 4, F.lit(7)).alias("dow"),
+            (F.pmod(us, day_us) / F.lit(3600000000)).cast("long").alias("hod"),
+        )
+        .groupBy("bucket", "dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = b.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    mu = F.col("sn").cast("double") / F.col("n_weeks")
+    sigma = F.sqrt(F.col("snn").cast("double") / F.col("n_weeks") - mu * mu)
+    return (
+        b.join(F.broadcast(st), ["dow", "hod"])
+        .select(
+            "bucket", "dow", "hod", "n",
+            mu.alias("mu"), sigma.alias("sigma"),
+        )
+        .where(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("n") - F.col("mu")) > 1.5 * F.col("sigma"))
+        )
+        .select(
+            "bucket", "dow", "hod", "n",
+            F.round(F.col("mu") + F.lit(1e-9), 6).alias("baseline_mean"),
+            F.round(
+                (F.col("n") - F.col("mu")) / F.col("sigma") + F.lit(1e-9), 6
+            ).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "docs_kfold_balance",
+    f"""
+WITH f AS (
+  SELECT lang, {SMP.hash_bucket_sql('doc_id', 5)} AS fold FROM documents
+),
+c AS (SELECT fold, lang, count(*) AS n_docs FROM f GROUP BY 1, 2),
+t AS (SELECT lang, sum(n_docs) AS lang_total FROM c GROUP BY 1)
+SELECT fold, c.lang, n_docs,
+       {_r6n_sql('n_docs::DOUBLE / lang_total')} AS lang_share
+FROM c JOIN t USING (lang)
+""",
+)
+def docs_kfold_balance(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment + stratification
+    audit: fold = content-hash bucket of the doc id (functions/
+    sampling.py hash_bucket — stable across partitionings, engines, and
+    corpus growth, unlike ``df.sample``/``randomSplit``), reported as
+    per-(fold, lang) counts and the language share each fold captured
+    (~0.2 everywhere = folds are language-balanced without explicit
+    stratification).  One histogram aggregate + a language-total
+    join-back; the fold column itself is what a training pipeline
+    persists."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select("lang", (SMP.hash_bucket(F.col("doc_id"), 5)).alias("fold"))
+    c = f.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    return c.join(F.broadcast(t), "lang").select(
+        "fold",
+        "lang",
+        "n_docs",
+        _r6n(F.col("n_docs").cast("double") / F.col("lang_total")).alias(
+            "lang_share"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -37,8 +37,22 @@ def global_cumsum(
     """
     order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n_part, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # EAGER materialization is a correctness requirement, not an
+    # optimization: the ranged relation is consumed TWICE (offsets +
+    # join), and ``repartitionByRange`` picks its boundaries by
+    # SAMPLING.  Normally exchange reuse makes both consumers share one
+    # materialized stage, but a cached (InMemoryTableScan) subtree can
+    # defeat the reuse, giving each consumer its OWN range shuffle with
+    # slightly different sampled boundaries — local cumsums from one
+    # layout then join offsets from another, silently corrupting the
+    # global sum (observed at 8 shuffle partitions under
+    # docs_perplexity_prune's cached score relation).  localCheckpoint
+    # pins one layout for every consumer; the relation is histogram-
+    # sized by contract, so the checkpoint job is cheap at any scale.
+    ranged = (
+        df.repartitionByRange(n_part, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     wl = (
         Window.partitionBy("_pid")
@@ -76,8 +90,12 @@ def global_rank(
     joins, leaderboards) without a single-partition window.
     """
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # eager pin of the sampled range layout — see global_cumsum for the
+    # double-consumer boundary-mismatch failure mode this prevents
+    ranged = (
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     wl = Window.partitionBy("_pid").orderBy(*order_cols)
     local = ranged.withColumn("_lrn", F.row_number().over(wl))

@@ -507,8 +507,13 @@ def build_vocab(
     )
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     order = [F.col("n_occurrences").desc(), F.col("token").asc()]
-    ranged = counts.repartitionByRange(n_part, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # eager pin of the sampled range layout — see
+    # functions/distribution.py global_cumsum for the double-consumer
+    # boundary-mismatch failure mode this prevents
+    ranged = (
+        counts.repartitionByRange(n_part, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     wl = Window.partitionBy("_pid").orderBy(*order)
     local = ranged.withColumn("_lrn", F.row_number().over(wl))

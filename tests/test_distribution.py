@@ -63,3 +63,36 @@ def test_global_cumsum_more_partitions_than_rows(spark):
     tiny = spark.createDataFrame([(1, 2), (2, 3)], "k int, n int")
     got = {r.k: r.cum for r in global_cumsum(tiny, "k", "n", "cum").collect()}
     assert got == {1: 2, 2: 5}
+
+
+def test_global_cumsum_consistent_over_cached_input(spark):
+    """Regression: the ranged relation inside global_cumsum is consumed
+    twice (offsets + join); when the INPUT subtree is cached, exchange
+    reuse between the two consumers can break, and without the eager
+    layout pin each consumer would sample its own range boundaries —
+    silently corrupting the running total (observed live in
+    docs_perplexity_prune at 8 shuffle partitions).  Cached input +
+    repeated runs must reproduce the exact driver-computed cumsum."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_extra_spark.functions.distribution import (
+        global_cumsum,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.random(), rng.randint(1, 9)) for _ in range(5000)]
+    expected = {}
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        expected[k] = acc
+    for _ in range(3):
+        df = spark.createDataFrame(rows, "k double, v int").persist()
+        got = {
+            r.k: r.c
+            for r in global_cumsum(df, "k", "v", "c").collect()
+        }
+        df.unpersist()
+        assert got == expected

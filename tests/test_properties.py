@@ -333,3 +333,148 @@ def test_bm25_matches_reference_formula(spark, docs):
             assert out[i] == pytest.approx(round(score, 6), abs=2e-6)
         else:
             assert i not in out  # no zero-score rows: index probe, not scan
+
+
+# ---------------------------------------------------------------------------
+# round-5b additions: water-filling, interval overlap, rolling median
+# ---------------------------------------------------------------------------
+
+
+def _unimax_py(caps: dict, num: int, den: int) -> dict:
+    """Reference water-filling: exact fixpoint by bisection-free scan."""
+    budget = sum(caps.values()) * num // den
+    items = sorted(caps.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(items)
+    alloc = {}
+    committed = 0
+    for i, (k, c) in enumerate(items):
+        remaining_keys = n - i
+        if c * remaining_keys + committed <= budget:
+            alloc[k] = float(c)
+            committed += c
+        else:
+            level = (budget - committed) / remaining_keys
+            for k2, _ in items[i:]:
+                alloc[k2] = level
+            break
+    return alloc
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        st.integers(1, 10_000),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 10),
+)
+@SET
+def test_unimax_matches_reference_waterfill(spark, caps, num_tenths):
+    from datafusion_functions_extra_spark.functions.sampling import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        list(caps.items()), "lang string, cap_tokens bigint"
+    )
+    got = {
+        r.lang: r.alloc_tokens
+        for r in unimax_allocation(
+            df, "lang", "cap_tokens", num_tenths, 10
+        ).collect()
+    }
+    want = _unimax_py(caps, num_tenths, 10)
+    assert set(got) == set(want)
+    for k in want:
+        # Spark side rounds to 6 dp (r6n); compare at that granularity
+        assert math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=2e-6)
+    # allocations never exceed caps, and the total never exceeds budget
+    assert all(got[k] <= caps[k] + 1e-6 for k in got)
+    assert sum(got.values()) <= sum(caps.values()) * num_tenths / 10 + 1e-4
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 120)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 120)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@SET
+def test_interval_overlap_matches_bruteforce(spark, lraw, rraw):
+    import datetime as dt
+
+    from datafusion_functions_extra_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(raw):
+        return [
+            (i, t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=s + d))
+            for i, (s, d) in enumerate(raw)
+        ]
+
+    lrows, rrows = mk(lraw), mk(rraw)
+    left = spark.createDataFrame(
+        lrows or [(0, t0, t0)], "lid bigint, ls timestamp, le timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows or [(0, t0, t0)], "rid bigint, rs timestamp, re timestamp"
+    )
+    if not lrows:
+        left = left.where("1=0")
+    if not rrows:
+        right = right.where("1=0")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, [], "ls", "le", "rs", "re", bin_seconds=1800
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re in rrows
+        if ls <= re and rs <= le
+    }
+    assert got == want
+
+
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=30))
+@SET
+def test_rolling_median_frame_convention(spark, revs):
+    """The suite's in-row sorted-frame pick must equal the python lower
+    median of the trailing <=7-element window."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(days=i), float(v)) for i, v in enumerate(revs)
+    ]
+    df = spark.createDataFrame(rows, "day timestamp, rev double")
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    fr = F.array_sort(F.collect_list("rev").over(w))
+    got = {
+        r.day: r.m
+        for r in df.select(
+            "day",
+            F.element_at(
+                fr, (F.floor((F.size(fr) - 1) / 2) + 1).cast("int")
+            ).alias("m"),
+        ).collect()
+    }
+    for i in range(len(revs)):
+        frame = sorted(revs[max(0, i - 6) : i + 1])
+        want = float(frame[(len(frame) - 1) // 2])
+        assert got[rows[i][0]] == want

@@ -7809,6 +7809,132 @@ def docs_kfold_balance(spark, sf_dir):
     )
 
 
+def _bpe_oracle_sql(n_rounds: int = 5) -> str:
+    """Unrolled DuckDB mirror of ``corpus_bpe_merges``: per round, pair
+    counts -> deterministic argmax -> wrapped-token greedy replace.
+    MATERIALIZED CTEs: each round's corpus is referenced twice (pair
+    scan + rewrite), and DuckDB would otherwise inline and re-execute
+    the whole chain per reference (SURVEY §9.1)."""
+    parts = [
+        f"""s0 AS MATERIALIZED (
+  SELECT '|' || array_to_string({_TOKENS_SQL}, '||') || '|' AS seq
+  FROM documents WHERE length({_NORM_SQL}) > 0
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+p{r} AS (
+  SELECT u.w1, u.w2, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
+    FROM (SELECT str_split(substring(seq, 2, length(seq) - 2), '||') AS toks
+          FROM s{r - 1})
+    WHERE len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (
+  SELECT w1, w2, cnt FROM p{r} ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT replace(seq, '|' || w1 || '||' || w2 || '|',
+                      '|' || w1 || '_' || w2 || '|') AS seq
+  FROM s{r - 1}, m{r}
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS round, w1 AS left_tok, w2 AS right_tok, "
+        f"w1 || '_' || w2 AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return f"WITH {','.join(parts)}\n{unions}"
+
+
+@query("corpus_bpe_merges", _bpe_oracle_sql(5))
+def corpus_bpe_merges(spark, sf_dir):
+    """BPE-style pair-merge learning (Sennrich et al., ACL 2016 — the
+    byte-pair-encoding tokenizer-training loop, here at word level):
+    5 rounds of [count adjacent pairs -> take the most frequent ->
+    greedily merge its non-overlapping occurrences corpus-wide],
+    returning the learned merge table.  The inherently ITERATIVE text
+    algorithm, expressed relationally:
+
+    * the corpus state is one string per doc in a WRAPPED-TOKEN
+      encoding (``|tok|`` units concatenated), so the greedy
+      left-to-right non-overlapping merge IS the engines' native
+      ``replace`` semantics — bit-identical in Spark and DuckDB, and
+      correct for the self-pair case (``a a a`` merges once);
+    * each round is one pair-count aggregate (map-side combined) + a
+      deterministic TakeOrdered argmax (1 row, broadcast back);
+    * both the 1-row argmax and the rewritten corpus are eagerly
+      ``localCheckpoint``ed per round: the argmax is consumed twice
+      (merge table + rewrite) and the corpus feeds two consumers next
+      round — without the pin each round would re-execute its whole
+      upstream per consumer (the §9.1 lineage lesson; at 100 TB the
+      corpus checkpoint per round is the standard iterative-algorithm
+      pattern, cf. the connected-components loop)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    corpus = (
+        d.select(norm.alias("n"))
+        .where(F.length("n") > 0)
+        .select(
+            F.concat(
+                F.lit("|"), F.array_join(F.split("n", " "), "||"), F.lit("|")
+            ).alias("seq")
+        )
+        .localCheckpoint()
+    )
+    merges = None
+    for r in range(1, 6):
+        toks = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), "\\|\\|"
+        )
+        pairs = (
+            corpus.select(toks.alias("toks"))
+            .where(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("w1"),
+                            F.element_at("toks", i + 1).alias("w2"),
+                        ),
+                    )
+                ).alias("u")
+            )
+            .select("u.w1", "u.w2")
+        )
+        top1 = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+            .limit(1)
+            .localCheckpoint()
+        )
+        m = top1.select(
+            F.lit(r).alias("round"),
+            F.col("w1").alias("left_tok"),
+            F.col("w2").alias("right_tok"),
+            F.concat("w1", F.lit("_"), "w2").alias("merged"),
+            F.col("cnt").alias("pair_count"),
+        )
+        merges = m if merges is None else merges.unionAll(m)
+        corpus = (
+            corpus.crossJoin(F.broadcast(top1))
+            .select(
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit("|"), "w1", F.lit("||"), "w2", F.lit("|")),
+                    F.concat(F.lit("|"), "w1", F.lit("_"), "w2", F.lit("|")),
+                ).alias("seq")
+            )
+            .localCheckpoint()
+        )
+    return merges
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

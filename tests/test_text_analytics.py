@@ -159,3 +159,48 @@ def test_gopher_rules_thresholds(spark):
     assert not got[2].keep and not got[2].ok_word_count
     assert not got[3].keep and not got[3].ok_alpha_frac and not got[3].ok_stopwords
     assert not got[4].keep and not got[4].ok_mean_word_len
+
+
+# ---------------------------------------------------------------------------
+# corpus_bpe_merges — wrapped-token greedy-replace semantics
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merge_greedy_and_doc_isolated(spark):
+    """The wrapped-token replace must implement BPE's greedy
+    left-to-right non-overlapping merge: 'a a a' merges ONCE, merges
+    never cross document boundaries, and the argmax tie-break is
+    (count desc, pair asc)."""
+    import pandas as pd
+
+    from datafusion_functions_extra_spark import suite
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),          # self-pair run: one greedy merge
+            (2, "a a b"),          # contributes (a,a) and (a,b)
+            (3, "b"),              # single token: no pairs
+            (4, "x a"),            # doc boundary after 'a' — no (a, x) pair
+        ],
+        "doc_id bigint, text string",
+    )
+    import datafusion_functions_extra_spark.sources.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda s, d, t: docs
+        suite.load_table_backup = suite.load_table
+        suite.load_table = lambda s, d, t: docs
+        out = suite.QUERIES["corpus_bpe_merges"](spark, "ignored").toPandas()
+    finally:
+        cat.load_table = orig
+        suite.load_table = suite.load_table_backup
+    out = out.sort_values("round", ignore_index=True)
+    # round 1: (a,a) x3 raw but greedy counting is RAW adjacent pairs:
+    # doc1 has (a,a),(a,a); doc2 has (a,a) -> count 3; (a,b) 1, (x,a) 1
+    r1 = out.iloc[0]
+    assert (r1.left_tok, r1.right_tok, r1.merged, r1.pair_count) == ("a", "a", "a_a", 3)
+    # after merging: doc1 = [a_a, a], doc2 = [a_a, b] -> round 2 pairs:
+    # (a_a, a) 1, (a_a, b) 1, (x, a) 1 -> tie on count 1, pair-asc picks (a_a, a)
+    r2 = out.iloc[1]
+    assert (r2.left_tok, r2.right_tok, r2.pair_count) == ("a_a", "a", 1)

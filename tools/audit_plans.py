@@ -84,6 +84,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "docs_perplexity_prune": _SCALAR + " (p25/p75 cutoffs + unigram total)",
     "corpus_unimax_allocation": _SCALAR + " (budget row + (k, committed) row)",
     "embedding_pq_topk": _SEEDS + " (x4 subspaces)",
+    "corpus_bpe_merges": _SCALAR + " (the 1-row argmax merge, once per round)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:

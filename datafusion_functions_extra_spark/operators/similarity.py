@@ -70,6 +70,18 @@ HYPERPLANES: tuple[tuple[int, ...], ...] = tuple(
     for _ in range(N_HYPERPLANES)
 )
 
+#: Johnson-Lindenstrauss signed random projection (Achlioptas 2003
+#: database-friendly +-1 entries): 64 -> 16 dims.  Seeded separately from
+#: the LSH planes; the SAME Python-generated literals are embedded in the
+#: Spark expressions and the DuckDB oracle, so both engines project with
+#: the identical matrix.
+RP_DIM = 16
+_rng3 = random.Random(23)
+RP_SIGNS: tuple[tuple[int, ...], ...] = tuple(
+    tuple(_rng3.choice((-1, 1)) for _ in range(EMBEDDING_DIM))
+    for _ in range(RP_DIM)
+)
+
 
 # ---------------------------------------------------------------------------
 # hashing primitives
@@ -2092,4 +2104,132 @@ r{k} AS MATERIALIZED (
 WITH {_sig_cte()}, {_bands_cte()},
 {body}
 SELECT id AS doc_id, deg, rank FROM r{n_iters}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection quality harness
+# ---------------------------------------------------------------------------
+
+
+def rp_project(vec: Column) -> Column:
+    """array<double>[RP_DIM]: signed random projection y_j = <S_j, x>
+    (Achlioptas +-1 rows; S embedded as literals shared with the
+    oracle).  Division by sqrt(RP_DIM) is deferred to the distance
+    ratio, keeping the projection integer-combination exact."""
+    return _bind(
+        _as_double(vec),
+        lambda v: F.array(
+            *[
+                _dot(
+                    v,
+                    F.array(*[F.lit(float(s)) for s in row]),
+                )
+                for row in RP_SIGNS
+            ]
+        ),
+    )
+
+
+def _sq_dist_arr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def rp_distortion_stats(
+    emb: DataFrame,
+    sample_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row JL distortion report over the sampled pair set:
+    (n_pairs, mean/min/max of the squared-distance ratio
+    ||Px||^2 / (k * ||x||^2), share within [0.5, 2]).
+
+    The Johnson-Lindenstrauss guarantee made MEASURABLE before anyone
+    swaps the 64-dim embedding for the 16-dim sketch in a downstream
+    dedup/ANN pass: project once per vector (a k x d literal-matrix
+    combination inside codegen), pair the SAMPLE (eval-on-samples, the
+    SURVEY §9.5 convention), and reduce to one stats row.  At 100 TB
+    the projection is a map-only pass; only the fixed sample pairs up.
+    """
+    v = emb.where(F.col(id_col).isin(sample_ids)).select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        rp_project(F.col(vec_col)).alias("proj"),
+    )
+    a = v.select(
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("proj").alias("proj_a"),
+    )
+    b = v.select(
+        F.col("vid").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("proj").alias("proj_b"),
+    )
+    from ..functions.rounding import r6n
+
+    ratio = (
+        _sq_dist_arr(F.col("proj_a"), F.col("proj_b")) / F.lit(float(RP_DIM))
+    ) / _sq_dist_arr(F.col("vec_a"), F.col("vec_b"))
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .where(_sq_dist_arr(F.col("vec_a"), F.col("vec_b")) > 0)
+        .select(ratio.alias("r"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        r6n(F.avg("r")).alias("mean_ratio"),
+        r6n(F.min("r")).alias("min_ratio"),
+        r6n(F.max("r")).alias("max_ratio"),
+        r6n(
+            F.sum(((F.col("r") >= 0.5) & (F.col("r") <= 2.0)).cast("int"))
+            / F.count(F.lit(1))
+        ).alias("frac_within_2x"),
+    )
+
+
+def rp_distortion_oracle_sql(sample_ids: list[int], dim: int = EMBEDDING_DIM) -> str:
+    """DuckDB mirror of :func:`rp_distortion_stats` with the same
+    literal sign matrix."""
+    from ..functions.rounding import r6n_sql
+
+    ids = ", ".join(str(i) for i in sample_ids)
+    signs = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{float(s)}" for s in row) + "]" for row in RP_SIGNS
+        )
+        + "]"
+    )
+    return f"""
+WITH s AS (SELECT {signs}::DOUBLE[][] AS m),
+v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> x::DOUBLE) AS vec,
+         list_transform(generate_series(1, {RP_DIM}),
+           j -> list_sum(list_transform(generate_series(1, {dim}),
+                  i -> embedding[i]::DOUBLE * m[j][i]))) AS proj
+  FROM embeddings, s WHERE vec_id IN ({ids})
+),
+p AS (
+  SELECT
+    list_sum(list_transform(generate_series(1, {RP_DIM}),
+      k -> (a.proj[k] - b.proj[k]) * (a.proj[k] - b.proj[k]))) / {float(RP_DIM)} AS pd,
+    list_sum(list_transform(generate_series(1, {dim}),
+      i -> (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i]))) AS od
+  FROM v a JOIN v b ON a.vid < b.vid
+),
+r AS (SELECT pd / od AS r FROM p WHERE od > 0)
+SELECT count(*) AS n_pairs,
+       {r6n_sql('avg(r)')} AS mean_ratio,
+       {r6n_sql('min(r)')} AS min_ratio,
+       {r6n_sql('max(r)')} AS max_ratio,
+       {r6n_sql('sum(CASE WHEN r >= 0.5 AND r <= 2.0 THEN 1 ELSE 0 END)::DOUBLE / count(*)')} AS frac_within_2x
+FROM r
 """

@@ -7935,6 +7935,25 @@ def corpus_bpe_merges(spark, sf_dir):
     return merges
 
 
+@query(
+    "embedding_rp_distortion",
+    SIM.rp_distortion_oracle_sql(list(range(30))),
+)
+def embedding_rp_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss projection quality harness
+    (operators/similarity.py rp_distortion_stats; Achlioptas 2003
+    +-1 projections): 64-dim embeddings sketched to 16 dims with a
+    literal sign matrix shared with the oracle, and the JL guarantee
+    MEASURED on a 30-vector sample's 435 pairs — mean/min/max of the
+    squared-distance ratio and the share within [0.5x, 2x].  The
+    measure-before-you-swap companion to the ANN recall harness: a
+    projection pass is map-only at any scale, and this one-row report
+    says whether the 4x-cheaper sketch preserves the distances a
+    dedup/ANN stage would consume."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.rp_distortion_stats(e, list(range(30)))
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -116,3 +116,16 @@ def write_csv(df: DataFrame, path: str, *, header: bool = True, mode: str = "err
 
 def write_json(df: DataFrame, path: str, *, mode: str = "error") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — Spark ships native vectorized ORC support with the
+    same predicate-pushdown/column-pruning surface as parquet; useful
+    when upstream Hive/Hadoop producers emit ORC."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "error") -> None:
+    """ORC sink (zlib-by-default columnar files with min/max stripe
+    statistics, Spark's native writer)."""
+    df.write.mode(mode).orc(path)

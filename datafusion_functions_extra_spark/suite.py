@@ -7954,6 +7954,117 @@ def embedding_rp_distortion(spark, sf_dir):
     return SIM.rp_distortion_stats(e, list(range(30)))
 
 
+@query(
+    "orders_functional_dependencies",
+    """
+WITH cand AS (
+  SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+         count(DISTINCT o_orderkey) AS n_lhs,
+         count(*) FILTER (nd > 1) AS n_violations FROM (
+    SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+    FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'o_custkey', 'o_orderpriority', count(DISTINCT o_custkey),
+         count(*) FILTER (nd > 1) FROM (
+    SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+    FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'l_orderkey', 'l_returnflag', count(DISTINCT l_orderkey),
+         count(*) FILTER (nd > 1) FROM (
+    SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+    FROM lineitem GROUP BY 1)
+  UNION ALL
+  SELECT 'l_partkey', 'l_suppkey', count(DISTINCT l_partkey),
+         count(*) FILTER (nd > 1) FROM (
+    SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+    FROM lineitem GROUP BY 1)
+)
+SELECT lhs, rhs, CAST(n_lhs AS BIGINT) AS n_lhs,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       (n_violations = 0) AS fd_holds
+FROM cand
+""",
+)
+def orders_functional_dependencies(spark, sf_dir):
+    """Functional-dependency discovery over a candidate list — the data-
+    profiling check (cf. Papenbrock et al. 2015's FD-discovery systems;
+    here the verification kernel, candidates fixed): ``lhs -> rhs``
+    holds iff no lhs value maps to >1 distinct rhs.  Each candidate is
+    one two-level aggregate (distinct-per-key then violation count) —
+    the shape that at 100 TB reduces the fact table to the lhs key
+    domain before anything global.  Expected: order->customer holds
+    (orders have one customer), customer->priority and part->supplier
+    don't, line->returnflag doesn't (orders ship over months)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def fd(df, lhs, rhs):
+        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        return per.agg(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("long").alias("n_violations"),
+        ).select(
+            "lhs", "rhs", "n_lhs", "n_violations",
+            (F.col("n_violations") == 0).alias("fd_holds"),
+        )
+
+    return (
+        fd(o, "o_orderkey", "o_custkey")
+        .unionAll(fd(o, "o_custkey", "o_orderpriority"))
+        .unionAll(fd(li, "l_orderkey", "l_returnflag"))
+        .unionAll(fd(li, "l_partkey", "l_suppkey"))
+    )
+
+
+@query(
+    "orders_benford_digits",
+    f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT digit, n,
+       {_r6n_sql("n::DOUBLE / tot")} AS observed_freq,
+       {_r6n_sql("ln(1.0 + 1.0 / digit) / ln(10.0)")} AS benford_freq,
+       {_r6n_sql("(n::DOUBLE / tot - ln(1.0 + 1.0 / digit) / ln(10.0)) * (n::DOUBLE / tot - ln(1.0 + 1.0 / digit) / ln(10.0)) * tot / (ln(1.0 + 1.0 / digit) / ln(10.0))")} AS chi2_term
+FROM c, t
+""",
+)
+def orders_benford_digits(spark, sf_dir):
+    """Benford's-law leading-digit screen on order totals — the classic
+    forensic-accounting / synthetic-data smell test: observed first-
+    digit frequencies vs log10(1 + 1/d) with per-digit chi-square
+    contributions (sum them and compare to the chi2(8) critical value
+    to flag a fabricated-looking distribution — this synthetic corpus
+    SHOULD flag).  One 9-row histogram off a single column scan;
+    leading digit extracted by integer/string math identical in both
+    engines (no float log10 of the value itself, which differs in ulp
+    at power-of-ten boundaries)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    obs = F.col("n").cast("double") / F.col("tot")
+    ben = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        _r6n(obs).alias("observed_freq"),
+        _r6n(ben).alias("benford_freq"),
+        _r6n((obs - ben) * (obs - ben) * F.col("tot") / ben).alias("chi2_term"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

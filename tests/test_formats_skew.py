@@ -151,3 +151,26 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    from datafusion_functions_extra_spark.sources.formats import (
+        read_orc,
+        write_orc,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"v{i}", float(i) * 1.5) for i in range(100)],
+        "id bigint, name string, val double",
+    )
+    p = str(tmp_path / "orc_rt")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert back.count() == 100
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+    # predicate + projection reach the ORC scan
+    plan = (
+        back.where("id = 7").select("name")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()

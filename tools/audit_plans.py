@@ -86,6 +86,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "embedding_pq_topk": _SEEDS + " (x4 subspaces)",
     "corpus_bpe_merges": _SCALAR + " (the 1-row argmax merge, once per round)",
     "embedding_rp_distortion": _QUERYSET + " (30-vector sample pair set)",
+    "orders_benford_digits": _SCALAR + " (digit-histogram total)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:

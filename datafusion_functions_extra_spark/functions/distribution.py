@@ -139,3 +139,48 @@ def discrete_percentile_cutoffs(
             ).alias(f"p_{i}")
         )
     return withn.agg(*aggs)
+
+
+def rank_sum_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """One-row (n_pos, n_neg, n_scores, auc): ROC AUC of ``score_col``
+    as a ranker for binary ``label_col`` via the rank-sum identity
+    AUC = (2R⁺ - P(P+1)) / (2PQ) (Mann & Whitney 1947), with midrank
+    tie handling.
+
+    Scale shape: the input reduces to a (score -> n, n_pos) histogram;
+    the only ordered pass is a two-phase :func:`global_cumsum` over
+    distinct scores, and every rank quantity stays in exact integer
+    arithmetic (2x-scaled midranks: 2*midrank = 2*cum - n + 1) until
+    the single final division — so two engines computing this agree
+    bit-for-bit up to that one rounded ratio.
+    """
+    from .rounding import r6n
+
+    h = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+    )
+    c = global_cumsum(h, score_col, "n", "cum")
+    u = c.agg(
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("cum") - F.col("n") + F.lit(1))
+        ).alias("num2")
+    )
+    tot = h.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("q"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    return u.crossJoin(F.broadcast(tot)).select(
+        F.col("p").alias("n_pos"),
+        F.col("q").alias("n_neg"),
+        F.col("ns").alias("n_scores"),
+        r6n(
+            (F.col("num2") - F.col("p") * (F.col("p") + 1)).cast("double")
+            / (F.lit(2.0) * F.col("p") * F.col("q"))
+        ).alias("auc"),
+    )

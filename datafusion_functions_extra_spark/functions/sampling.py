@@ -379,3 +379,38 @@ def unimax_allocation(
             )
         ).alias("epochs"),
     )
+
+
+def hrw_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar 1996): each key goes to ``argmax_s hash60(key ':' s)``
+    over shards ``0..n_shards-1`` — stateless consistent placement
+    where adding a shard moves only ~1/(n+1) of keys, all INTO the new
+    shard.  Adds ``out_col`` (int shard id) to the input relation.
+
+    Scale shape: an exact ``n_shards``-way in-row explode and one keyed
+    argmax aggregate (the reference ``max_by`` doing systems work); the
+    md5-derived weight is reproducible in any engine
+    (``hash_bucket_sql``'s sibling, see ``suite.users_hrw_shards``).
+    """
+    from .aggregates import max_by
+
+    ex = df.select(
+        *df.columns,
+        F.explode(F.array(*[F.lit(s) for s in range(n_shards)])).alias("_s"),
+    )
+    h = hash60(
+        F.concat(
+            F.col(key_col).cast("string"), F.lit(":"), F.col("_s").cast("string")
+        )
+    )
+    return (
+        ex.select(*df.columns, "_s", h.alias("_h"))
+        .groupBy(*df.columns)
+        .agg(max_by("_s", "_h").alias(out_col))
+    )

@@ -230,3 +230,70 @@ WITH fr AS (
 SELECT {order_tiebreak}, {key_col}, {r6n_sql(f'{num} / {den}')} AS ewma
 FROM fr
 """
+
+
+def kaplan_meier(
+    lab: DataFrame,
+    dur_col: str = "dur",
+    cens_col: str = "cens",
+) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) from one row
+    per subject: ``dur_col`` = observed duration (integer), ``cens_col``
+    = 1 if right-censored at that duration, 0 if the event occurred.
+
+    Returns (duration_days, n_death, n_censored, at_risk, survival)
+    where survival = prod_{t' <= t} (1 - d/n), realized as exp of a
+    running sum of logs so the product becomes a parallelizable monoid.
+    The d = n absorbing state (survival exactly 0 from then on) is
+    carried by a second running flag — both engines pin the undefined
+    ln(0) term to 0 and zero the curve via the flag, so the SQL mirror
+    in ``suite.users_survival_curve`` hash-matches.
+
+    Scale shape: subjects reduce to a (duration -> deaths, censored)
+    histogram; at-risk counts and the log-survival accumulation are
+    two-phase :func:`..functions.distribution.global_cumsum` passes over
+    that bounded relation — never a single-partition window.
+    """
+    from ..functions.distribution import global_cumsum
+    from ..functions.rounding import r6n
+
+    h = lab.groupBy(F.col(dur_col).alias("dur")).agg(
+        F.sum(F.lit(1) - F.col(cens_col)).cast("long").alias("n_death"),
+        F.sum(cens_col).cast("long").alias("n_cens"),
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("total"))
+    cum = (
+        global_cumsum(
+            h.withColumn("dc", F.col("n_death") + F.col("n_cens")),
+            "dur", "dc", "cum_dc",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("at_risk", F.col("total") - (F.col("cum_dc") - F.col("dc")))
+        .withColumn(
+            "lnt",
+            F.when(
+                (F.col("n_death") == 0) | (F.col("n_death") == F.col("at_risk")),
+                F.lit(0.0),
+            ).otherwise(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_death").cast("double") / F.col("at_risk")
+                )
+            ),
+        )
+        .withColumn("zf", (F.col("n_death") == F.col("at_risk")).cast("int"))
+    )
+    s = global_cumsum(
+        global_cumsum(cum, "dur", "lnt", "cum_ln"), "dur", "zf", "cum_zf"
+    )
+    return s.select(
+        F.col("dur").alias("duration_days"),
+        "n_death",
+        F.col("n_cens").alias("n_censored"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        r6n(
+            F.when(F.col("cum_zf") > 0, F.lit(0.0)).otherwise(
+                F.exp(F.col("cum_ln"))
+            )
+        ).alias("survival"),
+    )

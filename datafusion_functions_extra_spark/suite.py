@@ -8066,6 +8066,662 @@ def orders_benford_digits(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-5d batch: evaluation statistics, mergeable set structures, systems
+# primitives — AUC, Kaplan-Meier, chi-square, Welch, HLL set algebra,
+# bitmap-index rollups, incremental view maintenance, rendezvous sharding,
+# embedding-space alignment/uniformity
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86400000000
+
+
+def _epoch_day(ts_col):
+    """Portable epoch-day integer (see events_hourly_heatmap: pmod +
+    exact subtraction makes truncating div equal floor for any sign)."""
+    us = F.unix_micros(ts_col)
+    day_us = F.lit(_DAY_US)
+    return ((us - F.pmod(us, day_us)) / day_us).cast("long")
+
+
+_AUC_EQ_TERMS = f"""list_sum(list_transform(generate_series(1, {SIM.MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"""
+
+
+@query(
+    "quality_neardup_auc",
+    f"""
+WITH {SIM._sig_cte()}, {SIM._bands_cte()},
+pairs AS (
+  SELECT cand.id_a, cand.id_b FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE {_AUC_EQ_TERMS}::DOUBLE / {SIM.MINHASH_K}.0 >= 0.5
+),
+dup AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+sc AS (
+  SELECT t.id,
+         round(
+           0.3 * least(1.0, length(norm)::DOUBLE / 500.0)
+         + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * (1.0 - least(1.0,
+              abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
+                  / len(toks)::DOUBLE - 0.4) / 0.6))
+           + 1e-9,
+         6) AS score
+  FROM t
+),
+lab AS (
+  SELECT sc.score, CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM sc LEFT JOIN dup ON dup.id = sc.id
+),
+h AS (SELECT score, count(*) AS n, sum(is_dup) AS n_pos FROM lab GROUP BY 1),
+c AS (SELECT score, n, n_pos, sum(n) OVER (ORDER BY score) AS cum FROM h),
+tot AS (SELECT sum(n_pos) AS p, sum(n - n_pos) AS q, count(*) AS ns FROM h),
+u AS (SELECT sum(n_pos * (2 * cum - n + 1)) AS num2 FROM c)
+SELECT p::BIGINT AS n_pos, q::BIGINT AS n_neg, ns::BIGINT AS n_scores,
+       {_r6n_sql("(num2 - p * (p + 1))::DOUBLE / (2.0 * p * q)")} AS auc
+FROM u, tot
+""",
+)
+def quality_neardup_auc(spark, sf_dir):
+    """ROC AUC of the heuristic quality score as a detector of NEAR-
+    duplicate membership (any MinHash-LSH pair at est-Jaccard >= 0.5),
+    via the rank-sum identity AUC = (2R⁺ - P(P+1)) / (2PQ) (Mann &
+    Whitney 1947) with midrank tie handling — the filter-calibration
+    companion to quality_calibration_bins: does low quality actually
+    predict duplication?  (The label is near-dup, not exact-dup: this
+    synthetic corpus has no byte-identical normalized texts.)
+
+    Scale shape: docs reduce to a (score -> n, n_pos) histogram first;
+    the only ordered pass is the two-phase ``global_cumsum`` over
+    distinct 6-dp scores (<= 1e6 buckets however large the corpus), and
+    every rank quantity stays in exact integer arithmetic (2x-scaled
+    midranks) until the single final division."""
+    from .functions.distribution import rank_sum_auc
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = SIM.near_dup_pairs(d, "text", "doc_id", 0.5)
+    dup = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("isd", F.lit(1))
+    )
+    sc = d.select(
+        "doc_id",
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("score"),
+    )
+    lab = sc.join(dup, "doc_id", "left").select(
+        "score", F.coalesce(F.col("isd"), F.lit(0)).alias("is_dup")
+    )
+    return rank_sum_auc(lab, "score", "is_dup")
+
+
+@query(
+    "users_survival_curve",
+    f"""
+WITH per AS (
+  SELECT user_id,
+         min(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) AS d0,
+         max(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) AS d1
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(d1) AS dmax FROM per),
+lab AS (
+  SELECT (d1 - d0) AS dur,
+         CASE WHEN d1 >= dmax - 3 THEN 1 ELSE 0 END AS cens
+  FROM per, mx
+),
+h AS (SELECT dur, sum(1 - cens) AS n_death, sum(cens) AS n_cens
+      FROM lab GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM lab),
+w AS (
+  SELECT dur, n_death, n_cens,
+         total - coalesce(sum(n_death + n_cens) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS at_risk
+  FROM h, tot
+),
+s AS (
+  SELECT dur, n_death, n_cens, at_risk,
+         sum(CASE WHEN n_death = 0 OR n_death = at_risk THEN 0.0
+                  ELSE ln(1.0 - n_death::DOUBLE / at_risk) END)
+           OVER (ORDER BY dur) AS cum_ln,
+         sum(CASE WHEN n_death = at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur) AS cum_zf
+  FROM w
+)
+SELECT dur AS duration_days, n_death::BIGINT AS n_death,
+       n_cens::BIGINT AS n_censored, at_risk::BIGINT AS at_risk,
+       {_r6n_sql("CASE WHEN cum_zf > 0 THEN 0.0 ELSE exp(cum_ln) END")} AS survival
+FROM s
+""",
+)
+def users_survival_curve(spark, sf_dir):
+    """Kaplan-Meier user-retention curve (Kaplan & Meier 1958): lifetime
+    = first->last active day per user, right-censored for users still
+    active within 3 days of the corpus end.  S(t) = prod_{t'<=t}
+    (1 - d/n) realized as exp of a running sum of logs — the product is
+    turned into the monoid Spark can do in parallel, with a second
+    running flag handling the S=0 absorbing state exactly (log of the
+    d=n term is undefined; both engines pin that term to 0 and zero the
+    curve via the flag instead).
+
+    Scale shape: users reduce to a (duration -> deaths, censored)
+    histogram; the at-risk counts and the log-survival accumulation are
+    two-phase ``global_cumsum`` passes over that calendar-bounded
+    relation — never a single-partition window over users."""
+    from .operators.timeseries import kaplan_meier
+
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.select("user_id", _epoch_day("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    )
+    mx = per.agg(F.max("d1").alias("dmax"))
+    lab = per.crossJoin(F.broadcast(mx)).select(
+        (F.col("d1") - F.col("d0")).alias("dur"),
+        F.when(F.col("d1") >= F.col("dmax") - 3, 1).otherwise(0).alias("cens"),
+    )
+    return kaplan_meier(lab, "dur", "cens")
+
+
+@query(
+    "lang_source_chi2",
+    f"""
+WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+ct AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM documents),
+grid AS (
+  SELECT rt.lang, ct.source, rt.n_lang, ct.n_source,
+         coalesce(c.n, 0) AS n, tot.total
+  FROM rt CROSS JOIN ct
+  LEFT JOIN c ON c.lang = rt.lang AND c.source = ct.source
+  CROSS JOIN tot
+)
+SELECT lang, source, n::BIGINT AS n,
+       {_r6n_sql("n_lang::DOUBLE * n_source / total")} AS expected,
+       {_r6n_sql("(n - n_lang::DOUBLE * n_source / total) * (n - n_lang::DOUBLE * n_source / total) / (n_lang::DOUBLE * n_source / total)")} AS chi2_term
+FROM grid
+""",
+)
+def lang_source_chi2(spark, sf_dir):
+    """Pearson chi-square test of independence between language and
+    source (Pearson 1900) — the recipe-monitoring screen for "is the
+    language mix uniform across sources, or do some sources skew?"
+    (sum the terms against the chi2((L-1)(S-1)) critical value).  The
+    full L x S grid including zero-observed cells is materialized from
+    the two marginal domains, so expected counts are complete.
+
+    Scale shape: three independent one-pass aggregates (cells, two
+    marginals) off the same scan; the grid join is domain-sized
+    (languages x sources), broadcast on both sides — the corpus is
+    never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    rt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    ct = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(c, ["lang", "source"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("n_lang").cast("double") * F.col("n_source") / F.col("total")
+    return grid.select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n"),
+        _r6n(exp).alias("expected"),
+        _r6n((F.col("n") - exp) * (F.col("n") - exp) / exp).alias("chi2_term"),
+    )
+
+
+@query(
+    "event_type_welch_t",
+    f"""
+WITH st AS (
+  SELECT event_type, count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.n AS na, b.n AS nb,
+         a.s1 / a.n AS ma, b.s1 / b.n AS mb,
+         (a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) AS va,
+         (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) AS vb
+  FROM st a JOIN st b ON a.event_type < b.event_type
+),
+q AS (SELECT *, va / na + vb / nb AS se2 FROM p)
+SELECT ta AS type_a, tb AS type_b, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       {_r6n_sql("ma")} AS mean_a, {_r6n_sql("mb")} AS mean_b,
+       {_r6n_sql("(ma - mb) / sqrt(se2)")} AS t_stat,
+       CAST(floor(se2 * se2 /
+         ((va / na) * (va / na) / (na - 1)
+          + (vb / nb) * (vb / nb) / (nb - 1))) AS BIGINT) AS welch_df
+FROM q
+""",
+)
+def event_type_welch_t(spark, sf_dir):
+    """Pairwise Welch's unequal-variance t-test (Welch 1947) on event
+    value across event types — the A/B-readout primitive: one power-sum
+    aggregate per type, then every (type_a < type_b) pair gets the
+    t statistic and the Welch-Satterthwaite degrees of freedom (floored
+    to the integer a t-table lookup uses — df's ~1e-8 cross-engine sum
+    drift makes a 6-dp rounding of the raw ratio unstable, while an
+    integer floor moves the match boundary 1e6x away).
+
+    Scale shape: the corpus reduces to one row per type (count + two
+    power sums — the same mergeable moment state as skewness/kurtosis);
+    the pair grid is |types|^2, broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    a = st.select(*[F.col(c).alias(c + "_a") for c in st.columns])
+    b = st.select(*[F.col(c).alias(c + "_b") for c in st.columns])
+    pr = a.join(
+        F.broadcast(b), F.col("event_type_a") < F.col("event_type_b")
+    )
+
+    def var(side):
+        n, s1, s2 = (F.col(f"{c}_{side}") for c in ("n", "s1", "s2"))
+        return (s2 - s1 * s1 / n) / (n - 1)
+
+    ma = F.col("s1_a") / F.col("n_a")
+    mb = F.col("s1_b") / F.col("n_b")
+    va, vb = var("a"), var("b")
+    se2 = va / F.col("n_a") + vb / F.col("n_b")
+    df = (se2 * se2) / (
+        (va / F.col("n_a")) * (va / F.col("n_a")) / (F.col("n_a") - 1)
+        + (vb / F.col("n_b")) * (vb / F.col("n_b")) / (F.col("n_b") - 1)
+    )
+    return pr.select(
+        F.col("event_type_a").alias("type_a"),
+        F.col("event_type_b").alias("type_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        _r6n(ma).alias("mean_a"),
+        _r6n(mb).alias("mean_b"),
+        _r6n((ma - mb) / F.sqrt(se2)).alias("t_stat"),
+        F.floor(df).cast("long").alias("welch_df"),
+    )
+
+
+_HLL_SETOPS_SRC = """(
+  SELECT 'purchase' AS g, user_id FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'click' AS g, user_id FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'union' AS g, user_id FROM events
+  WHERE event_type IN ('purchase', 'click')
+) su"""
+
+
+@query(
+    "hll_set_ops",
+    f"""
+WITH {{hll_ctes}},
+ex AS (
+  SELECT 'purchase' AS g, count(DISTINCT user_id) AS exact_users
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'click', count(DISTINCT user_id)
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'union', count(DISTINCT user_id)
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+base AS (
+  SELECT hll.g AS set_name, hll.hll_est, ex.exact_users::BIGINT AS exact_users,
+         hll.n_zero_buckets
+  FROM hll JOIN ex USING (g)
+),
+piv AS (
+  SELECT max(CASE WHEN g = 'purchase' THEN hll_est END) AS ea,
+         max(CASE WHEN g = 'click' THEN hll_est END) AS eb,
+         max(CASE WHEN g = 'union' THEN hll_est END) AS eu
+  FROM hll
+),
+ixact AS (
+  SELECT count(*) AS exact_users FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'
+  )
+)
+SELECT * FROM base
+UNION ALL
+SELECT 'intersection' AS set_name, {_r6n_sql("ea + eb - eu")} AS hll_est,
+       ixact.exact_users::BIGINT AS exact_users, NULL::INT AS n_zero_buckets
+FROM piv, ixact
+""",
+)
+def hll_set_ops(spark, sf_dir):
+    """HLL set algebra (Flajolet et al. 2007): distinct purchasers,
+    distinct clickers, their UNION via the register-max monoid merge
+    (never re-scanning the raw events), and the INTERSECTION estimated
+    by inclusion-exclusion |A|+|B|-|A∪B| — the sketch-only answer to
+    "how many users both clicked and purchased" that a 100 TB rollup
+    can serve from two 256-row register relations.  Exact counts ride
+    along per row to expose the realized error.
+
+    The union registers here are genuinely MERGED from the two per-set
+    register relations (union + re-max), not recomputed — the oracle
+    recomputes from raw rows and hash-matches because max is
+    associative."""
+    e = load_table(spark, sf_dir, "events")
+    sel = e.where(F.col("event_type").isin("purchase", "click")).select(
+        F.col("event_type").alias("sk"), "user_id"
+    )
+    regs = SKCH.hll_registers(sel, "user_id", ["sk"])
+    regs_u = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("union").alias("sk"), "bucket", "r")
+    )
+    est = SKCH.hll_estimate(
+        regs.select("sk", "bucket", "r").unionAll(regs_u), ["sk"]
+    )
+    ex_ab = sel.groupBy("sk").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    ex_u = sel.agg(F.countDistinct("user_id").alias("exact_users")).select(
+        F.lit("union").alias("sk"), "exact_users"
+    )
+    base = est.join(ex_ab.unionAll(ex_u), "sk").select(
+        F.col("sk").alias("set_name"),
+        "hll_est",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        "n_zero_buckets",
+    )
+    piv = est.agg(
+        F.max(F.when(F.col("sk") == "purchase", F.col("hll_est"))).alias("ea"),
+        F.max(F.when(F.col("sk") == "click", F.col("hll_est"))).alias("eb"),
+        F.max(F.when(F.col("sk") == "union", F.col("hll_est"))).alias("eu"),
+    )
+    ia = sel.where(F.col("sk") == "purchase").select("user_id").distinct()
+    ib = sel.where(F.col("sk") == "click").select("user_id").distinct()
+    ixact = ia.join(ib, "user_id").agg(F.count(F.lit(1)).alias("exact_users"))
+    inter = piv.crossJoin(F.broadcast(ixact)).select(
+        F.lit("intersection").alias("set_name"),
+        _r6n(F.col("ea") + F.col("eb") - F.col("eu")).alias("hll_est"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.lit(None).cast("int").alias("n_zero_buckets"),
+    )
+    return base.unionAll(inter)
+
+
+@query(
+    "weekly_user_bitmap_distinct",
+    f"""
+WITH e2 AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) // 7 AS week, user_id
+  FROM events
+),
+wb AS (
+  SELECT week, user_id // 63 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+  FROM e2 GROUP BY 1, 2
+),
+agg AS (
+  SELECT week, count(*) AS n_words,
+         sum(bit_count(bits)) AS bitmap_distinct
+  FROM wb GROUP BY 1
+),
+ex AS (SELECT week, count(DISTINCT user_id) AS exact_users FROM e2 GROUP BY 1)
+SELECT agg.week, n_words::BIGINT AS n_words,
+       bitmap_distinct::BIGINT AS bitmap_distinct,
+       exact_users::BIGINT AS exact_users
+FROM agg JOIN ex USING (week)
+""",
+)
+def weekly_user_bitmap_distinct(spark, sf_dir):
+    """Bitmap-index distinct rollup (the roaring-bitmap pattern as a
+    relation; Chambi et al. 2016): per (week, 64-id word) a BIGINT
+    bitmap of active users (63 slots per word — DuckDB's << range-check
+    forbids shifting into the BIGINT sign bit), built by OR-aggregating
+    DAILY word bitmaps
+    — so weekly (or monthly, or all-time) distinct counts come from
+    re-OR-ing precomputed day-level state via the bit_or monoid and a
+    bit_count sum, never from re-scanning raw events.  Exact per-week
+    distincts ride along and must EQUAL the bitmap counts (bitmaps are
+    exact, unlike HLL — the trade is O(domain/63) state vs 256 rows).
+
+    Scale shape: everything is keyed aggregation; the bitmap relation
+    is |active-id-range|/64 rows per period — shuffles carry one BIGINT
+    per 64 users."""
+    e = load_table(spark, sf_dir, "events")
+    day = _epoch_day("ts")
+    e2 = e.select(
+        ((day - F.pmod(day, F.lit(7))) / 7).cast("long").alias("week"),
+        day.alias("day"),
+        "user_id",
+    )
+    words = e2.select(
+        "week",
+        "day",
+        ((F.col("user_id") - F.pmod(F.col("user_id"), F.lit(63))) / 63)
+        .cast("long")
+        .alias("word"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(pmod(user_id, 63) as int))"
+        ).alias("bit"),
+    )
+    day_bm = words.groupBy("week", "day", "word").agg(
+        F.bit_or("bit").alias("bits")
+    )
+    week_bm = day_bm.groupBy("week", "word").agg(F.bit_or("bits").alias("bits"))
+    agg = week_bm.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.bit_count("bits")).cast("long").alias("bitmap_distinct"),
+    )
+    ex = e2.groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return agg.join(ex, "week").select(
+        "week", "n_words", "bitmap_distinct", "exact_users"
+    )
+
+
+@query(
+    "orders_incremental_view_merge",
+    f"""
+SELECT o_custkey, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 6) AS total_spend,
+       max(o_totalprice) AS max_order_price,
+       max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_DAY_US}) AS last_order_day
+FROM orders GROUP BY 1
+""",
+)
+def orders_incremental_view_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-customer order
+    summary is maintained as mergeable partial-aggregate state — the
+    historical BASE partition (orders before 1999) and the incoming
+    DELTA partition each produce (count, sum, max, last-day) state, and
+    the view is their monoid merge, never a full recompute.  The oracle
+    IS the full recompute, so the hash match is the refresh-equivalence
+    proof (count/sum/max/min are the self-maintainable aggregates of
+    incremental view maintenance, Gupta & Mumick 1995).
+
+    At 100 TB this is the nightly-pipeline shape: the base state is a
+    parquet table of pre-aggregated rows (one per customer), and each
+    increment shuffles only its own delta."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def part_state(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s1"),
+            F.max("o_totalprice").alias("mx"),
+            F.max(F.unix_date(F.col("o_orderdate").cast("date"))).alias("ld"),
+        )
+
+    base = part_state(o.where(F.col("o_orderdate") < cutoff))
+    delta = part_state(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            _r6(F.sum("s1")).alias("total_spend"),
+            F.max("mx").alias("max_order_price"),
+            F.max("ld").alias("last_order_day"),
+        )
+    )
+
+
+@query(
+    "users_hrw_shards",
+    f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+e8 AS (
+  SELECT user_id, s,
+         {SIM._hash60_sql("(user_id::VARCHAR || ':' || s::VARCHAR)")} AS h
+  FROM u, generate_series(0, 7) t(s)
+),
+a8 AS (SELECT user_id, arg_max(s, h) AS shard8 FROM e8 GROUP BY 1),
+e9 AS (
+  SELECT user_id, s,
+         {SIM._hash60_sql("(user_id::VARCHAR || ':' || s::VARCHAR)")} AS h
+  FROM u, generate_series(0, 8) t(s)
+),
+a9 AS (SELECT user_id, arg_max(s, h) AS shard9 FROM e9 GROUP BY 1)
+SELECT shard8::BIGINT AS shard, count(*)::BIGINT AS n_users,
+       sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)::BIGINT AS n_moved
+FROM a8 JOIN a9 USING (user_id)
+GROUP BY 1
+""",
+)
+def users_hrw_shards(spark, sf_dir):
+    """Rendezvous / highest-random-weight sharding (Thaler &
+    Ravishankar 1996): each user goes to the shard with the max
+    md5-derived weight h(user, shard) — the stateless consistent
+    placement a 100 TB pipeline uses for incremental re-processing.
+    The query assigns every user under 8 and under 9 shards and counts,
+    per original shard, how many users move when a shard is ADDED —
+    HRW's guarantee is that only ~1/9 move (and only INTO the new
+    shard), vs ~8/9 reshuffled under naive ``hash % n``.
+
+    Scale shape: a distinct-user reduction, an exact 8x/9x row
+    explode, and two keyed argmax aggregates (the reference ``max_by``
+    surface doing systems work) — no shuffle carries more than (user,
+    shard, weight)."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    j = SMP.hrw_shard(users, "user_id", 8, "shard8").join(
+        SMP.hrw_shard(users, "user_id", 9, "shard9"), "user_id"
+    )
+    return j.groupBy("shard8").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("shard8") != F.col("shard9")).cast("int"))
+        .cast("long")
+        .alias("n_moved"),
+    ).select(
+        F.col("shard8").cast("long").alias("shard"), "n_users", "n_moved"
+    )
+
+
+@query(
+    "embedding_alignment_uniformity",
+    f"""
+WITH g AS (
+  SELECT vec_id, label, embedding,
+         row_number() OVER (ORDER BY label, vec_id) AS r
+  FROM embeddings
+),
+pos AS (
+  SELECT {SIM._cos_sql('a.embedding', 'b.embedding')} AS cos
+  FROM g a JOIN g b ON b.r = a.r + 1 AND a.label = b.label
+),
+al AS (SELECT count(*) AS n_pos_pairs, 2.0 - 2.0 * avg(cos) AS alignment
+       FROM pos),
+n AS (SELECT count(*) AS n FROM embeddings),
+rnd AS (
+  SELECT {SIM._cos_sql('a.embedding', 'b.embedding')} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id = (a.vec_id + 97) % (SELECT n FROM n)
+),
+un AS (SELECT count(*) AS n_rand_pairs,
+              ln(avg(exp(4.0 * cos - 4.0))) AS uniformity
+       FROM rnd)
+SELECT al.n_pos_pairs::BIGINT AS n_pos_pairs,
+       un.n_rand_pairs::BIGINT AS n_rand_pairs,
+       {_r6n_sql("alignment")} AS alignment,
+       {_r6n_sql("uniformity")} AS uniformity
+FROM al, un
+""",
+)
+def embedding_alignment_uniformity(spark, sf_dir):
+    """Alignment & uniformity of the embedding space (Wang & Isola
+    2020): alignment = E||u_a - u_b||^2 over positive (same-label)
+    pairs, uniformity = ln E exp(-2||u_a - u_b||^2) over pseudo-random
+    pairs — the two-number health check for contrastive embeddings
+    (both computed via the identity ||u_a - u_b||^2 = 2 - 2cos on the
+    unit sphere).  Positive pairs are same-label neighbors in a
+    two-phase ``global_rank`` total order (equi-join on rank r -> r+1,
+    never a per-label single partition); random pairs are the
+    deterministic modular pairing id -> (id + 97) mod N over the dense
+    vec_id domain, an equi-join with exact fan-out 1."""
+    from .functions.distribution import global_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = global_rank(
+        emb.select("vec_id", "label", "embedding"),
+        [F.col("label").asc(), F.col("vec_id").asc()],
+        "r",
+    )
+    a = g.select(
+        F.col("r").alias("rk"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("va"),
+    )
+    b = g.select(
+        (F.col("r") - 1).alias("rk"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    pos = a.join(b, "rk").where(F.col("la") == F.col("lb"))
+    al = pos.select(
+        SIM.cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pos_pairs"),
+        _r6n(F.lit(2.0) - F.lit(2.0) * F.avg("cos")).alias("alignment"),
+    )
+    n = emb.count()  # dense-domain size for the modular pairing
+    pa = emb.select(
+        ((F.col("vec_id") + 97) % F.lit(n)).alias("pid"),
+        F.col("embedding").alias("va"),
+    )
+    pb = emb.select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("vb")
+    )
+    un = (
+        pa.join(pb, "pid")
+        .select(SIM.cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rand_pairs"),
+            _r6n(
+                F.log(F.avg(F.exp(F.lit(4.0) * F.col("cos") - F.lit(4.0))))
+            ).alias("uniformity"),
+        )
+    )
+    return al.crossJoin(un)
+
+
+# splice the shared HLL CTE chain into the set-ops oracle (it needs the
+# union-source derived table, which hll_cte_sql takes as its table arg)
+ORACLES["hll_set_ops"] = ORACLES["hll_set_ops"].format(
+    hll_ctes=SKCH.hll_cte_sql(_HLL_SETOPS_SRC, "user_id", "g")
+)
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

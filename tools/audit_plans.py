@@ -87,6 +87,19 @@ BNLJ_BOUNDED: dict[str, str] = {
     "corpus_bpe_merges": _SCALAR + " (the 1-row argmax merge, once per round)",
     "embedding_rp_distortion": _QUERYSET + " (30-vector sample pair set)",
     "orders_benford_digits": _SCALAR + " (digit-histogram total)",
+    "quality_neardup_auc": _SCALAR + " (P/Q totals x rank-sum row)",
+    "lang_source_chi2": (
+        "build sides are the language and source DOMAIN marginals plus the "
+        "1-row total — bounded by |langs| x |sources| at any corpus size"
+    ),
+    "event_type_welch_t": (
+        "theta pair-grid over the per-TYPE moment aggregate — bounded by "
+        "|event types|^2, never data-sized"
+    ),
+    "hll_set_ops": _SCALAR + " (register pivot x exact-intersection row)",
+    "embedding_alignment_uniformity": (
+        _SCALAR + " (1-row alignment x 1-row uniformity aggregate)"
+    ),
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -137,6 +150,16 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     ),
     "embedding_pq_topk": (
         "row_number over the 8 seed rows, once per subspace (x4)"
+    ),
+    "quality_neardup_auc": (
+        "two-phase global_cumsum offset window (<= #partitions rows)"
+    ),
+    "users_survival_curve": (
+        "two-phase global_cumsum offset windows (<= #partitions rows); the "
+        "duration histogram itself is calendar-bounded"
+    ),
+    "embedding_alignment_uniformity": (
+        "two-phase global_rank offset window (<= #partitions rows)"
     ),
 }
 

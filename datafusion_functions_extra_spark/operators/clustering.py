@@ -488,3 +488,98 @@ dropped AS (
 SELECT a.vec_id, a.cid AS cluster, d.vec_id IS NULL AS kept
 FROM a{n_iters} a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
+
+
+def kmeans_silhouette(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+    n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n_vecs, mean_silhouette): simplified (centroid-based)
+    silhouette per k-means cluster (Rousseeuw 1987's score with the
+    cluster-mean distance replaced by the distance to the cluster
+    CENTROID — the O(n*k) variant that scales where the classic O(n^2)
+    pairwise form cannot): a = dist to own centroid, b = min dist to any
+    other centroid, s = (b - a) / max(a, b).
+
+    Runs the same Lloyd trajectory as :func:`kmeans_assign` (identical
+    seeding, 6-dp-rounded distances and centroid means), then ONE extra
+    broadcast cross of vectors x k centroids for the b-distances — so
+    the oracle can replay it exactly from the shared
+    :func:`_kmeans_cte_body` chain."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    w = Window.orderBy("vec_id")
+    centroids = (
+        vecs.where(F.col("vec_id").isin(list(centroid_ids)))
+        .select(
+            (F.row_number().over(w) - 1).alias("cid"), F.col("vec").alias("cvec")
+        )
+    )
+    assigned = _assign(vecs, centroids)
+    for _ in range(n_iters - 1):
+        centroids = _update(assigned)
+        assigned = _assign(vecs, centroids)
+    # the final centroid relation is consumed twice (the last assign
+    # above and the all-pairs scoring below) — pin it so both consumers
+    # see one materialization (k rows; the §9.1 double-consumer lesson)
+    centroids = centroids.localCheckpoint()
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cid",
+        F.round(_sq_dist(F.col("vec"), F.col("cvec")), 6).alias("dist"),
+    )
+    b = (
+        scored.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .where(F.col("cid") != F.col("cluster"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("bsq"))
+    )
+    a_d = F.sqrt(F.col("asq"))
+    b_d = F.sqrt(F.col("bsq"))
+    mx = F.greatest(a_d, b_d)
+    s = (
+        assigned.select("vec_id", "cluster", F.col("dist").alias("asq"))
+        .join(b, "vec_id")
+        .select(
+            "cluster",
+            F.when(mx == 0, F.lit(0.0)).otherwise((b_d - a_d) / mx).alias("sil"),
+        )
+    )
+    return s.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        r6n(F.avg("sil")).alias("mean_silhouette"),
+    )
+
+
+def kmeans_silhouette_oracle_sql(
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    """DuckDB mirror off the shared Lloyd CTE chain: ``d{n}`` already
+    holds every (vector, centroid) distance for the final round, so b is
+    one anti-self min over it."""
+    body = _kmeans_cte_body(centroid_ids, n_iters, dim)
+    n = n_iters
+    return f"""
+WITH {body},
+bmin AS (
+  SELECT d.vec_id, min(d.dist) AS bsq
+  FROM d{n} d JOIN a{n} a ON a.vec_id = d.vec_id AND d.cid <> a.cid
+  GROUP BY 1
+),
+sil AS (
+  SELECT a.cid,
+         CASE WHEN greatest(sqrt(a.dist), sqrt(b.bsq)) = 0 THEN 0.0
+              ELSE (sqrt(b.bsq) - sqrt(a.dist))
+                   / greatest(sqrt(a.dist), sqrt(b.bsq)) END AS sil
+  FROM a{n} a JOIN bmin b USING (vec_id)
+)
+SELECT cid AS cluster, count(*)::BIGINT AS n_vecs,
+       {r6n_sql('avg(sil)')} AS mean_silhouette
+FROM sil GROUP BY 1
+"""

@@ -8722,6 +8722,427 @@ ORACLES["hll_set_ops"] = ORACLES["hll_set_ops"].format(
 
 
 # ---------------------------------------------------------------------------
+# round-5e batch: Poisson-bootstrap uncertainty, Mann-Kendall/Sen trend,
+# RFM segmentation, centroid silhouette, Flesch readability
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^-1/k! sums), computed
+#: ONCE here and embedded as identical literals in the Spark expression
+#: and the oracle SQL so the bootstrap weights can never diverge
+import math as _math  # noqa: E402
+
+_POIS_CUM: list[float] = []
+_acc = 0.0
+for _k in range(8):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CUM.append(_acc)
+
+_BOOT_B = 64
+_TWO60 = float(1 << 60)
+
+
+def _pois_weight(u):
+    """Inverse-CDF Poisson(1) draw from a uniform column (max 8)."""
+    w = F.lit(8)
+    for k in reversed(range(8)):
+        w = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _pois_weight_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"(CASE {whens} ELSE 8 END)"
+
+
+@query(
+    "orders_bootstrap_ci",
+    f"""
+WITH ob AS (
+  SELECT o_totalprice AS x, s AS b,
+         {SIM._hash60_sql("(o_orderkey::VARCHAR || ':' || s::VARCHAR)")}
+           / {_TWO60!r} AS u
+  FROM orders, generate_series(0, {_BOOT_B - 1}) t(s)
+),
+wt AS (SELECT b, x, {_pois_weight_sql('u')} AS w FROM ob),
+reps AS (SELECT b, {_r6n_sql("sum(w * x) / sum(w)")} AS m FROM wt GROUP BY 1),
+hist AS (SELECT m, count(*) AS c FROM reps GROUP BY 1),
+cum AS (SELECT m, sum(c) OVER (ORDER BY m) AS cum FROM hist),
+ci AS (SELECT min(CASE WHEN cum >= 2 THEN m END) AS ci_lo,
+              min(CASE WHEN cum >= {_BOOT_B - 2} THEN m END) AS ci_hi
+       FROM cum),
+base AS (SELECT count(*) AS n_orders,
+                {_r6n_sql("sum(o_totalprice) / count(*)")} AS mean_price
+         FROM orders)
+SELECT base.n_orders::BIGINT AS n_orders, {_BOOT_B}::BIGINT AS n_replicas,
+       base.mean_price, ci.ci_lo, ci.ci_hi
+FROM base, ci
+""",
+)
+def orders_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson bootstrap 96% CI for the mean order value
+    (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    Streams" — THE bootstrap that scales: each row draws its replica
+    multiplicities independently, so resampling is one streaming pass,
+    never a with-replacement shuffle of the dataset).  Replica b's
+    weight for a row is Poisson(1) via inverse-CDF on an md5-derived
+    uniform — fully deterministic and engine-reproducible.
+
+    Scale shape: an exact B=64-way explode, one (replica -> weighted
+    mean) aggregate, and order statistics over the 64 replica means via
+    the two-phase cutoff helper (replica means are 6-dp-rounded BEFORE
+    ranking so both engines rank identical keys)."""
+    from .functions.distribution import discrete_percentile_cutoffs
+
+    o = load_table(spark, sf_dir, "orders")
+    ob = o.select(
+        F.col("o_totalprice").alias("x"),
+        "o_orderkey",
+        F.explode(F.array(*[F.lit(s) for s in range(_BOOT_B)])).alias("b"),
+    )
+    u = (
+        SIM.hash60(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        / F.lit(_TWO60)
+    )
+    wt = ob.select("b", "x", _pois_weight(u).alias("w"))
+    reps = wt.groupBy("b").agg(
+        _r6n(F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
+    )
+    hist = reps.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
+    ci = discrete_percentile_cutoffs(hist, "m", "c", [0.02, 0.98])
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r6n(F.sum("o_totalprice") / F.count(F.lit(1))).alias("mean_price"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+        "mean_price",
+        F.col("p_0").alias("ci_lo"),
+        F.col("p_1").alias("ci_hi"),
+    )
+
+
+@query(
+    "events_mann_kendall_sen",
+    f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+p AS MATERIALIZED (
+  SELECT a.event_type,
+         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn,
+         (b.c - a.c) / (b.d - a.d) AS slope, a.d AS da, b.d AS db
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+sagg AS (SELECT event_type, sum(sgn) AS s_stat, count(*) AS cnt
+         FROM p GROUP BY 1),
+sen AS (
+  SELECT event_type, slope AS sen_slope FROM (
+    SELECT p.event_type, p.slope, sagg.cnt,
+           row_number() OVER (PARTITION BY p.event_type
+                              ORDER BY p.slope, p.da, p.db) AS rn
+    FROM p JOIN sagg USING (event_type)
+  ) WHERE rn = (cnt - 1) // 2 + 1
+),
+nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+tt AS (
+  SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tie_term FROM (
+    SELECT event_type, c, count(*) AS t FROM daily GROUP BY 1, 2
+  ) GROUP BY 1
+),
+v AS (
+  SELECT nd.event_type, nd.n_days,
+         (nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - tt.tie_term)
+           / 18.0 AS var_s
+  FROM nd JOIN tt USING (event_type)
+)
+SELECT v.event_type, v.n_days::BIGINT AS n_days,
+       sagg.s_stat::BIGINT AS s_stat,
+       {_r6n_sql("var_s")} AS var_s,
+       {_r6n_sql('''CASE WHEN var_s <= 0 THEN 0.0
+            WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+            ELSE 0.0 END''')} AS z_stat,
+       sen.sen_slope
+FROM v JOIN sagg USING (event_type) JOIN sen USING (event_type)
+""",
+)
+def events_mann_kendall_sen(spark, sf_dir):
+    """Mann-Kendall trend test (Mann 1945, Kendall's tau form) with the
+    tie-corrected variance plus Sen's slope (Sen 1968, the median of
+    pairwise slopes) — the standard nonparametric "is this metric
+    drifting?" monitor, per event type over the daily count rollup.
+
+    Scale shape: events reduce to a calendar-bounded (type, day, count)
+    rollup FIRST; the quadratic pair set is over days (d*(d-1)/2 per
+    type regardless of event volume), built by a keyed equi-join on
+    type.  Sen's slope is the explicit lower-median rank over each
+    type's pair relation — a KEYED window, with (slope, day_a, day_b)
+    as the deterministic tie-break; slopes are exact integer-ratio
+    doubles, identical across engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = persist_tracked(
+        e.select("event_type", _epoch_day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    p = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+            ((F.col("cb") - F.col("ca")) / (F.col("db") - F.col("da"))).alias(
+                "slope"
+            ),
+            "da",
+            "db",
+        )
+    )
+    p = persist_tracked(p)
+    sagg = p.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "da", "db")
+    sen = (
+        p.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(sagg), "event_type")
+        .where(
+            F.col("rn")
+            == F.floor((F.col("cnt") - 1) / 2).cast("long") + 1
+        )
+        .select("event_type", F.col("slope").alias("sen_slope"))
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    tt = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n = F.col("n_days")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / F.lit(18.0)
+    s = F.col("s_stat")
+    z = (
+        F.when(var_s <= 0, F.lit(0.0))
+        .when(s > 0, (s - 1) / F.sqrt(var_s))
+        .when(s < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nd.join(tt, "event_type")
+        .join(sagg, "event_type")
+        .join(sen, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            "s_stat",
+            _r6n(var_s).alias("var_s"),
+            _r6n(z).alias("z_stat"),
+            "sen_slope",
+        )
+    )
+
+
+@query(
+    "users_rfm_segments",
+    f"""
+WITH per AS (
+  SELECT user_id,
+         max(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) AS last_d,
+         count(*) AS f, {_r6n_sql("sum(value)")} AS m
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+mx AS (SELECT max(last_d) AS dmax FROM per),
+rfm AS (SELECT user_id, dmax - last_d AS r, f, m FROM per, mx),
+cuts AS (
+  SELECT list_transform(quantile_cont(r, [0.25, 0.5, 0.75]),
+                        x -> round(x, 6)) AS qr,
+         list_transform(quantile_cont(f, [0.25, 0.5, 0.75]),
+                        x -> round(x, 6)) AS qf,
+         list_transform(quantile_cont(m, [0.25, 0.5, 0.75]),
+                        x -> round(x, 6)) AS qm
+  FROM rfm
+),
+coded AS (
+  SELECT
+    1 + list_sum(list_transform(qr,
+          q -> CASE WHEN round(r, 6) > q THEN 1 ELSE 0 END)) AS r_code,
+    1 + list_sum(list_transform(qf,
+          q -> CASE WHEN round(f, 6) > q THEN 1 ELSE 0 END)) AS f_code,
+    1 + list_sum(list_transform(qm,
+          q -> CASE WHEN round(m, 6) > q THEN 1 ELSE 0 END)) AS m_code,
+    m
+  FROM rfm, cuts
+)
+SELECT r_code::INT AS r_code, f_code::INT AS f_code, m_code::INT AS m_code,
+       count(*)::BIGINT AS n_users, {_r6n_sql("avg(m)")} AS avg_monetary
+FROM coded GROUP BY 1, 2, 3
+""",
+)
+def users_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    purchasers (Hughes 1994's direct-marketing classic): per-user
+    recency (days since last purchase), purchase count, and 6-dp-rounded
+    spend, each quartile-coded 1-4 against exact interpolated cutoffs,
+    then segment-level counts and average spend.
+
+    Scale shape: the customer_balance_deciles pattern x3 — users reduce
+    to one row, ONE percentile aggregate produces all nine cutoffs (two
+    tiny broadcast join-backs, no ntile window), codes are a broadcast
+    comparison.  Cutoff comparisons use 6-dp-rounded values on both
+    engines so interpolation ulps can't flip a bucket."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", _epoch_day("ts").alias("d"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("f"),
+            _r6n(F.sum("value")).alias("m"),
+        )
+    )
+    mx = per.agg(F.max("last_d").alias("dmax"))
+    rfm = persist_tracked(
+        per.crossJoin(F.broadcast(mx)).select(
+            (F.col("dmax") - F.col("last_d")).alias("r"), "f", "m"
+        )
+    )
+    qs = [0.25, 0.5, 0.75]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    cuts = rfm.agg(
+        *[
+            F.transform(
+                F.percentile(c, qarr), lambda x: F.round(x, 6)
+            ).alias(f"q{c}")
+            for c in ("r", "f", "m")
+        ]
+    )
+
+    def code(col, cut):
+        return (
+            1
+            + F.aggregate(
+                F.col(cut),
+                F.lit(0),
+                lambda acc, q: acc
+                + F.when(F.round(F.col(col), 6) > q, 1).otherwise(0),
+            )
+        ).cast("int")
+
+    coded = rfm.crossJoin(F.broadcast(cuts)).select(
+        code("r", "qr").alias("r_code"),
+        code("f", "qf").alias("f_code"),
+        code("m", "qm").alias("m_code"),
+        "m",
+    )
+    return coded.groupBy("r_code", "f_code", "m_code").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        _r6n(F.avg("m")).alias("avg_monetary"),
+    )
+
+
+@query("embedding_kmeans_silhouette", CL.kmeans_silhouette_oracle_sql())
+def embedding_kmeans_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette (operators/clustering.py
+    kmeans_silhouette): Rousseeuw 1987's cohesion-vs-separation score
+    with centroid distances — the O(n*k) variant that survives scale —
+    over the SAME Lloyd trajectory as embedding_kmeans_clusters, so the
+    two queries can never disagree about the clustering they score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return CL.kmeans_silhouette(emb)
+
+
+@query(
+    "docs_flesch_scores",
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         len({_TOKENS_SQL})::BIGINT AS w,
+         greatest(1, length(regexp_replace(
+             regexp_replace(text, '[.!?]+', '.', 'g'),
+             '[^.]', '', 'g')))::BIGINT AS s,
+         greatest(1, length(regexp_replace(
+             regexp_replace({_NORM_SQL}, '[aeiouy]+', 'a', 'g'),
+             '[^a]', '', 'g')))::BIGINT AS y
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       {_r6n_sql("206.835 - 1.015 * (w::DOUBLE / s) - 84.6 * (y::DOUBLE / w)")} AS flesch
+FROM f
+""",
+)
+def docs_flesch_scores(spark, sf_dir):
+    """Flesch reading-ease per document (Flesch 1948; the classic
+    quality/readability filter signal): 206.835 - 1.015 (words /
+    sentences) - 84.6 (syllables / words), with sentences counted as
+    runs of terminal punctuation and syllables approximated by vowel
+    groups — both pure regex/length integer counts identical across
+    engines (collapse runs to one marker char, strip the rest, take the
+    length; no tokenizer dependency).  One JVM expression pipeline over
+    a single corpus scan, zero shuffles before the final projection."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    w = F.size(F.split(norm, " ")).cast("long")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[.!?]+", "."), "[^.]", ""
+            )
+        ).cast("long"),
+    )
+    y = F.greatest(
+        F.lit(1).cast("long"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(norm, "[aeiouy]+", "a"), "[^a]", ""
+            )
+        ).cast("long"),
+    )
+    wd = w.cast("double")
+    return d.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+        _r6n(
+            F.lit(206.835)
+            - F.lit(1.015) * (wd / s)
+            - F.lit(84.6) * (y / wd)
+        ).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -100,6 +100,9 @@ BNLJ_BOUNDED: dict[str, str] = {
     "embedding_alignment_uniformity": (
         _SCALAR + " (1-row alignment x 1-row uniformity aggregate)"
     ),
+    "orders_bootstrap_ci": _SCALAR + " (64-replica cutoff row x base stats row)",
+    "users_rfm_segments": _SCALAR + " (dmax row + 9-cutoff row join-backs)",
+    "embedding_kmeans_silhouette": _SEEDS + " (+ k-centroid scoring cross)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -160,6 +163,13 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     ),
     "embedding_alignment_uniformity": (
         "two-phase global_rank offset window (<= #partitions rows)"
+    ),
+    "orders_bootstrap_ci": (
+        "two-phase cutoff offset window over the 64-replica-mean histogram"
+    ),
+    "embedding_kmeans_silhouette": (
+        "row_number over the k seed rows (same Lloyd trajectory as "
+        "embedding_kmeans_clusters)"
     ),
 }
 

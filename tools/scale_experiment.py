@@ -147,6 +147,11 @@ PROBES = (
     "embedding_pq_topk",           # PQ codebooks + ADC lookup join (r05b)
     "docs_perplexity_prune",       # bigram scores + discrete cutoffs (r05b)
     "parts_name_matches",          # canonicalized blocked ER (r05b)
+    "quality_neardup_auc",         # LSH label + histogram rank-sum AUC (r05d)
+    "weekly_user_bitmap_distinct",  # bitmap word OR-rollup (r05d)
+    "orders_bootstrap_ci",         # 64-way Poisson-bootstrap explode (r05e)
+    "events_mann_kendall_sen",     # calendar-bounded pair set + keyed median (r05e)
+    "embedding_kmeans_silhouette",  # Lloyd trajectory + all-pairs centroid cross (r05e)
 )
 
 

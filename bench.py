@@ -49,7 +49,12 @@ def main() -> int:
     # to steer the driver's correctness window, and late-session queries
     # pay a measurable JVM-aging tax — a stable order keeps per-query
     # timings comparable across rounds regardless of the rotation
-    for i, name in enumerate(sorted(suite.QUERIES)):
+    # opt-in subset runs (comma-separated names) for folding NEW queries
+    # into the medians file without re-timing the established ones; the
+    # driver never sets this, so its full runs are unaffected
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = sorted(only.split(",")) if only else sorted(suite.QUERIES)
+    for i, name in enumerate(selected):
         fn = suite.QUERIES[name]
         if i and i % RECYCLE_EVERY == 0:
             spark.stop()

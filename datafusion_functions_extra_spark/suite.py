@@ -9143,6 +9143,540 @@ def docs_flesch_scores(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-5f batch: lagged cross-correlation, growth accounting, Simpson's
+# paradox screen, difference-in-differences, Holt-Winters smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_lagged_cross_correlation",
+    f"""
+WITH dp AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d, count(*) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+dc AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d, count(*) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+j AS (
+  SELECT t.lag, dp.x, dc.y
+  FROM dp CROSS JOIN generate_series(-7, 7) t(lag)
+  JOIN dc ON dc.d = dp.d + t.lag
+),
+s AS (
+  SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j GROUP BY 1
+)
+SELECT lag::BIGINT AS lag, n::BIGINT AS n_days,
+       {_r6n_sql('''(n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy))''')} AS corr
+FROM s
+""",
+)
+def events_lagged_cross_correlation(spark, sf_dir):
+    """Lagged cross-correlation of the purchase and click daily series
+    (the CCF, Box & Jenkins 1970): Pearson correlation of purchase(d)
+    vs click(d + lag) for lags -7..7 — "do clicks lead purchases, and
+    by how many days?".  Every sum is over INTEGER daily counts, so
+    numerator and the squared denominators are exact integers on both
+    engines; float enters only at the final sqrt/divide.
+
+    Scale shape: events reduce to two calendar-bounded daily rollups;
+    the lag explode is an exact 15-way fan-out of the day spine, joined
+    back as a keyed equi-join."""
+    e = load_table(spark, sf_dir, "events")
+    day = _epoch_day("ts")
+    dp = (
+        e.where(F.col("event_type") == "purchase")
+        .select(day.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    dc = (
+        e.where(F.col("event_type") == "click")
+        .select(day.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lagged = dp.select(
+        "d", "x", F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("lag")
+    ).select((F.col("d") + F.col("lag")).alias("jd"), "x", "lag")
+    j = lagged.join(dc.select(F.col("d").alias("jd"), "y"), "jd")
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(
+        ((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)).cast(
+            "double"
+        )
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_days"),
+        _r6n(num / den).alias("corr"),
+    )
+
+
+@query(
+    "users_growth_accounting",
+    f"""
+WITH uw AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) // 7 AS w
+  FROM events
+),
+fw AS (SELECT user_id, min(w) AS first_w FROM uw GROUP BY 1),
+wmax AS (SELECT max(w) AS wm FROM uw),
+act AS (SELECT w, count(*) AS n_active FROM uw GROUP BY 1),
+ret AS (
+  SELECT c.w, count(*) AS n_retained
+  FROM uw c JOIN uw p ON p.user_id = c.user_id AND p.w = c.w - 1
+  GROUP BY 1
+),
+nw AS (
+  SELECT c.w, count(*) AS n_new
+  FROM uw c JOIN fw ON fw.user_id = c.user_id AND fw.first_w = c.w
+  GROUP BY 1
+),
+ch AS (
+  SELECT p.w + 1 AS w, count(*) AS n_churned
+  FROM uw p
+  LEFT JOIN uw c ON c.user_id = p.user_id AND c.w = p.w + 1
+  CROSS JOIN wmax
+  WHERE c.user_id IS NULL AND p.w + 1 <= wmax.wm
+  GROUP BY 1
+)
+SELECT act.w AS week, act.n_active::BIGINT AS n_active,
+       coalesce(nw.n_new, 0)::BIGINT AS n_new,
+       coalesce(ret.n_retained, 0)::BIGINT AS n_retained,
+       (act.n_active - coalesce(nw.n_new, 0)
+        - coalesce(ret.n_retained, 0))::BIGINT AS n_resurrected,
+       coalesce(ch.n_churned, 0)::BIGINT AS n_churned,
+       CASE WHEN coalesce(ch.n_churned, 0) > 0 THEN
+         {_r6n_sql('''(act.n_active - coalesce(ret.n_retained, 0))::DOUBLE
+            / ch.n_churned''')}
+       END AS quick_ratio
+FROM act
+LEFT JOIN ret ON ret.w = act.w
+LEFT JOIN nw ON nw.w = act.w
+LEFT JOIN ch ON ch.w = act.w
+""",
+)
+def users_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting (the social-graph "quick ratio"
+    decomposition popularized by startup analytics): each week's active
+    users split into retained (active last week), new (first week
+    ever), and resurrected (returning after a gap); churned = last
+    week's actives who didn't return; quick ratio = (new +
+    resurrected) / churned.
+
+    Scale shape: events reduce to a distinct (user, week) relation
+    shared by every leg (materialized once); all five legs are keyed
+    equi-joins on (user, week+-1) — the week shift is an exact column
+    expression, never a window."""
+    e = load_table(spark, sf_dir, "events")
+    day = _epoch_day("ts")
+    uw = persist_tracked(
+        e.select(
+            "user_id",
+            ((day - F.pmod(day, F.lit(7))) / 7).cast("long").alias("w"),
+        ).distinct()
+    )
+    fw = uw.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    wmax = uw.agg(F.max("w").alias("wm"))
+    act = uw.groupBy("w").agg(F.count(F.lit(1)).alias("n_active"))
+    prev = uw.select("user_id", (F.col("w") + 1).alias("w"))
+    ret = (
+        uw.join(prev, ["user_id", "w"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    nw = (
+        uw.join(fw, "user_id")
+        .where(F.col("first_w") == F.col("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    ch = (
+        prev.join(uw, ["user_id", "w"], "left_anti")
+        .crossJoin(F.broadcast(wmax))
+        .where(F.col("w") <= F.col("wm"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    out = (
+        act.join(ret, "w", "left")
+        .join(nw, "w", "left")
+        .join(ch, "w", "left")
+        .select(
+            F.col("w").alias("week"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce(F.col("n_retained"), F.lit(0))
+            .cast("long")
+            .alias("n_retained"),
+            (
+                F.col("n_active")
+                - F.coalesce(F.col("n_new"), F.lit(0))
+                - F.coalesce(F.col("n_retained"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_resurrected"),
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("long")
+            .alias("n_churned"),
+            F.when(
+                F.coalesce(F.col("n_churned"), F.lit(0)) > 0,
+                _r6n(
+                    (
+                        F.col("n_active")
+                        - F.coalesce(F.col("n_retained"), F.lit(0))
+                    ).cast("double")
+                    / F.col("n_churned")
+                ),
+            ).alias("quick_ratio"),
+        )
+    )
+    return out
+
+
+#: fixed centering constants for the Simpson slope screen — embedded as
+#: identical literals on both engines so the covariance sums never
+#: catastrophically cancel (SURVEY §8.3's drift class, prevented at the
+#: source instead of absorbed by rounding)
+_SIMPSON_CX = 0.05
+_SIMPSON_CY = 25.0
+
+_SIMPSON_STATS_SQL = f"""
+  count(*) AS n,
+  sum(l_discount - {_SIMPSON_CX!r}) AS sx,
+  sum(l_quantity - {_SIMPSON_CY!r}) AS sy,
+  sum((l_discount - {_SIMPSON_CX!r}) * (l_quantity - {_SIMPSON_CY!r})) AS sxy,
+  sum((l_discount - {_SIMPSON_CX!r}) * (l_discount - {_SIMPSON_CX!r})) AS sxx,
+  sum((l_quantity - {_SIMPSON_CY!r}) * (l_quantity - {_SIMPSON_CY!r})) AS syy
+"""
+
+
+@query(
+    "lineitem_simpson_slopes",
+    f"""
+WITH g AS (
+  SELECT l_returnflag AS scope, {_SIMPSON_STATS_SQL}
+  FROM lineitem GROUP BY 1
+),
+a AS (SELECT 'ALL' AS scope, {_SIMPSON_STATS_SQL} FROM lineitem),
+u AS (SELECT * FROM g UNION ALL SELECT * FROM a),
+sl AS (
+  SELECT scope, n,
+         {_r6n_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+         {_r6n_sql(f'''(sy / n + {_SIMPSON_CY!r})
+            - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+              * (sx / n + {_SIMPSON_CX!r})''')} AS intercept,
+         {_r6n_sql('''(n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))''')} AS r2
+  FROM u
+)
+SELECT sl.scope, sl.n::BIGINT AS n_rows, sl.slope, sl.intercept, sl.r2,
+       ((sl.slope > 0) <> (o.slope > 0)) AS sign_flips_vs_overall
+FROM sl CROSS JOIN (SELECT slope FROM sl WHERE scope = 'ALL') o
+""",
+)
+def lineitem_simpson_slopes(spark, sf_dir):
+    """Simpson's-paradox screen (Simpson 1951) on the discount ->
+    quantity regression: the pooled OLS slope vs per-returnflag slopes,
+    each with intercept and R² — a reversed sign between the overall
+    and any stratum is the aggregation trap every metrics pipeline
+    should test for.  Inputs are pre-centered by FIXED literal
+    constants on both engines, which kills the catastrophic
+    cancellation in n·Σxy - ΣxΣy (drift prevented at the source, not
+    absorbed by rounding); the flag compares 6-dp-ROUNDED slopes so it
+    is deterministic.
+
+    Scale shape: one power-sum aggregate per stratum plus one pooled —
+    the same mergeable moment state as skewness/kurtosis — and a
+    broadcast of the single overall row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_discount") - F.lit(_SIMPSON_CX)
+    y = F.col("l_quantity") - F.lit(_SIMPSON_CY)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    ]
+    g = li.groupBy(F.col("l_returnflag").alias("scope")).agg(*aggs)
+    a = li.agg(*aggs).select(F.lit("ALL").alias("scope"), *[
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    ])
+    u = g.unionAll(a)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    denx = n * F.col("sxx") - sx * sx
+    slope = num / denx
+    sl = u.select(
+        "scope",
+        n.cast("long").alias("n_rows"),
+        _r6n(slope).alias("slope"),
+        _r6n(
+            (sy / n + F.lit(_SIMPSON_CY))
+            - slope * (sx / n + F.lit(_SIMPSON_CX))
+        ).alias("intercept"),
+        _r6n(num * num / (denx * (n * F.col("syy") - sy * sy))).alias("r2"),
+    )
+    overall = sl.where(F.col("scope") == "ALL").select(
+        F.col("slope").alias("o_slope")
+    )
+    return sl.crossJoin(F.broadcast(overall)).select(
+        "scope",
+        "n_rows",
+        "slope",
+        "intercept",
+        "r2",
+        ((F.col("slope") > 0) != (F.col("o_slope") > 0)).alias(
+            "sign_flips_vs_overall"
+        ),
+    )
+
+
+#: DiD design literals: treated/control event types and the post-period
+#: cutoff in portable epoch days (2024-01-16)
+_DID_CUT_DAY = 19738
+
+
+@query(
+    "events_did_estimate",
+    f"""
+WITH cells AS (
+  SELECT (event_type = 'purchase') AS treated,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} >= {_DID_CUT_DAY}) AS post,
+         count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT
+    max(CASE WHEN treated AND post THEN n END) AS n_tp,
+    max(CASE WHEN treated AND NOT post THEN n END) AS n_tr,
+    max(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+    max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_cr,
+    max(CASE WHEN treated AND post THEN s1 / n END) AS m_tp,
+    max(CASE WHEN treated AND NOT post THEN s1 / n END) AS m_tr,
+    max(CASE WHEN NOT treated AND post THEN s1 / n END) AS m_cp,
+    max(CASE WHEN NOT treated AND NOT post THEN s1 / n END) AS m_cr,
+    max(CASE WHEN treated AND post
+             THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS v_tp,
+    max(CASE WHEN treated AND NOT post
+             THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS v_tr,
+    max(CASE WHEN NOT treated AND post
+             THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS v_cp,
+    max(CASE WHEN NOT treated AND NOT post
+             THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS v_cr
+  FROM cells
+)
+SELECT n_tp::BIGINT AS n_treated_post, n_tr::BIGINT AS n_treated_pre,
+       n_cp::BIGINT AS n_control_post, n_cr::BIGINT AS n_control_pre,
+       {_r6n_sql("m_tp")} AS mean_treated_post,
+       {_r6n_sql("m_tr")} AS mean_treated_pre,
+       {_r6n_sql("m_cp")} AS mean_control_post,
+       {_r6n_sql("m_cr")} AS mean_control_pre,
+       {_r6n_sql("(m_tp - m_tr) - (m_cp - m_cr)")} AS did,
+       {_r6n_sql("sqrt(v_tp + v_tr + v_cp + v_cr)")} AS se,
+       {_r6n_sql("((m_tp - m_tr) - (m_cp - m_cr)) / sqrt(v_tp + v_tr + v_cp + v_cr)")} AS t_stat
+FROM p
+""",
+)
+def events_did_estimate(spark, sf_dir):
+    """Difference-in-differences estimate (Card & Krueger 1994's
+    workhorse design) treating purchases as the treated series and
+    views as the control, split at a fixed calendar cutoff: DiD =
+    (treated post - pre) - (control post - pre), with the
+    unequal-variance standard error from the four cell variances — the
+    quasi-experimental readout layered on the same mergeable power-sum
+    state as the Welch query.
+
+    Scale shape: ONE aggregate produces all four (group, period) cells;
+    everything after is arithmetic on a single pivoted row."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy(
+            (F.col("event_type") == "purchase").alias("treated"),
+            (_epoch_day("ts") >= F.lit(_DID_CUT_DAY)).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s1"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+
+    def cell(tr, po, expr):
+        cond = (F.col("treated") == tr) & (F.col("post") == po)
+        return F.max(F.when(cond, expr))
+
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    vmean = (s2 - s1 * s1 / n) / (n - 1) / n
+    p = cells.agg(
+        cell(True, True, n).alias("n_tp"),
+        cell(True, False, n).alias("n_tr"),
+        cell(False, True, n).alias("n_cp"),
+        cell(False, False, n).alias("n_cr"),
+        cell(True, True, mean).alias("m_tp"),
+        cell(True, False, mean).alias("m_tr"),
+        cell(False, True, mean).alias("m_cp"),
+        cell(False, False, mean).alias("m_cr"),
+        cell(True, True, vmean).alias("v_tp"),
+        cell(True, False, vmean).alias("v_tr"),
+        cell(False, True, vmean).alias("v_cp"),
+        cell(False, False, vmean).alias("v_cr"),
+    )
+    did = (F.col("m_tp") - F.col("m_tr")) - (F.col("m_cp") - F.col("m_cr"))
+    se = F.sqrt(
+        F.col("v_tp") + F.col("v_tr") + F.col("v_cp") + F.col("v_cr")
+    )
+    return p.select(
+        F.col("n_tp").cast("long").alias("n_treated_post"),
+        F.col("n_tr").cast("long").alias("n_treated_pre"),
+        F.col("n_cp").cast("long").alias("n_control_post"),
+        F.col("n_cr").cast("long").alias("n_control_pre"),
+        _r6n(F.col("m_tp")).alias("mean_treated_post"),
+        _r6n(F.col("m_tr")).alias("mean_treated_pre"),
+        _r6n(F.col("m_cp")).alias("mean_control_post"),
+        _r6n(F.col("m_cr")).alias("mean_control_pre"),
+        _r6n(did).alias("did"),
+        _r6n(se).alias("se"),
+        _r6n(did / se).alias("t_stat"),
+    )
+
+
+#: Holt-Winters smoothing constants, shared verbatim by both engines
+_HW_ALPHA = 0.3
+_HW_GAMMA = 0.1
+
+
+@query(
+    "events_holt_winters",
+    f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d,
+         count(*) AS c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) AS rn
+  FROM events GROUP BY 1, 2
+),
+hw AS (
+  SELECT event_type, rn, d, c, c::DOUBLE AS level, 0.0::DOUBLE AS trend
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.rn, n.d, n.c,
+         {_HW_ALPHA!r} * n.c + {1.0 - _HW_ALPHA!r} * (h.level + h.trend),
+         {_HW_GAMMA!r} * (({_HW_ALPHA!r} * n.c
+             + {1.0 - _HW_ALPHA!r} * (h.level + h.trend)) - h.level)
+           + {1.0 - _HW_GAMMA!r} * h.trend
+  FROM hw h JOIN daily n
+    ON n.event_type = h.event_type AND n.rn = h.rn + 1
+)
+SELECT event_type, d AS day, c::BIGINT AS n_events,
+       {_r6n_sql("level")} AS level, {_r6n_sql("trend")} AS trend,
+       {_r6n_sql("level + trend")} AS forecast_next
+FROM hw
+""",
+)
+def events_holt_winters(spark, sf_dir):
+    """Holt's double exponential smoothing (Holt 1957; the level+trend
+    recurrence) over each event type's daily series — the short-term
+    volume forecaster: l_t = ax_t + (1-a)(l_prev + b_prev),
+    b_t = g(l_t - l_prev) + (1-g)b_prev, forecast = l + b.
+
+    A linear RECURRENCE is the one shape windowed aggregation cannot
+    express; here the series per key is calendar-bounded, so the whole
+    sorted series is folded IN-ROW (one array per type, prefix folds
+    via F.aggregate — the PCA/BPE in-row iteration pattern) while the
+    oracle replays the identical arithmetic as a recursive CTE.  Both
+    engines evaluate the same literal coefficients in the same
+    sequential order, so trajectories agree to the last ulp before the
+    6-dp rounding.
+
+    Scale: the quadratic prefix fold is over DAYS per type (365²
+    in-row ops per key-year, constant w.r.t. event volume); the corpus
+    itself is reduced by one keyed aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", _epoch_day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("c")))
+        ).alias("arr")
+    )
+    a, g = _HW_ALPHA, _HW_GAMMA
+
+    def hw_state(prefix):
+        acc0 = F.struct(
+            F.lit(0.0).alias("level"),
+            F.lit(0.0).alias("trend"),
+            F.lit(False).alias("started"),
+        )
+
+        def step(acc, el):
+            x = el["c"].cast("double")
+            nl = F.lit(a) * x + F.lit(1.0 - a) * (acc.level + acc.trend)
+            nt = (
+                F.lit(g) * (nl - acc.level)
+                + F.lit(1.0 - g) * acc.trend
+            )
+            return F.when(
+                ~acc.started,
+                F.struct(
+                    x.alias("level"),
+                    F.lit(0.0).alias("trend"),
+                    F.lit(True).alias("started"),
+                ),
+            ).otherwise(
+                F.struct(
+                    nl.alias("level"),
+                    nt.alias("trend"),
+                    F.lit(True).alias("started"),
+                )
+            )
+
+        return F.aggregate(prefix, acc0, step)
+
+    states = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("arr"))),
+        lambda i: hw_state(F.slice(F.col("arr"), 1, i)),
+    )
+    z = arr.select(
+        "event_type",
+        F.explode(F.arrays_zip(F.col("arr"), states.alias("st"))).alias("e"),
+    )
+    lvl = F.col("e.st.level")
+    tr = F.col("e.st.trend")
+    return z.select(
+        "event_type",
+        F.col("e.arr.d").alias("day"),
+        F.col("e.arr.c").cast("long").alias("n_events"),
+        _r6n(lvl).alias("level"),
+        _r6n(tr).alias("trend"),
+        _r6n(lvl + tr).alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -21,10 +21,10 @@ def test_bootstrap_ci_brackets_mean_and_weights_are_poisson(spark):
     assert r.ci_lo < r.mean_price < r.ci_hi
     assert r.ci_lo < r.ci_hi
     # weight distribution sanity straight off the suite's inverse CDF
+    # (12-bit integer lanes, the lane-packed rewrite's draw)
     df = spark.range(10000).select(
-        suite._pois_weight(
-            (F.hash(F.col("id").cast("string")).cast("double") + F.lit(2**31))
-            / F.lit(2.0**32)
+        suite._boot_weight(
+            F.pmod(F.hash(F.col("id").cast("string")), F.lit(4096))
         ).alias("w")
     )
     stats = df.agg(F.avg("w").alias("m"), F.max("w").alias("mx")).collect()[0]

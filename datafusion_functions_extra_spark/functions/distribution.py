@@ -35,6 +35,22 @@ def global_cumsum(
     boundaries can split equal keys between partitions, which would make
     the local cumsum order-dependent for ties.
     """
+    return global_cumsum_multi(
+        df, order_col, {out_col: value_col}, ascending=ascending
+    )
+
+
+def global_cumsum_multi(
+    df: DataFrame,
+    order_col: str,
+    cols: dict[str, str],
+    ascending: bool = True,
+) -> DataFrame:
+    """:func:`global_cumsum` over SEVERAL value columns in one pass:
+    ``cols`` maps each output column to the value column it accumulates.
+    One range shuffle + one pinned layout serves every cumulative sum —
+    a Lorenz-curve style query needing both a count CDF and a value CDF
+    pays a single two-phase pass instead of two."""
     order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     # EAGER materialization is a correctness requirement, not an
@@ -59,19 +75,31 @@ def global_cumsum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("_lcum", F.sum(value_col).over(wl))
+    out_names = list(cols)
+    local = ranged
+    for i, out_col in enumerate(out_names):
+        local = local.withColumn(f"_lcum{i}", F.sum(cols[out_col]).over(wl))
     wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         local.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_n"))
-        .withColumn("_off", F.coalesce(F.sum("_n").over(wo), F.lit(0)))
-        .select("_pid", "_off")
+        .agg(*[F.sum(cols[o]).alias(f"_n{i}") for i, o in enumerate(out_names)])
+        .select(
+            "_pid",
+            *[
+                F.coalesce(F.sum(f"_n{i}").over(wo), F.lit(0)).alias(f"_off{i}")
+                for i in range(len(out_names))
+            ],
+        )
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_off") + F.col("_lcum"))
-        .drop("_pid", "_lcum", "_off")
-    )
+    joined = local.join(F.broadcast(offsets), "_pid")
+    for i, out_col in enumerate(out_names):
+        joined = joined.withColumn(
+            out_col, F.col(f"_off{i}") + F.col(f"_lcum{i}")
+        )
+    drop = ["_pid"] + [f"_lcum{i}" for i in range(len(out_names))] + [
+        f"_off{i}" for i in range(len(out_names))
+    ]
+    return joined.drop(*drop)
 
 
 def global_rank(

@@ -9707,6 +9707,506 @@ def events_holt_winters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# data-quality / concentration / diagnostics batch: referential-integrity
+# audit, Lorenz-curve revenue concentration (Gini), McNemar paired-classifier
+# test, autocorrelation diagnostics
+# ---------------------------------------------------------------------------
+
+#: (edge label, child table, child key, parent table, parent key) — every
+#: foreign-key edge of the synthetic star/snowflake schema
+_FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_edge_oracle(edge, ct, ck, pt, pk):
+    return f"""
+SELECT '{edge}' AS edge,
+       count(*) AS n_child,
+       sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       sum(CASE WHEN c.k IS NOT NULL AND p.pk IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+       {_r6n_sql('''sum(CASE WHEN c.k IS NOT NULL AND p.pk IS NULL
+                THEN 1 ELSE 0 END)::DOUBLE / count(*)''')} AS orphan_rate
+FROM (SELECT {ck} AS k FROM {ct}) c
+LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {pt}) p ON c.k = p.pk"""
+
+
+@query(
+    "referential_integrity_audit",
+    " UNION ALL ".join(_fk_edge_oracle(*e) for e in _FK_EDGES),
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Constraint-suite audit: one row per foreign-key edge of the schema
+    with child rows, NULL keys, orphan rows (child key absent from the
+    parent), and orphan rate — the referential-integrity report a
+    pipeline publishes before training-data joins are trusted.
+
+    Scale shape: each child TABLE is scanned once no matter how many FK
+    edges it carries — its key columns posexplode into (edge, key) rows
+    that reduce to one tagged (edge, key -> count) histogram in the same
+    pass (the shuffle carries distinct keys, never child rows;
+    lineitem's three edges share one column-pruned scan).  All seven
+    orphan checks are then ONE left hash join of that histogram union
+    against the edge-tagged union of parent distinct-key projections
+    (the edge id is part of the join key, so edges cannot cross-match
+    and the key space is naturally spread), finished by a single 7-row
+    aggregate."""
+    by_child: dict[str, list[tuple[int, str]]] = {}
+    for i, (_, ct, ck, _, _) in enumerate(_FK_EDGES):
+        by_child.setdefault(ct, []).append((i, ck))
+    hist_parts = []
+    for ct, cols in by_child.items():
+        child = load_table(spark, sf_dir, ct)
+        edge_ids = F.array(*[F.lit(i) for i, _ in cols])
+        h = (
+            child.select(
+                F.posexplode(
+                    F.array(*[F.col(ck).cast("long") for _, ck in cols])
+                ).alias("pos", "k")
+            )
+            .select(F.element_at(edge_ids, F.col("pos") + 1).alias("e"), "k")
+            .groupBy("e", "k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        hist_parts.append(h)
+    hist = hist_parts[0]
+    for h in hist_parts[1:]:
+        hist = hist.unionByName(h)
+    parent_parts = []
+    for i, (_, _, _, pt, pk) in enumerate(_FK_EDGES):
+        parent = load_table(spark, sf_dir, pt)
+        parent_parts.append(
+            parent.select(
+                F.lit(i).alias("e"), F.col(pk).cast("long").alias("k")
+            ).distinct()
+        )
+    parents = parent_parts[0]
+    for p in parent_parts[1:]:
+        parents = parents.unionByName(p)
+    labels = F.array(*[F.lit(e[0]) for e in _FK_EDGES])
+    agg = (
+        hist.join(
+            parents.withColumn("present", F.lit(1)), ["e", "k"], "left"
+        )
+        .groupBy("e")
+        .agg(
+            F.sum("cnt").alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
+            ).alias("n_null"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("k").isNotNull() & F.col("present").isNull(),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_orphans"),
+        )
+    )
+    return agg.select(
+        F.element_at(labels, F.col("e") + 1).alias("edge"),
+        F.col("n_child"),
+        F.col("n_null"),
+        F.col("n_orphans"),
+        _r6n(F.col("n_orphans") / F.col("n_child").cast("double")).alias(
+            "orphan_rate"
+        ),
+    )
+
+
+@query(
+    "customer_revenue_concentration",
+    """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+h AS (SELECT cents AS v, count(*) AS cnt, cents * count(*) AS rev_sum
+      FROM rev GROUP BY 1),
+cum AS (
+  SELECT v, cnt, rev_sum,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+         sum(rev_sum) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM h
+),
+tot AS (SELECT sum(cnt)::BIGINT AS n, sum(rev_sum)::BIGINT AS t FROM h),
+sr AS (
+  SELECT sum(v * (cnt * (cum_cnt - cnt) + (cnt * (cnt + 1)) // 2))::BIGINT
+         AS s_r
+  FROM cum
+),
+p AS (SELECT n, t, greatest(1, n // 10) AS k10,
+             n - greatest(1, n // 10) AS m FROM tot),
+b10 AS (
+  SELECT CASE WHEN p.m = 0 THEN 0 ELSE (
+           SELECT (cum_rev - (cum_cnt - p.m) * v)::BIGINT FROM cum
+           WHERE cum_cnt >= p.m ORDER BY cum_cnt LIMIT 1
+         ) END AS bottom_rev
+  FROM p
+),
+kb AS (
+  SELECT coalesce(max(
+           (cum_cnt - cnt)
+           + least(cnt, (t - 5 * (cum_rev - rev_sum)) // (5 * v))
+         ), 0)::BIGINT AS k_bottom
+  FROM cum, tot WHERE 5 * (cum_rev - rev_sum) <= t
+)
+SELECT p.n AS n_customers,
+       p.t AS total_revenue_cents,
+       {gini} AS gini,
+       p.k10 AS top_decile_n,
+       {top10} AS top_decile_share,
+       (p.n - kb.k_bottom)::BIGINT AS k80,
+       {k80rate} AS k80_rate
+FROM p, sr, b10, kb
+""".format(
+        gini=_r6n_sql(
+            "2.0 * sr.s_r / (p.n::DOUBLE * p.t) - (p.n + 1)::DOUBLE / p.n"
+        ),
+        top10=_r6n_sql("(p.t - b10.bottom_rev)::DOUBLE / p.t"),
+        k80rate=_r6n_sql("(p.n - kb.k_bottom)::DOUBLE / p.n"),
+    ),
+)
+def customer_revenue_concentration(spark, sf_dir):
+    """Revenue-concentration report over per-customer lifetime revenue:
+    exact Gini coefficient, top-decile revenue share, and the minimum
+    number of customers covering 80% of revenue (k80) — the Lorenz-curve
+    summary behind "how head-heavy is this corpus/revenue?".
+
+    Everything is INTEGER arithmetic until the three final ratios:
+    revenue goes to cents at the ORDER level (``round(p*100)`` —
+    2-dp-decimal doubles land within 1e-9 of an integer, so HALF_UP vs
+    away-from-zero cannot disagree), the Lorenz curve is a two-phase
+    :func:`global_cumsum_multi` over the (revenue -> customers)
+    histogram (count CDF + value CDF in ONE range pass, no
+    single-partition window), the Gini rank identity handles ties by
+    group (sum of ranks over a tie group is order-invariant), and the
+    80% threshold test is the integer comparison ``5*cum_rev <= T``
+    with within-group fill by integer division — so both engines agree
+    bit-for-bit.
+
+    Scale: the only ordered structure is the histogram of DISTINCT
+    per-customer revenues; long overflow for S_r needs n*T < 2^63
+    (holds through ~1e15 revenue-cents x 1e3 customers and any test SF;
+    a 100-TB deployment past that switches the single S_r fold to
+    double at last-ulp cost, documented here rather than silently)."""
+    from .functions.distribution import global_cumsum_multi
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    h = (
+        rev.groupBy(F.col("cents").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rev_sum", F.col("v") * F.col("cnt"))
+    )
+    cum = global_cumsum_multi(
+        h, "v", {"cum_cnt": "cnt", "cum_rev": "rev_sum"}
+    )
+    tot = h.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("rev_sum").cast("long").alias("t"),
+    )
+    p = tot.select(
+        "n",
+        "t",
+        F.greatest(F.lit(1), F.expr("n DIV 10")).alias("k10"),
+        (F.col("n") - F.greatest(F.lit(1), F.expr("n DIV 10"))).alias("m"),
+    )
+    cp = cum.crossJoin(F.broadcast(p))
+    sr = cum.agg(
+        F.sum(
+            F.expr("v * (cnt * (cum_cnt - cnt) + (cnt * (cnt + 1)) DIV 2)")
+        )
+        .cast("long")
+        .alias("s_r")
+    )
+    # bottom-revenue at customer rank m: the containing tie group is the
+    # row with the SMALLEST cum_cnt >= m, picked by a struct-min (ordered
+    # by its first field) in one aggregate pass
+    b10 = cp.agg(
+        F.min(
+            F.when(
+                F.col("cum_cnt") >= F.col("m"),
+                F.struct(
+                    F.col("cum_cnt").alias("cc"),
+                    (
+                        F.col("cum_rev")
+                        - (F.col("cum_cnt") - F.col("m")) * F.col("v")
+                    ).alias("br"),
+                ),
+            )
+        ).alias("s"),
+        F.first(F.col("m")).alias("m0"),
+    ).select(
+        F.when(F.col("m0") == 0, F.lit(0))
+        .otherwise(F.col("s.br"))
+        .cast("long")
+        .alias("bottom_rev")
+    )
+    kb = (
+        cp.where(F.lit(5) * (F.col("cum_rev") - F.col("rev_sum")) <= F.col("t"))
+        .agg(
+            F.coalesce(
+                F.max(
+                    (F.col("cum_cnt") - F.col("cnt"))
+                    + F.least(
+                        F.col("cnt"),
+                        F.expr(
+                            "(t - 5 * (cum_rev - rev_sum)) DIV (5 * v)"
+                        ),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("k_bottom")
+        )
+    )
+    return (
+        p.crossJoin(F.broadcast(sr))
+        .crossJoin(F.broadcast(b10))
+        .crossJoin(F.broadcast(kb))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("t").alias("total_revenue_cents"),
+            _r6n(
+                F.lit(2.0) * F.col("s_r") / (F.col("n").cast("double") * F.col("t"))
+                - (F.col("n") + 1).cast("double") / F.col("n")
+            ).alias("gini"),
+            F.col("k10").alias("top_decile_n"),
+            _r6n(
+                (F.col("t") - F.col("bottom_rev")).cast("double") / F.col("t")
+            ).alias("top_decile_share"),
+            (F.col("n") - F.col("k_bottom")).cast("long").alias("k80"),
+            _r6n(
+                (F.col("n") - F.col("k_bottom")).cast("double") / F.col("n")
+            ).alias("k80_rate"),
+        )
+    )
+
+
+@query(
+    "lang_id_mcnemar",
+    f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKENS_SQL} AS toks FROM documents),
+scores AS ({_lang_scores_sql()}),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) rn
+  FROM scores
+),
+lp AS (SELECT doc_id, lang AS lang_pred FROM r WHERE rn = 1),
+base AS (
+  SELECT lang AS lang_base FROM documents
+  GROUP BY lang ORDER BY count(*) DESC, lang DESC LIMIT 1
+),
+j AS (
+  SELECT CASE WHEN lp.lang_pred = t.lang THEN 1 ELSE 0 END AS a_ok,
+         CASE WHEN base.lang_base = t.lang THEN 1 ELSE 0 END AS b_ok
+  FROM t JOIN lp USING (doc_id), base
+),
+c AS (
+  SELECT count(*) AS n_docs,
+         sum(CASE WHEN a_ok = 1 AND b_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both_right,
+         sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
+         sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
+         sum(CASE WHEN a_ok = 0 AND b_ok = 0 THEN 1 ELSE 0 END)::BIGINT AS n_both_wrong
+  FROM j
+)
+SELECT n_docs, n_both_right, n_a_only, n_b_only, n_both_wrong,
+       {_r6n_sql('(n_both_right + n_a_only)::DOUBLE / n_docs')} AS acc_heuristic,
+       {_r6n_sql('(n_both_right + n_b_only)::DOUBLE / n_docs')} AS acc_baseline,
+       {_r6n_sql('''CASE WHEN n_a_only + n_b_only = 0 THEN 0.0
+            ELSE (abs(n_a_only - n_b_only) - 1.0) * (abs(n_a_only - n_b_only) - 1.0)
+                 / (n_a_only + n_b_only) END''')} AS mcnemar_chi2
+FROM c
+""",
+)
+def lang_id_mcnemar(spark, sf_dir):
+    """McNemar's paired test (McNemar 1947, continuity-corrected): does
+    the lang-id heuristic beat the majority-class baseline on the SAME
+    documents?  The discordant-pair counts b (heuristic right, baseline
+    wrong) and c (the reverse) carry all the information; the statistic
+    is (|b-c|-1)^2/(b+c) — the standard eval for "is classifier A
+    actually better than B, paired per example".
+
+    The baseline predicts the corpus modal catalog language (mode with
+    the reference's tie->max convention, computed from the data itself
+    as a 1-row broadcast).  One projection pass + one tiny aggregate;
+    the chi-square is exact integer arithmetic until one division."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.max(F.struct(F.col("cnt"), F.col("lang"))).getField("lang").alias(
+                "lang_base"
+            )
+        )
+    )
+    j = (
+        d.select(
+            "lang",
+            (TX.lang_id("text") == F.col("lang")).cast("int").alias("a_ok"),
+        )
+        .crossJoin(F.broadcast(base))
+        .withColumn("b_ok", (F.col("lang_base") == F.col("lang")).cast("int"))
+    )
+    c = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("a_ok") == 1) & (F.col("b_ok") == 1)).cast("long")).alias(
+            "n_both_right"
+        ),
+        F.sum(((F.col("a_ok") == 1) & (F.col("b_ok") == 0)).cast("long")).alias(
+            "n_a_only"
+        ),
+        F.sum(((F.col("a_ok") == 0) & (F.col("b_ok") == 1)).cast("long")).alias(
+            "n_b_only"
+        ),
+        F.sum(((F.col("a_ok") == 0) & (F.col("b_ok") == 0)).cast("long")).alias(
+            "n_both_wrong"
+        ),
+    )
+    bc = F.col("n_a_only") + F.col("n_b_only")
+    diff = F.abs(F.col("n_a_only") - F.col("n_b_only"))
+    return c.select(
+        "n_docs",
+        "n_both_right",
+        "n_a_only",
+        "n_b_only",
+        "n_both_wrong",
+        _r6n(
+            (F.col("n_both_right") + F.col("n_a_only")).cast("double")
+            / F.col("n_docs")
+        ).alias("acc_heuristic"),
+        _r6n(
+            (F.col("n_both_right") + F.col("n_b_only")).cast("double")
+            / F.col("n_docs")
+        ).alias("acc_baseline"),
+        _r6n(
+            F.when(bc == 0, F.lit(0.0)).otherwise(
+                (diff - 1.0) * (diff - 1.0) / bc
+            )
+        ).alias("mcnemar_chi2"),
+    )
+
+
+#: autocorrelation lags probed by events_acf (calendar days)
+_ACF_LAGS = (1, 2, 3, 7)
+
+
+@query(
+    "events_acf",
+    f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(c)::BIGINT AS s,
+         sum(c * c)::BIGINT AS q
+  FROM daily GROUP BY 1
+),
+lags AS (SELECT unnest([{", ".join(str(l) for l in _ACF_LAGS)}]) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, count(*) AS p,
+         sum(a.c * b.c)::BIGINT AS scc,
+         sum(a.c + b.c)::BIGINT AS sp
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+  GROUP BY 1, 2
+)
+SELECT s.event_type, p.lag,
+       s.n::BIGINT AS n_days, p.p::BIGINT AS n_pairs,
+       {_r6n_sql('''(s.n::DOUBLE * s.n * p.scc - s.n::DOUBLE * s.s * p.sp
+             + p.p::DOUBLE * s.s * s.s)
+            / (s.n::DOUBLE * (s.n::DOUBLE * s.q - s.s::DOUBLE * s.s))''')} AS acf
+FROM pairs p JOIN stats s USING (event_type)
+""",
+)
+def events_acf(spark, sf_dir):
+    """Autocorrelation diagnostics of each event type's daily-count
+    series at lags {1,2,3,7}: the seasonality/trend screen run before
+    trusting any forecast (lag-7 spikes = weekly cycle).  ACF is the
+    demeaned product sum over day pairs (d, d+lag) normalized by the
+    series variance, expanded so every aggregate is an exact INTEGER
+    sum — sum(c_a*c_b), sum(c_a+c_b), sum(c), sum(c^2) — and the
+    demeaning happens algebraically in the final expression
+    (n^2*SCC - n*S*SP + P*S^2) / (n*(n*Q - S^2)), evaluated in double
+    from identical longs on both engines (every intermediate is exactly
+    representable below 2^53 at any test SF).
+
+    Scale shape: the events table reduces to a (type, day) histogram in
+    one pass; the lag pairing is a hash SELF-JOIN of that histogram on
+    (type, d+lag) with fixed fan-out |lags| — calendar-bounded, never a
+    window over event rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", _epoch_day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in _ACF_LAGS])
+    ).alias("lag")
+    a = daily.select("event_type", "d", F.col("c").alias("ca"), lags)
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.withColumn("d2", F.col("d") + F.col("lag"))
+        .join(b, ["event_type", "d2"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("p"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("scc"),
+            F.sum(F.col("ca") + F.col("cb")).cast("long").alias("sp"),
+        )
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    pp, scc, sp = F.col("p"), F.col("scc"), F.col("sp")
+    num = (
+        n.cast("double") * n * scc
+        - n.cast("double") * s * sp
+        + pp.cast("double") * s * s
+    )
+    den = n.cast("double") * (
+        n.cast("double") * q - s.cast("double") * s
+    )
+    return pairs.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "lag",
+        n.cast("long").alias("n_days"),
+        pp.cast("long").alias("n_pairs"),
+        _r6n(num / den).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -103,6 +103,11 @@ BNLJ_BOUNDED: dict[str, str] = {
     "orders_bootstrap_ci": _SCALAR + " (64-replica cutoff row x base stats row)",
     "users_rfm_segments": _SCALAR + " (dmax row + 9-cutoff row join-backs)",
     "embedding_kmeans_silhouette": _SEEDS + " (+ k-centroid scoring cross)",
+    "referential_integrity_audit": _SCALAR + " (per-edge orphan-count row)",
+    "customer_revenue_concentration": (
+        _SCALAR + " (totals row x S_r row x bottom-rev row x k80 row)"
+    ),
+    "lang_id_mcnemar": _SCALAR + " (1-row modal-language baseline)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -170,6 +175,10 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "embedding_kmeans_silhouette": (
         "row_number over the k seed rows (same Lloyd trajectory as "
         "embedding_kmeans_clusters)"
+    ),
+    "customer_revenue_concentration": (
+        "two-phase global_cumsum_multi offset window (<= #partitions rows); "
+        "the Lorenz histogram is distinct-revenue-sized"
     ),
 }
 

@@ -129,3 +129,47 @@ def write_orc(df: DataFrame, path: str, *, mode: str = "error") -> None:
     """ORC sink (zlib-by-default columnar files with min/max stripe
     statistics, Spark's native writer)."""
     df.write.mode(mode).orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    mode: str = "error",
+) -> int:
+    """Small-files compaction: rewrite a fragmented parquet dataset into
+    ``ceil(total_bytes / target_bytes)`` similarly-sized files and return
+    that file count.
+
+    The "small files problem" is the classic ingest pathology — a
+    streaming sink or an over-parallel writer leaves thousands of KB-size
+    files, and every later scan pays per-file open/footer/task overhead
+    (at 100 TB, millions of files can dominate job time).  The cure is a
+    periodic rewrite at a target file size near the scan-side split size
+    (``spark.sql.files.maxPartitionBytes``, default 128 MiB) so one file
+    ~= one task.
+
+    Sizing uses the source's OWN on-disk bytes (summed from the file
+    metadata Spark already resolved for the scan), so the compressed
+    output lands near ``target_bytes`` per file without a separate
+    sampling pass.  The rewrite is round-robin ``repartition(n)`` —
+    a full shuffle, paid ONCE, yielding evenly-sized files; callers that
+    also want co-located joins afterwards should use
+    :func:`write_bucketed` instead (bucketing implies its own layout).
+    """
+    import math
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(in_path)
+    jvm = spark._jvm
+    jsc = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(jsc)
+        total += fs.getFileStatus(p).getLen()
+    n_files = max(1, math.ceil(total / target_bytes))
+    df.repartition(n_files).write.mode(mode).parquet(out_path)
+    return n_files

@@ -10206,6 +10206,869 @@ def events_acf(spark, sf_dir):
     )
 
 
+def _knn_scored_sym(spark, sf_dir):
+    """Shared exact-kNN scoring relation: (vec_id, true_label,
+    neighbor_id, n_label, cos) over ALL ordered pairs, with each
+    unordered pair's unit-dot computed ONCE.
+
+    Three deliberate physical choices (measured 36s -> ~6s at sf0.1):
+    the unit vectors are REPARTITIONED to session parallelism and
+    eagerly pinned (the embeddings parquet is one file => one partition,
+    which would serialize the whole pair loop onto one task) and the
+    half-pair scores (join on ``neighbor_id > vec_id`` — half the dot
+    products) are pinned before mirroring, because the union's two
+    consumers would otherwise re-execute the join subtree and give the
+    symmetry saving back."""
+    n_part = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = (
+        emb.withColumn("nrm", SIM._norm(SIM._as_double(F.col("embedding"))))
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                SIM._as_double(F.col("embedding")), lambda x: x / F.col("nrm")
+            ).alias("uv"),
+        )
+        .repartition(n_part)
+        .localCheckpoint()
+    )
+    b = u.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("uv").alias("nv"),
+    )
+    half = (
+        u.join(F.broadcast(b), F.col("neighbor_id") > F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "neighbor_id",
+            "n_label",
+            F.round(SIM._dot(F.col("uv"), F.col("nv")), 6).alias("cos"),
+        )
+        .localCheckpoint()
+    )
+    return half.unionByName(
+        half.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("n_label").alias("true_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("true_label").alias("n_label"),
+            "cos",
+        )
+    )
+
+
+
+
+@query(
+    "embedding_knn_label_eval",
+    f"""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS vec
+           FROM embeddings),
+u AS (SELECT vec_id, label,
+             list_transform(vec, x -> x / sqrt(list_sum(
+                 list_transform(vec, y -> y * y)))) AS uv
+      FROM v),
+scored AS (
+  SELECT a.vec_id, a.label AS true_label, b.label AS n_label,
+         round(list_sum(list_transform(generate_series(1, {SIM.EMBEDDING_DIM}),
+               i -> a.uv[i] * b.uv[i])), 6) AS cos,
+         b.vec_id AS neighbor_id
+  FROM u a JOIN u b ON b.vec_id <> a.vec_id
+),
+top5 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+votes AS (
+  SELECT vec_id, true_label, n_label, count(*) AS cnt
+  FROM top5 GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, true_label, n_label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cnt DESC, n_label ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT true_label AS label, count(*) AS n,
+       sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct,
+       {_r6n_sql('''sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::DOUBLE
+            / count(*)''')} AS accuracy
+FROM pred GROUP BY 1
+""",
+)
+def embedding_knn_label_eval(spark, sf_dir):
+    """kNN(k=5) cosine majority-vote classifier eval per label:
+    leave-one-out accuracy of "predict a vector's label from its five
+    nearest neighbors" — the standard intrinsic quality gate for an
+    embedding space (are labels locally coherent?).  Vote ties break
+    deterministically (count desc, then smaller label).
+
+    Both engines L2-normalize each vector ONCE then rank by the
+    6-dp-rounded unit dot product (round-before-rank, the suite's
+    cross-engine cosine convention), so neighbor sets match exactly.
+    The all-pairs scoring is the EVAL harness by design (like
+    near_dup_eval_metrics): exact ground truth on the eval corpus, with
+    the ANN probe family as the documented at-scale sibling; each
+    unordered pair is scored once (see _knn_scored_sym), and the top-5
+    window is partitioned by query vector — never a global window."""
+    from pyspark.sql import Window
+
+    scored = _knn_scored_sym(spark, sf_dir)
+    w5 = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = scored.withColumn("rk", F.row_number().over(w5)).where(
+        F.col("rk") <= 5
+    )
+    votes = top5.groupBy("vec_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pred = votes.groupBy("vec_id", "true_label").agg(
+        (
+            -F.max(
+                F.struct(F.col("cnt"), (-F.col("n_label")).alias("neg"))
+            ).getField("neg")
+        ).alias("pred_label")
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("pred_label") == F.col("true_label")).cast("long")
+        ).alias("n_correct"),
+        _r6n(
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("long"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "events_burstiness",
+    f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*) AS n, sum(c)::BIGINT AS s,
+         sum(c * c)::BIGINT AS q
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_days, s AS n_events,
+       {_r6n_sql('s::DOUBLE / n')} AS mean_daily,
+       {_r6n_sql('(n::DOUBLE * q - s::DOUBLE * s) / (n::DOUBLE * (n - 1))')}
+         AS var_daily,
+       {_r6n_sql('''(n::DOUBLE * q - s::DOUBLE * s)
+            / (n::DOUBLE * (n - 1)) / (s::DOUBLE / n)''')} AS fano,
+       {_r6n_sql('''(sqrt((n::DOUBLE * q - s::DOUBLE * s)
+                  / (n::DOUBLE * (n - 1))) - s::DOUBLE / n)
+            / (sqrt((n::DOUBLE * q - s::DOUBLE * s)
+                  / (n::DOUBLE * (n - 1))) + s::DOUBLE / n)''')} AS burstiness
+FROM s
+""",
+)
+def events_burstiness(spark, sf_dir):
+    """Burstiness profile per event type over the daily-count series:
+    Fano factor (index of dispersion, var/mean — 1 for a Poisson
+    process, >1 = bursty) and the Goh-Barabasi burstiness coefficient
+    B = (sigma - mu)/(sigma + mu) in [-1, 1] (Goh & Barabasi, EPL 2008)
+    — the traffic-shape screen that tells a pipeline whether an event
+    source is steady or spiky before capacity planning.
+
+    Exact integer power sums (n, S, Q) per type; every derived statistic
+    is evaluated in double from identical longs on both engines.  One
+    keyed aggregate over the calendar-bounded daily histogram."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.select("event_type", _epoch_day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+        )
+    )
+    n, sm, q = F.col("n").cast("double"), F.col("s").cast("double"), F.col("q")
+    mean = sm / n
+    var = (n * q - sm * F.col("s")) / (n * (F.col("n") - 1))
+    sd = F.sqrt(var)
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").alias("n_events"),
+        _r6n(mean).alias("mean_daily"),
+        _r6n(var).alias("var_daily"),
+        _r6n(var / mean).alias("fano"),
+        _r6n((sd - mean) / (sd + mean)).alias("burstiness"),
+    )
+
+
+@query(
+    "docs_ngram_novelty",
+    f"""
+WITH t AS (SELECT doc_id, {SIM._NORM_SQL} AS norm, {SIM._TOKS_SQL} AS toks
+           FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {TX.SHINGLE_WORDS}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - {TX.SHINGLE_WORDS - 1}),
+                     i -> array_to_string(toks[i:i+{TX.SHINGLE_WORDS - 1}], ' ')))
+              ELSE [norm] END AS grams
+  FROM t
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id, count(*) AS n_grams,
+       sum(CASE WHEN first.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel,
+       {_r6n_sql('''sum(CASE WHEN first.first_doc = g.doc_id THEN 1 ELSE 0 END)::DOUBLE
+            / count(*)''')} AS novelty_rate
+FROM g JOIN first USING (gram)
+GROUP BY 1
+""",
+)
+def docs_ngram_novelty(spark, sf_dir):
+    """Temporal n-gram novelty per document: the fraction of a doc's
+    distinct 3-word shingles whose corpus-wide FIRST occurrence (min
+    doc_id, the ingest-order proxy) is this document — the
+    ingest-monitoring signal that a crawl round is re-collecting old
+    content (novelty collapsing toward 0) versus discovering new text.
+    Complements docs_dup_ngram_coverage (which is order-free
+    contamination): a doc can be 100% duplicated yet 100% "novel" if it
+    arrived first.
+
+    One distinct-shingle explode (hashed grams in the shuffle via the
+    shared normalization), one min-aggregate per gram, one join back —
+    the corpus text itself is never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles_or_whole("text"))).alias(
+            "gram"
+        ),
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+            _r6n(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+@query(
+    "embedding_knn_outliers",
+    f"""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS vec
+           FROM embeddings),
+u AS (SELECT vec_id, label,
+             list_transform(vec, x -> x / sqrt(list_sum(
+                 list_transform(vec, y -> y * y)))) AS uv
+      FROM v),
+scored AS (
+  SELECT a.vec_id, a.label,
+         round(list_sum(list_transform(generate_series(1, {SIM.EMBEDDING_DIM}),
+               i -> a.uv[i] * b.uv[i])), 6) AS cos,
+         b.vec_id AS neighbor_id
+  FROM u a JOIN u b ON b.vec_id <> a.vec_id
+),
+k5 AS (
+  SELECT vec_id, label, round(1.0 - cos, 6) AS knn_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk = 5
+)
+SELECT vec_id, label, knn_dist FROM k5
+ORDER BY knn_dist DESC, vec_id ASC LIMIT 20
+""",
+)
+def embedding_knn_outliers(spark, sf_dir):
+    """kNN-distance outlier mining (Ramaswamy, Rastogi & Shim, SIGMOD
+    2000): score every vector by its cosine distance to its 5th nearest
+    neighbor and surface the top-20 — the standard "find mislabeled /
+    out-of-distribution training examples" sweep over an embedding
+    space (isolated points have FAR 5th neighbors; cluster members
+    don't).
+
+    Shares the knn-eval machinery and conventions (unit-normalize once,
+    round-before-rank unit dot, each unordered pair scored once via
+    _knn_scored_sym; the all-pairs scoring is the EVAL harness with the
+    ANN family as the at-scale sibling).  The top-20 head is sort+limit
+    — TakeOrderedAndProject, never a global window."""
+    from pyspark.sql import Window
+
+    scored = _knn_scored_sym(spark, sf_dir)
+    w5 = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    k5 = (
+        scored.withColumn("rk", F.row_number().over(w5))
+        .where(F.col("rk") == 5)
+        .select(
+            "vec_id",
+            F.col("true_label").alias("label"),
+            F.round(F.lit(1.0) - F.col("cos"), 6).alias("knn_dist"),
+        )
+    )
+    return k5.orderBy(F.col("knn_dist").desc(), F.col("vec_id").asc()).limit(
+        20
+    )
+
+
+#: RAKE phrase cap: keep stopword-delimited runs of 1..3 words
+_RAKE_MAX_PHRASE = 3
+_RAKE_TOP_K = 15
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+
+@query(
+    "text_rake_keywords",
+    f"""
+WITH t AS (SELECT doc_id, {SIM._TOKS_SQL} AS toks FROM documents),
+tok0 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+),
+tok AS (
+  SELECT doc_id, i, toks[i] AS w,
+         toks[i] IN ({_RAKE_STOPS_SQL}) AS is_stop
+  FROM tok0
+),
+ns AS (
+  SELECT doc_id, i, w,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM tok WHERE NOT is_stop
+),
+phr AS (
+  SELECT doc_id, island, count(*) AS plen,
+         array_to_string(list(w ORDER BY i), ' ') AS phrase
+  FROM ns GROUP BY 1, 2
+  HAVING count(*) <= {_RAKE_MAX_PHRASE}
+),
+pw AS (
+  SELECT p.phrase, p.plen, unnest(str_split(p.phrase, ' ')) AS w FROM phr p
+),
+ws AS (
+  SELECT w, count(*) AS freq, sum(plen)::BIGINT AS degree FROM pw GROUP BY 1
+),
+ptype AS (SELECT phrase, count(*) AS n_occ FROM phr GROUP BY 1),
+ptw0 AS (
+  SELECT phrase, n_occ, str_split(phrase, ' ') AS pws FROM ptype
+),
+ptw1 AS (
+  SELECT phrase, n_occ, pws, unnest(generate_series(1, len(pws))) AS pos
+  FROM ptw0
+),
+ptw AS (SELECT phrase, n_occ, pos, pws[pos] AS w FROM ptw1),
+terms AS (
+  SELECT ptw.phrase, ptw.n_occ, ptw.pos,
+         ws.degree::DOUBLE / ws.freq AS term
+  FROM ptw JOIN ws USING (w)
+),
+sc AS (
+  SELECT phrase, n_occ,
+         {_r6n_sql("list_sum(list(term ORDER BY pos))")} AS score
+  FROM terms GROUP BY 1, 2
+)
+SELECT phrase, n_occ::BIGINT AS n_occ, score FROM sc
+ORDER BY score DESC, phrase ASC LIMIT {_RAKE_TOP_K}
+""",
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are maximal stopword-delimited token runs (capped
+    at {max} words), each word scores degree/frequency (degree = summed
+    length of the phrases it appears in — co-occurrence reach), and a
+    phrase scores the sum of its words' scores; top-{k} phrases by
+    score — the unsupervised corpus-keyword table.
+
+    Cross-engine determinism: word stats are exact integers; a phrase's
+    per-word ratio terms divide IDENTICAL longs (identical doubles
+    both sides), and the phrase score folds those terms in WORD-POSITION
+    order on both engines (ordered list aggregate — never an unordered
+    float sum), then rounds before the rank.  The phrase-run islands
+    come from a per-document window (bounded by doc length); the
+    top-{k} head is sort+limit."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(TX.tokens("text")).alias("i", "w"),
+    )
+    stops = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    ns = tok.where(~F.array_contains(stops, F.col("w")))
+    wi = Window.partitionBy("doc_id").orderBy("i")
+    phr = (
+        ns.withColumn("island", F.col("i") - F.row_number().over(wi))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("plen"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("w")))
+                    ),
+                    lambda s: s.getField("w"),
+                ),
+            ).alias("phrase"),
+        )
+        .where(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    pw = phr.select(
+        "phrase",
+        "plen",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    ws = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    ptype = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    ptw = ptype.select(
+        "phrase",
+        "n_occ",
+        F.posexplode(F.split(F.col("phrase"), " ")).alias("pos", "w"),
+    )
+    terms = ptw.join(ws, "w").select(
+        "phrase",
+        "n_occ",
+        "pos",
+        (F.col("degree").cast("double") / F.col("freq")).alias("term"),
+    )
+    sc = terms.groupBy("phrase", "n_occ").agg(
+        _r6n(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("term")))
+                    ),
+                    lambda s: s.getField("term"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("score")
+    )
+    return (
+        sc.orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOP_K)
+        .select("phrase", F.col("n_occ").cast("long").alias("n_occ"), "score")
+    )
+
+
+text_rake_keywords.__doc__ = text_rake_keywords.__doc__.format(
+    max=_RAKE_MAX_PHRASE, k=_RAKE_TOP_K
+)
+
+
+#: Neyman sample budget allocated across event-type strata
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "events_neyman_allocation",
+    f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sv,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT))::BIGINT AS qv
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT event_type, n, sv, qv,
+         round(sqrt((n::DOUBLE * qv - sv::DOUBLE * sv)
+                    / (n::DOUBLE * (n - 1))) / 100.0, 6) AS sd_value
+  FROM s
+),
+w AS (SELECT *, n * sd_value AS wgt FROM d),
+tw AS (SELECT sum(wgt) AS total_w FROM w)
+SELECT w.event_type, w.n::BIGINT AS n_events,
+       {_r6n_sql('w.sv::DOUBLE / w.n / 100.0')} AS mean_value,
+       w.sd_value,
+       {_r6n_sql('w.wgt / tw.total_w')} AS neyman_share,
+       CAST(floor({_NEYMAN_BUDGET} * {_r6n_sql('w.wgt / tw.total_w')} + 0.5)
+            AS BIGINT) AS alloc
+FROM w, tw
+""",
+)
+def events_neyman_allocation(spark, sf_dir):
+    """Neyman optimal stratified-sampling allocation (Neyman 1934):
+    split a {budget}-row sample budget across event-type strata with
+    n_h proportional to N_h * S_h (stratum size x stratum std of
+    ``value``) — the design that minimizes the variance of the
+    estimated mean at a fixed budget, and the principled answer to "how
+    many rows should each stratum contribute to the eval sample?".
+
+    Determinism: ``value`` is a 2-dp quantity, so the power sums run in
+    exact integer cents (cross-engine identical); the per-stratum std
+    is rounded BEFORE entering the weight so both engines allocate from
+    the same doubles, and the final allocation is ``floor(B*share+0.5)``
+    from the same 6-dp share.  One keyed aggregate + two broadcast
+    1-row join-backs; the allocation table is |strata|-sized."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    s = e.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("qv"),
+    )
+    n, sv, qv = F.col("n").cast("double"), F.col("sv").cast("double"), F.col("qv")
+    sd = F.round(
+        F.sqrt((n * qv - sv * F.col("sv")) / (n * (F.col("n") - 1))) / 100.0,
+        6,
+    )
+    w = s.withColumn("sd_value", sd).withColumn(
+        "wgt", F.col("n") * F.col("sd_value")
+    )
+    tw = w.agg(F.sum("wgt").alias("total_w"))
+    share = _r6n(F.col("wgt") / F.col("total_w"))
+    return w.crossJoin(F.broadcast(tw)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        _r6n(F.col("sv").cast("double") / F.col("n") / 100.0).alias(
+            "mean_value"
+        ),
+        "sd_value",
+        share.alias("neyman_share"),
+        F.floor(F.lit(_NEYMAN_BUDGET) * share + 0.5)
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+events_neyman_allocation.__doc__ = events_neyman_allocation.__doc__.format(
+    budget=_NEYMAN_BUDGET
+)
+
+
+@query(
+    "events_pettitt_changepoint",
+    f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, d, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY c)
+           + count(*) OVER (PARTITION BY event_type, c) - 1 AS r2,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+u AS (
+  SELECT event_type, d, t, n,
+         sum(r2) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) - t * (n + 1)::BIGINT AS ut
+  FROM rk
+),
+uf AS (SELECT * FROM u WHERE t < n),
+km AS (
+  SELECT event_type, max(n)::BIGINT AS n_days, max(abs(ut))::BIGINT AS k_stat
+  FROM uf GROUP BY 1
+),
+cp AS (
+  SELECT uf.event_type, min(d)::BIGINT AS cp_day
+  FROM uf JOIN km USING (event_type)
+  WHERE abs(uf.ut) = km.k_stat GROUP BY 1
+)
+SELECT km.event_type, km.n_days, cp.cp_day, km.k_stat,
+       {_r6n_sql('''2.0 * exp(-6.0 * km.k_stat * km.k_stat
+            / (km.n_days::DOUBLE * km.n_days * km.n_days
+               + km.n_days::DOUBLE * km.n_days))''')}
+         AS p_approx
+FROM km JOIN cp USING (event_type)
+""",
+)
+def events_pettitt_changepoint(spark, sf_dir):
+    """Pettitt change-point test (Pettitt 1979) on each event type's
+    daily-count series: the rank-based statistic U_t = 2*sum_{{i<=t}} r_i
+    - t(n+1) locates the most probable abrupt level shift (K = max|U_t|,
+    change day = earliest argmax), with the classic significance
+    approximation p ~ 2 exp(-6K^2/(n^3+n^2)) — the monitor that answers
+    WHEN a pipeline's traffic regime changed, complementing the
+    Mann-Kendall monotonic-trend screen.
+
+    Exactness: midranks enter as INTEGER 2r = 2*rank_min + ties - 1, so
+    every U_t is exact integer arithmetic in both engines; only the
+    final p-value is a (rounded) double.  All windows partition by
+    event type over the calendar-bounded daily histogram."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", _epoch_day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    wc = Window.partitionBy("event_type").orderBy("c")
+    wties = Window.partitionBy("event_type", "c")
+    wn = Window.partitionBy("event_type")
+    rk = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wt).alias("t"),
+        (
+            F.lit(2) * F.rank().over(wc)
+            + F.count(F.lit(1)).over(wties)
+            - 1
+        ).alias("r2"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    wcum = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = rk.select(
+        "event_type",
+        "d",
+        "t",
+        "n",
+        (
+            F.sum("r2").over(wcum) - F.col("t") * (F.col("n") + 1)
+        ).alias("ut"),
+    ).where(F.col("t") < F.col("n"))
+    # earliest argmax day needs the per-type max joined back (an agg
+    # cannot reference its own result row-wise)
+    kmax = u.groupBy("event_type").agg(
+        F.max(F.abs(F.col("ut"))).alias("kmax")
+    )
+    cp = (
+        u.join(F.broadcast(kmax), "event_type")
+        .where(F.abs(F.col("ut")) == F.col("kmax"))
+        .groupBy("event_type")
+        .agg(F.min("d").cast("long").alias("cp_day"))
+    )
+    base = u.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max(F.abs(F.col("ut"))).cast("long").alias("k_stat"),
+    )
+    nd = F.col("n_days").cast("double")
+    return base.join(cp, "event_type").select(
+        "event_type",
+        "n_days",
+        "cp_day",
+        "k_stat",
+        _r6n(
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-6.0)
+                * F.col("k_stat")
+                * F.col("k_stat")
+                / (nd * nd * nd + nd * nd)
+            )
+        ).alias("p_approx"),
+    )
+
+
+@query(
+    "customer_theil_by_nation",
+    """
+WITH rev AS (
+  SELECT c.c_nationkey,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_nationkey
+),
+g AS (
+  SELECT n.n_name AS nation, count(*) AS n_g,
+         sum(rev.cents)::BIGINT AS x_g,
+         sum(rev.cents * ln(rev.cents::DOUBLE)) AS xlx_g
+  FROM rev JOIN nation n ON n.n_nationkey = rev.c_nationkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_g)::BIGINT AS n, sum(x_g)::BIGINT AS x,
+         sum(xlx_g) AS xlx
+  FROM g
+),
+per AS (
+  SELECT g.nation AS component, g.n_g::BIGINT AS n_customers,
+         {share} AS revenue_share,
+         {tw} AS theil
+  FROM g, tot
+),
+btw AS (
+  SELECT '__between__' AS component, tot.n AS n_customers,
+         1.0 AS revenue_share,
+         {tb} AS theil
+  FROM tot
+),
+total AS (
+  SELECT '__total__' AS component, tot.n AS n_customers,
+         1.0 AS revenue_share,
+         {tt} AS theil
+  FROM tot
+)
+SELECT * FROM per UNION ALL SELECT * FROM btw UNION ALL SELECT * FROM total
+""".format(
+        share="round(g.x_g::DOUBLE / tot.x + 1e-9, 6)",
+        tw=(
+            "round(g.xlx_g / g.x_g - ln(g.x_g::DOUBLE / g.n_g) + 1e-9, 6)"
+        ),
+        tb=(
+            "round((SELECT sum((g.x_g::DOUBLE / tot.x) * ln((g.x_g::DOUBLE / tot.x)"
+            " / (g.n_g::DOUBLE / tot.n))) FROM g) + 1e-9, 6)"
+        ),
+        tt="round(tot.xlx / tot.x - ln(tot.x::DOUBLE / tot.n) + 1e-9, 6)",
+    ),
+)
+def customer_theil_by_nation(spark, sf_dir):
+    """Theil T inequality decomposition (Theil 1967) of per-customer
+    revenue by nation: within-nation indices, the between-nation
+    component, and the corpus total — the decomposable alternative to
+    the Gini that answers "is revenue concentration a within-market or
+    an across-market phenomenon" (T_total = T_between + sum of
+    share-weighted T_within, a property the Gini lacks).
+
+    Revenue is exact integer cents; each group needs only the mergeable
+    triple (n_g, X_g, sum x*ln x), so the whole decomposition is ONE
+    keyed aggregate plus scalar arithmetic.  ln-ulp drift across
+    engines is absorbed by the suite's boundary-nudged 6-dp rounding
+    (the TF-IDF convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_dim(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    g = (
+        rev.join(F.broadcast(nat), rev.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("cents").cast("long").alias("x_g"),
+            F.sum(
+                F.col("cents") * F.log(F.col("cents").cast("double"))
+            ).alias("xlx_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("x_g").cast("long").alias("x"),
+        F.sum("xlx_g").alias("xlx"),
+    )
+    gt = g.crossJoin(F.broadcast(tot))
+    per = gt.select(
+        F.col("nation").alias("component"),
+        F.col("n_g").cast("long").alias("n_customers"),
+        _r6n(F.col("x_g").cast("double") / F.col("x")).alias(
+            "revenue_share"
+        ),
+        _r6n(
+            F.col("xlx_g") / F.col("x_g")
+            - F.log(F.col("x_g").cast("double") / F.col("n_g"))
+        ).alias("theil"),
+    )
+    btw = gt.select(
+        (
+            (F.col("x_g").cast("double") / F.col("x"))
+            * F.log(
+                (F.col("x_g").cast("double") / F.col("x"))
+                / (F.col("n_g").cast("double") / F.col("n"))
+            )
+        ).alias("term"),
+        "n",
+    ).groupBy("n").agg(
+        _r6n(F.sum("term")).alias("theil")
+    ).select(
+        F.lit("__between__").alias("component"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.lit(1.0).alias("revenue_share"),
+        "theil",
+    )
+    total = tot.select(
+        F.lit("__total__").alias("component"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.lit(1.0).alias("revenue_share"),
+        _r6n(
+            F.col("xlx") / F.col("x")
+            - F.log(F.col("x").cast("double") / F.col("n"))
+        ).alias("theil"),
+    )
+    return per.unionByName(btw).unionByName(total)
+
+
+@query(
+    "brand_hhi_by_type",
+    """
+WITH bc AS (
+  SELECT p_type, p_brand, count(*) AS cnt FROM part GROUP BY 1, 2
+),
+t AS (
+  SELECT p_type, count(*) AS n_brands, sum(cnt)::BIGINT AS total,
+         sum(cnt * cnt)::BIGINT AS sq, max(cnt)::BIGINT AS top_cnt
+  FROM bc GROUP BY 1
+)
+SELECT p_type, n_brands::BIGINT AS n_brands, total AS n_parts,
+       {hhi} AS hhi,
+       {top} AS top_brand_share
+FROM t
+""".format(
+        hhi="round(sq::DOUBLE / (total::DOUBLE * total) + 1e-9, 6)",
+        top="round(top_cnt::DOUBLE / total + 1e-9, 6)",
+    ),
+)
+def brand_hhi_by_type(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per part type over
+    brand shares: HHI = sum share_b^2 (1/n = perfect competition, 1 =
+    monopoly) plus the top-brand share — the assortment-concentration
+    screen, exact rational arithmetic (sum of squared integer counts
+    over a squared integer total) until one rounded division."""
+    p = load_table(spark, sf_dir, "part")
+    bc = p.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    t = bc.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq"),
+        F.max("cnt").cast("long").alias("top_cnt"),
+    )
+    return t.select(
+        "p_type",
+        F.col("n_brands").cast("long").alias("n_brands"),
+        F.col("total").alias("n_parts"),
+        _r6n(
+            F.col("sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total"))
+        ).alias("hhi"),
+        _r6n(F.col("top_cnt").cast("double") / F.col("total")).alias(
+            "top_brand_share"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

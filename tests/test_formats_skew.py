@@ -174,3 +174,34 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
         .executedPlan().toString()
     )
     assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """compact_parquet must rewrite a fragmented dataset into
+    ceil(total_bytes/target) evenly-sized files with row parity."""
+    import glob
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    li.repartition(40).write.parquet(frag)
+    n_in = len(glob.glob(frag + "/part-*.parquet"))
+    assert n_in == 40
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(frag + "/part-*.parquet")
+    )
+    target = total // 3
+    n = FMT.compact_parquet(spark, frag, out, target_bytes=target)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n and 1 < n < 40
+    # row parity and content equality via checksum
+    a = spark.read.parquet(frag).agg(
+        F.count(F.lit(1)), F.sum(F.crc32(F.col("l_orderkey").cast("string")))
+    ).collect()[0]
+    b = spark.read.parquet(out).agg(
+        F.count(F.lit(1)), F.sum(F.crc32(F.col("l_orderkey").cast("string")))
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+    # files should be near-even: max no more than 2x min
+    sizes = sorted(os.path.getsize(p) for p in files)
+    assert sizes[-1] <= 2 * sizes[0]

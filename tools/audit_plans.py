@@ -108,6 +108,18 @@ BNLJ_BOUNDED: dict[str, str] = {
         _SCALAR + " (totals row x S_r row x bottom-rev row x k80 row)"
     ),
     "lang_id_mcnemar": _SCALAR + " (1-row modal-language baseline)",
+    "embedding_knn_label_eval": (
+        "EVAL harness by design: all-pairs exact kNN ground truth over "
+        "the broadcast EVAL corpus (half-pair `>` self-exclusion is the "
+        "non-equi condition) — documented eval-on-sample at scale "
+        "(SURVEY §9.5), with the ANN probe family as the production path"
+    ),
+    "embedding_knn_outliers": (
+        "same _knn_scored_sym eval harness as embedding_knn_label_eval "
+        "(all-pairs exact ground truth, eval-on-sample at scale)"
+    ),
+    "events_neyman_allocation": _SCALAR + " (1-row total-weight join-back)",
+    "customer_theil_by_nation": _SCALAR + " (1-row corpus-totals join-back)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:

@@ -152,6 +152,15 @@ PROBES = (
     "orders_bootstrap_ci",         # 64-way Poisson-bootstrap explode (r05e)
     "events_mann_kendall_sen",     # calendar-bounded pair set + keyed median (r05e)
     "embedding_kmeans_silhouette",  # Lloyd trajectory + all-pairs centroid cross (r05e)
+    "referential_integrity_audit",  # tagged key-histogram union + one anti-ish join (r05f)
+    "customer_revenue_concentration",  # Lorenz two-phase cumsum_multi (r05f)
+    "docs_ngram_novelty",          # shingle first-occurrence join-back (r05f)
+    "text_rake_keywords",          # phrase-run islands + word-stat join (r05f)
+    "events_pettitt_changepoint",  # calendar-bounded integer rank folds (r05f)
+    "customer_theil_by_nation",    # mergeable (n, X, sum x ln x) triple (r05f)
+    # embedding_knn_label_eval / _outliers are EXCLUDED like
+    # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
+    # design and documented eval-on-sample (SURVEY §9.5)
 )
 
 

@@ -36,6 +36,7 @@ from .functions.registry import (  # noqa: F401
     register_all,
 )
 from .operators.dedup import dedup_stats, exact_dedup  # noqa: F401
+from .planlint import plan_lint  # noqa: F401
 from .operators.mode import mode_agg  # noqa: F401
 from .operators.similarity import (  # noqa: F401
     ann_cosine_topk,
@@ -62,5 +63,6 @@ __all__ = [
     "cosine_topk",
     "ann_cosine_topk",
     "embedding_near_dup_pairs",
+    "plan_lint",
     "__version__",
 ]

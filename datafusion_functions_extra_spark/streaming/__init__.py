@@ -4,6 +4,7 @@ from .events import (  # noqa: F401
     foreach_batch_upsert,
     latest_wins,
     read_events_stream,
+    read_snapshot_as_of,
     run_available_now,
     streaming_dedup,
     streaming_enrich,

@@ -384,6 +384,7 @@ def foreach_batch_upsert(
     keys: tuple[str, ...],
     ts_col: str,
     tiebreak_col: str,
+    retain: int = 2,
 ):
     """Streaming CDC upsert sink via ``foreachBatch``: each micro-batch is
     merged (latest-wins) into a parquet *snapshot*, and a ``_LATEST``
@@ -431,15 +432,29 @@ def foreach_batch_upsert(
         with open(ptr + ".tmp", "w") as f:
             f.write(snap)
         os.replace(ptr + ".tmp", ptr)
-        # prune: every snapshot except the new current and the previous
-        # (kept for crash-safety and any in-flight reader that resolved
-        # the pointer just before the flip).  Without this, base_path
-        # accumulates a full compacted copy of the table per micro-batch.
+        # prune: keep the newest ``retain`` snapshots by batch id (always
+        # including the new current and the previous — crash-safety for a
+        # reader that resolved the pointer just before the flip).  The
+        # default retain=2 bounds disk to two compacted copies; a larger
+        # retain buys TIME TRAVEL via read_snapshot_as_of at the cost of
+        # one table copy per retained version.
         import shutil
 
+        def _bid(name: str) -> int:
+            try:
+                return int(name.split("_")[1])
+            except (IndexError, ValueError):
+                return -1
+
+        snaps = sorted(
+            (e for e in os.listdir(base_path) if e.startswith("snap_")),
+            key=_bid,
+            reverse=True,
+        )
         keep = {os.path.basename(p) for p in (snap, prev) if p}
-        for entry in os.listdir(base_path):
-            if entry.startswith("snap_") and entry not in keep:
+        keep.update(snaps[: max(retain, 2)])
+        for entry in snaps:
+            if entry not in keep:
                 shutil.rmtree(
                     os.path.join(base_path, entry), ignore_errors=True
                 )
@@ -452,6 +467,41 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_snapshot_as_of(
+    spark, base_path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel reader for the snapshot+pointer CDC table written by
+    :func:`foreach_batch_upsert`: ``version=None`` follows the
+    ``_LATEST`` pointer (snapshot isolation at now); an integer reads
+    the newest RETAINED snapshot whose batch id is <= version — Delta's
+    ``versionAsOf`` re-expressed over plain parquet.  History depth is
+    whatever the sink's ``retain`` kept; asking for an older version
+    raises (the honest failure, matching table formats after VACUUM)."""
+    import os
+
+    if version is None:
+        ptr = os.path.join(base_path, "_LATEST")
+        with open(ptr) as f:
+            return spark.read.parquet(f.read().strip())
+    best = None
+    best_bid = -1
+    for entry in os.listdir(base_path):
+        if not entry.startswith("snap_"):
+            continue
+        try:
+            bid = int(entry.split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if best_bid < bid <= version:
+            best, best_bid = entry, bid
+    if best is None:
+        raise FileNotFoundError(
+            f"no retained snapshot with batch id <= {version} under "
+            f"{base_path} (increase the sink's retain= to keep history)"
+        )
+    return spark.read.parquet(os.path.join(base_path, best))
 
 
 def run_available_now(

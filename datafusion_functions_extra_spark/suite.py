@@ -11069,6 +11069,260 @@ def brand_hhi_by_type(spark, sf_dir):
     )
 
 
+#: lineitem numeric columns correlated pairwise (all 2-dp-or-integer
+#: doubles, so x100 scaling is exact)
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs_sql() -> str:
+    parts = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            parts.append(f"""
+SELECT '{a}' AS var_a, '{b}' AS var_b, count(*) AS n,
+       {_r6n_sql(f'''(count(*)::DOUBLE * sum(s_{a}::HUGEINT * s_{b})::DOUBLE
+             - sum(s_{a})::DOUBLE * sum(s_{b})::DOUBLE)
+            / sqrt((count(*)::DOUBLE * sum(s_{a}::HUGEINT * s_{a})::DOUBLE
+                    - sum(s_{a})::DOUBLE * sum(s_{a})::DOUBLE)
+                   * (count(*)::DOUBLE * sum(s_{b}::HUGEINT * s_{b})::DOUBLE
+                      - sum(s_{b})::DOUBLE * sum(s_{b})::DOUBLE))''')} AS corr
+FROM s""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "lineitem_correlation_matrix",
+    f"""
+WITH s AS (
+  SELECT {", ".join(f"CAST(round({c} * 100) AS BIGINT) AS s_{c}" for c in _CORR_COLS)}
+  FROM lineitem
+)
+{_corr_pairs_sql()}
+""",
+)
+def lineitem_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures — the first table any profiling/feature-selection pass
+    publishes.  All four columns are 2-dp (or integer) doubles, so they
+    scale to exact integers x100 and every power/cross sum is exact
+    (128-bit accumulation: Spark DECIMAL(38), DuckDB HUGEINT — the
+    cross products overflow 64-bit at sf>=0.1); the correlation is ONE
+    double expression from identical exact sums on both engines.
+
+    Scale shape: a single map-side-combined aggregate produces all 14
+    sums in one corpus pass; the matrix itself is |cols|^2-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        *[
+            F.round(F.col(c) * 100)
+            .cast("decimal(38,0)")
+            .alias(f"s_{c}")
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(F.sum(f"s_{a}").alias(f"sum_{a}"))
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum(F.col(f"s_{a}") * F.col(f"s_{b}")).alias(f"cp_{a}_{b}")
+            )
+    t = s.agg(*aggs)
+    outs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            n = F.col("n").cast("double")
+            sa = F.col(f"sum_{a}").cast("double")
+            sb = F.col(f"sum_{b}").cast("double")
+            sab = F.col(f"cp_{a}_{b}").cast("double")
+            saa = F.col(f"cp_{a}_{a}").cast("double")
+            sbb = F.col(f"cp_{b}_{b}").cast("double")
+            outs.append(
+                t.select(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    F.col("n").cast("long").alias("n"),
+                    _r6n(
+                        (n * sab - sa * sb)
+                        / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+                    ).alias("corr"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
+    "orders_interarrival_cadence",
+    f"""
+WITH seq AS (
+  SELECT o_custkey,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_DAY_US} AS d,
+         lag(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_DAY_US})
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS prev_d
+  FROM orders
+),
+gaps AS (SELECT d - prev_d AS gap FROM seq WHERE prev_d IS NOT NULL),
+h AS (SELECT gap, count(*) AS cnt FROM gaps GROUP BY 1),
+cum AS (
+  SELECT gap, cnt,
+         sum(cnt) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING) AS cumc,
+         sum(cnt) OVER () AS n
+  FROM h
+)
+SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+       {_r6n_sql('sum(gap * cnt)::DOUBLE / max(n)')} AS mean_gap_days,
+       CAST(min(CASE WHEN cumc >= floor(0.50 * (n - 1)) + 1 THEN gap END)
+            AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN cumc >= floor(0.90 * (n - 1)) + 1 THEN gap END)
+            AS BIGINT) AS p90_days,
+       CAST(max(gap) AS BIGINT) AS max_days
+FROM cum
+""",
+)
+def orders_interarrival_cadence(spark, sf_dir):
+    """Customer purchase-cadence distribution: per-customer order
+    inter-arrival gaps in integer epoch-days (lag window PARTITIONED by
+    customer — bounded by orders-per-customer), reduced to a (gap ->
+    count) histogram whose discrete percentiles use the suite's explicit
+    ``floor(q*(n-1)) + 1`` lower-order-statistic rank — the repurchase
+    rhythm behind lifecycle campaigns and churn-risk cutoffs, exact on
+    both engines by integer construction.
+
+    The histogram is the scalable ordered structure (distinct gap
+    values, not orders); the final rollup uses the two-phase cumsum
+    primitive, never a single-partition window over order rows."""
+    from pyspark.sql import Window
+
+    from .functions.distribution import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    od = F.col("o_orderdate").cast("timestamp")
+    seq = o.select(
+        "o_custkey",
+        _epoch_day(od).alias("d"),
+        F.lag(_epoch_day(od)).over(wd).alias("prev_d"),
+    )
+    gaps = seq.where(F.col("prev_d").isNotNull()).select(
+        (F.col("d") - F.col("prev_d")).alias("gap")
+    )
+    h = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = global_cumsum(h, "gap", "cnt", "cumc")
+    tot = h.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("gap") * F.col("cnt")).cast("long").alias("gsum"),
+    )
+    ct = cum.crossJoin(F.broadcast(tot))
+    rank50 = F.floor(F.lit(50) * (F.col("n") - 1) / 100) + 1
+    rank90 = F.floor(F.lit(90) * (F.col("n") - 1) / 100) + 1
+    return ct.agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        _r6n(
+            F.max("gsum").cast("double") / F.max("n")
+        ).alias("mean_gap_days"),
+        F.min(F.when(F.col("cumc") >= rank50, F.col("gap")))
+        .cast("long")
+        .alias("p50_days"),
+        F.min(F.when(F.col("cumc") >= rank90, F.col("gap")))
+        .cast("long")
+        .alias("p90_days"),
+        F.max("gap").cast("long").alias("max_days"),
+    )
+
+
+@query(
+    "docs_t_closeness",
+    f"""
+WITH g AS (
+  SELECT lang, n_chars // 100 AS size_bucket, source, count(*) AS c
+  FROM documents GROUP BY 1, 2, 3
+),
+tots AS (
+  SELECT lang, size_bucket, sum(c)::BIGINT AS n FROM g GROUP BY 1, 2
+),
+marg AS (SELECT source, count(*)::BIGINT AS cs FROM documents GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS big_n FROM documents),
+num AS (
+  SELECT g.lang, g.size_bucket,
+         sum(abs(g.c::HUGEINT * corp.big_n - marg.cs::HUGEINT * tots.n))::BIGINT
+           AS present_num,
+         sum(marg.cs)::BIGINT AS present_cs
+  FROM g JOIN tots USING (lang, size_bucket)
+         JOIN marg USING (source), corp
+  GROUP BY 1, 2
+)
+SELECT num.lang, num.size_bucket, tots.n AS group_size,
+       {_r6n_sql('''(num.present_num + (corp.big_n - num.present_cs)::DOUBLE * tots.n)
+            / (2.0 * tots.n * corp.big_n)''')} AS t_distance,
+       ({_r6n_sql('''(num.present_num + (corp.big_n - num.present_cs)::DOUBLE * tots.n)
+            / (2.0 * tots.n * corp.big_n)''')} <= 0.2) AS ok_t
+FROM num JOIN tots USING (lang, size_bucket), corp
+""",
+)
+def docs_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third leg of the governance trio after ``docs_k_anonymity`` and
+    ``docs_l_diversity``: a group can be large AND diverse yet still
+    leak if its sensitive-attribute distribution diverges from the
+    corpus.  Per quasi-identifier group (lang, size bucket), the
+    variational distance between the group's ``source`` distribution
+    and the corpus marginal: t = (sum_present |c*N - C*n| + n * C_absent)
+    / (2nN) — sources ABSENT from the group contribute their full
+    marginal mass, folded in as (N - sum_present C) without ever
+    materializing zero rows.  Exact integer numerators (128-bit cross
+    products) until the single rounded division; threshold t <= 0.2.
+
+    Same (QI x source) histogram shape as l-diversity — two stacked
+    hash aggregates plus a broadcast source marginal."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+        "source",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tots = g.groupBy("lang", "size_bucket").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    marg = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    corp = d.agg(F.count(F.lit(1)).cast("long").alias("big_n"))
+    num = (
+        g.join(tots, ["lang", "size_bucket"])
+        .join(F.broadcast(marg), "source")
+        .crossJoin(F.broadcast(corp))
+        .groupBy("lang", "size_bucket")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c").cast("decimal(38,0)") * F.col("big_n")
+                    - F.col("cs").cast("decimal(38,0)") * F.col("n")
+                )
+            )
+            .cast("long")
+            .alias("present_num"),
+            F.sum("cs").cast("long").alias("present_cs"),
+        )
+    )
+    t = (
+        F.col("present_num")
+        + (F.col("big_n") - F.col("present_cs")).cast("double") * F.col("n")
+    ) / (F.lit(2.0) * F.col("n") * F.col("big_n"))
+    return (
+        num.join(tots, ["lang", "size_bucket"])
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "lang",
+            "size_bucket",
+            F.col("n").alias("group_size"),
+            _r6n(t).alias("t_distance"),
+            (_r6n(t) <= 0.2).alias("ok_t"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -205,3 +205,26 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     # files should be near-even: max no more than 2x min
     sizes = sorted(os.path.getsize(p) for p in files)
     assert sizes[-1] <= 2 * sizes[0]
+
+
+def test_plan_lint_flags_and_clean(spark):
+    """plan_lint must flag a global ordered window and a cartesian, and
+    stay silent on a healthy aggregate plan."""
+    from pyspark.sql import Window
+
+    from datafusion_functions_extra_spark import plan_lint
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    healthy = li.groupBy("l_returnflag").count()
+    assert plan_lint(healthy)["flags"] == []
+
+    w = Window.orderBy("l_orderkey")
+    bad = li.withColumn("rn", F.row_number().over(w))
+    rep = plan_lint(bad)
+    assert any("WindowExec" in f for f in rep["flags"])
+    assert plan_lint(bad, allow_unpartitioned_window=True)["flags"] == []
+
+    cart = li.crossJoin(li.select(F.col("l_orderkey").alias("k2")).limit(500))
+    rep2 = plan_lint(cart)
+    assert rep2["bnlj"] or rep2["cartesian"]  # either physical form flags
+    assert rep2["flags"]

@@ -417,3 +417,66 @@ def test_streaming_cusum_matches_sequential_replica(spark, tmp_path):
                 sp = sn = 0.0
     assert len(expected) > 0  # the fixture must actually trip alarms
     assert got == expected
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """retain>2 keeps snapshot history; read_snapshot_as_of(version) must
+    reproduce the table state as of that micro-batch, and the latest
+    read must follow the pointer."""
+    import os
+
+    from datafusion_functions_extra_spark.streaming import (
+        foreach_batch_upsert,
+        latest_wins,
+        read_snapshot_as_of,
+    )
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    src = str(tmp_path / "src")
+    e.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    q = foreach_batch_upsert(
+        stream, sink, keys=("user_id", "event_type"), ts_col="ts",
+        tiebreak_col="event_id", retain=10,
+    )
+    q.awaitTermination()
+    snaps = sorted(d for d in os.listdir(sink) if d.startswith("snap_"))
+    assert len(snaps) == 3  # all three batches retained
+
+    # as-of the FIRST batch: its snapshot is exactly the compaction of
+    # whatever single source file batch 0 read
+    v0 = read_snapshot_as_of(spark, sink, version=0)
+    first_snap = [s for s in snaps if s.startswith("snap_0_")]
+    assert len(first_snap) == 1
+    direct = spark.read.parquet(os.path.join(sink, first_snap[0]))
+    assert v0.count() == direct.count() > 0
+
+    # latest == full batch compaction, and version=big resolves to last
+    want = {
+        (r.user_id, r.event_type, r.event_id)
+        for r in latest_wins(
+            e, ("user_id", "event_type"), "ts", "event_id"
+        ).collect()
+    }
+    got_latest = {
+        (r.user_id, r.event_type, r.event_id)
+        for r in read_snapshot_as_of(spark, sink).collect()
+    }
+    got_v99 = {
+        (r.user_id, r.event_type, r.event_id)
+        for r in read_snapshot_as_of(spark, sink, version=99).collect()
+    }
+    assert got_latest == want == got_v99
+    # version older than retention raises
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot_as_of(spark, sink, version=-1)

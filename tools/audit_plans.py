@@ -1,5 +1,7 @@
 """Physical-plan audit for every suite query -> PLANS.md.
 
+The detection core lives in the PACKAGE as `datafusion_functions_extra_spark.planlint` (the user-facing `plan_lint` API); this tool drives it over the suite and applies the bounded-case annotation tables below.
+
 For each `queries()` entry, inspects the AQE executed plan and records the
 scale-relevant facts: exchange (shuffle) count, join strategies, whether
 parquet scans prune columns (ReadSchema), whole-stage-codegen coverage,
@@ -23,7 +25,6 @@ Usage: python tools/audit_plans.py [--sf-dir DIR]
 from __future__ import annotations
 
 import argparse
-import re
 import sys
 
 _SCALAR = (
@@ -120,6 +121,10 @@ BNLJ_BOUNDED: dict[str, str] = {
     ),
     "events_neyman_allocation": _SCALAR + " (1-row total-weight join-back)",
     "customer_theil_by_nation": _SCALAR + " (1-row corpus-totals join-back)",
+    "users_growth_accounting": _SCALAR + " (1-row max-week join-back)",
+    "lineitem_simpson_slopes": _SCALAR + " (1-row pooled-moments join-back)",
+    "orders_interarrival_cadence": _SCALAR + " (1-row gap-totals join-back)",
+    "docs_t_closeness": _SCALAR + " (1-row corpus-count join-back)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -192,78 +197,11 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
         "two-phase global_cumsum_multi offset window (<= #partitions rows); "
         "the Lorenz histogram is distinct-revenue-sized"
     ),
+    "orders_interarrival_cadence": (
+        "two-phase global_cumsum offset window (<= #partitions rows); the "
+        "gap histogram is calendar-bounded"
+    ),
 }
-
-
-def _top_level_groups(s: str) -> int:
-    """Count top-level [...] groups in a plan line (nested brackets fold
-    into their parent) — a WindowExec line prints as
-    ``Window [funcs], [partSpec], [orderSpec]`` when partitioned and
-    ``Window [funcs], [orderSpec]`` when the partition spec is empty."""
-    depth = 0
-    groups = 0
-    for ch in s:
-        if ch == "[":
-            if depth == 0:
-                groups += 1
-            depth += 1
-        elif ch == "]":
-            depth = max(0, depth - 1)
-    return groups
-
-
-def count_unpartitioned_windows(plan: str) -> int:
-    """WindowExec prints ``Window [funcs], [partSpec], [orderSpec]`` —
-    2 top-level groups means the partition spec is absent.  The
-    WindowGroupLimit rewrite prints ``WindowGroupLimit [partSpec],
-    [orderSpec], fn, k, Mode`` — unpartitioned iff its FIRST group is
-    empty ``[]``.  Partial/Final WindowGroupLimit pairs and the Window
-    above them all derive from the same user window, but each line is
-    counted — the column measures operator instances, not source
-    windows."""
-    n = 0
-    for line in plan.splitlines():
-        stripped = line.lstrip(" :+-*(0123456789)")
-        if stripped.startswith("Window "):
-            groups = _top_level_groups(stripped)
-            if groups <= 1:
-                n += 1
-            elif groups == 2:
-                # ``Window [funcs], [X]`` — X is either a partition spec
-                # (partitioned window with no ordering: whole-partition
-                # frame, fine) or an order spec (GLOBAL ordered window:
-                # the single-partition case).  Order specs carry sort
-                # directions; partition specs never do.
-                second = stripped.split("], [", 1)
-                if len(second) == 2 and (
-                    " ASC" in second[1] or " DESC" in second[1]
-                ):
-                    n += 1
-        elif stripped.startswith("WindowGroupLimit "):
-            first = stripped.split("]", 1)[0]
-            if first.rstrip().endswith("["):  # "WindowGroupLimit [" + "]"
-                n += 1
-    return n
-
-
-def audit(plan: str) -> dict:
-    return {
-        "exchanges": plan.count("Exchange"),
-        "broadcast_joins": plan.count("BroadcastHashJoin"),
-        "bnlj": plan.count("BroadcastNestedLoopJoin"),
-        "sortmerge_joins": plan.count("SortMergeJoin"),
-        "cartesian": plan.count("CartesianProduct"),
-        "unpart_window": count_unpartitioned_windows(plan),
-        # codegen'd operators print as "*(n) OpName" in the plan string
-        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
-        "cached_scans": plan.count("InMemoryTableScan"),
-        "python_ops": plan.count("MapInPandas")
-        + plan.count("ArrowEvalPython")
-        + plan.count("BatchEvalPython"),
-        "read_schemas": sorted(
-            set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
-        ),
-    }
 
 
 def main() -> int:
@@ -274,6 +212,7 @@ def main() -> int:
 
     sys.path.insert(0, ".")
     from datafusion_functions_extra_spark import suite
+    from datafusion_functions_extra_spark.planlint import audit, executed_plan_str
     from datafusion_functions_extra_spark.sources import get_spark
 
     spark = get_spark("audit-plans", cpus=8)
@@ -302,7 +241,7 @@ def main() -> int:
             # shape is covered by the matching batch twin entries
             continue
         df = fn(spark, args.sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = executed_plan_str(df)
         a = audit(plan)
         flag = ""
         # the two multimodal queries run the Arrow-batched mapInPandas

@@ -62,3 +62,49 @@ def salted_agg_sum_count(
     return partial.groupBy(*keys).agg(
         F.sum("__n").alias("n"), F.sum("__s").alias("sum_value")
     )
+
+
+def skew_report(
+    df: DataFrame, keys: list[str], top_n: int = 10
+) -> DataFrame:
+    """One-row-per-hot-key skew diagnosis for a prospective join or
+    aggregation on ``keys``: the top-``top_n`` heaviest keys with their
+    row counts, each key's share of the relation, the ratio of its
+    count to the MEAN key count (the "hot partition multiplier"), and
+    a suggested salt factor ``ceil(count / mean)`` capped at 64 — the
+    number `salted_join`/`salted_agg_sum_count` needs to flatten that
+    key back to average weight.
+
+    Scale shape: one keyed count (the shuffle carries distinct keys),
+    one 1-row stats aggregate broadcast back, and a sort+limit head —
+    diagnosis costs one pass regardless of relation size."""
+    cnt = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = cnt.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_total"),
+    )
+    top = (
+        cnt.crossJoin(F.broadcast(stats))
+        .select(
+            *keys,
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") / F.col("n_total")).alias("share"),
+            (
+                F.col("n_rows")
+                * F.col("n_keys")
+                / F.col("n_total").cast("double")
+            ).alias("x_mean"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_n)
+    )
+    return top.select(
+        *keys,
+        "n_rows",
+        F.round("share", 6).alias("share"),
+        F.round("x_mean", 2).alias("x_mean"),
+        F.least(
+            F.lit(64), F.greatest(F.lit(1), F.ceil("x_mean"))
+        ).cast("int").alias("suggested_salts"),
+    )

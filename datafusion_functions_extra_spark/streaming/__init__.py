@@ -14,3 +14,4 @@ from .events import (  # noqa: F401
     streaming_sliding_counts,
     streaming_tumbling_counts,
 )
+from .metrics import MetricsRecorder, record_metrics  # noqa: F401

@@ -11323,6 +11323,1395 @@ def docs_t_closeness(spark, sf_dir):
     )
 
 
+@query(
+    "lineitem_ks_returned_price",
+    """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+  FROM lineitem
+),
+h AS (
+  SELECT p, sum(grp)::BIGINT AS c1, sum(1 - grp)::BIGINT AS c2
+  FROM v GROUP BY 1
+),
+cum AS (
+  SELECT p,
+         sum(c1) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS f1,
+         sum(c2) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS f2
+  FROM h
+),
+tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM h),
+d AS (
+  SELECT max(abs(f1::HUGEINT * tot.n2 - f2::HUGEINT * tot.n1))::BIGINT
+           AS d_num
+  FROM cum, tot
+)
+SELECT tot.n1, tot.n2,
+       {dstat} AS ks_d,
+       {pval} AS p_approx
+FROM d, tot
+""".format(
+        dstat="round(d.d_num::DOUBLE / (tot.n1::DOUBLE * tot.n2) + 1e-9, 6)",
+        pval=(
+            "round(2.0 * exp(-2.0 * (d.d_num::DOUBLE / (tot.n1::DOUBLE * tot.n2))"
+            " * (d.d_num::DOUBLE / (tot.n1::DOUBLE * tot.n2))"
+            " * (tot.n1::DOUBLE * tot.n2 / (tot.n1 + tot.n2))) + 1e-9, 6)"
+        ),
+    ),
+)
+def lineitem_ks_returned_price(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test (Smirnov 1939): does the
+    extended-price distribution of RETURNED line items differ from the
+    rest?  D = max |F1(x) - F2(x)| over the merged support, with the
+    asymptotic two-sided significance 2*exp(-2 D^2 n1 n2/(n1+n2)) —
+    the canonical distribution-drift test a pipeline runs between
+    cohorts, snapshots, or A/B arms.
+
+    Exact by construction: prices are integer cents, both empirical
+    CDFs ride ONE two-phase :func:`global_cumsum_multi` pass over the
+    shared (price -> c1, c2) histogram, and the sup-statistic numerator
+    |F1*n2 - F2*n1| stays in 128-bit integers (HUGEINT / DECIMAL(38))
+    until the single rounded division.  The only ordered structure is
+    the distinct-price histogram."""
+    from .functions.distribution import global_cumsum_multi
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+    )
+    h = v.groupBy("p").agg(
+        F.sum("grp").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("grp")).cast("long").alias("c2"),
+    )
+    cum = global_cumsum_multi(h, "p", {"f1": "c1", "f2": "c2"})
+    tot = h.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("f1").cast("decimal(38,0)") * F.col("n2")
+                    - F.col("f2").cast("decimal(38,0)") * F.col("n1")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    out = d.crossJoin(F.broadcast(tot))
+    dd = F.col("d_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    ne = F.col("n1").cast("double") * F.col("n2") / (
+        F.col("n1") + F.col("n2")
+    )
+    return out.select(
+        "n1",
+        "n2",
+        _r6n(dd).alias("ks_d"),
+        _r6n(F.lit(2.0) * F.exp(F.lit(-2.0) * dd * dd * ne)).alias(
+            "p_approx"
+        ),
+    )
+
+
+@query(
+    "events_dow_seasonality_strength",
+    f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+dow AS (
+  SELECT event_type, d, c, (d + 4) % 7 AS w FROM daily
+),
+g AS (
+  SELECT event_type, w, count(*) AS nw, sum(c)::BIGINT AS sw,
+         sum(c * c)::BIGINT AS qw
+  FROM dow GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, sum(nw)::BIGINT AS n, sum(sw)::BIGINT AS s,
+         sum(qw)::BIGINT AS q,
+         sum(sw::HUGEINT * sw / nw) AS fitss
+  FROM g GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_days,
+       {_r6n_sql('''1.0 - (q - fitss::DOUBLE) / (q - s::DOUBLE * s / n)''')}
+         AS seasonality_strength
+FROM t
+""",
+)
+def events_dow_seasonality_strength(spark, sf_dir):
+    """Day-of-week seasonality strength per event type: the share of
+    daily-count variance explained by the weekday profile, 1 -
+    SS_resid/SS_total with the fit being the per-weekday mean (epoch
+    day + 4 mod 7 = ISO weekday, the portable integer calendar trick) —
+    the one-number answer to "is this series weekly-periodic enough to
+    deseasonalize before anomaly detection", complementing the lag-7
+    ACF with an R^2-style effect size.
+
+    SS identities keep everything algebraic: SS_resid = Q - sum_w
+    S_w^2/n_w and SS_total = Q - S^2/n from integer power sums (the
+    per-weekday fitted sum of squares uses exact 128-bit S_w^2/n_w
+    rationals reduced to double identically on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", _epoch_day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = daily.select(
+        "event_type",
+        F.pmod(F.col("d") + 4, F.lit(7)).alias("w"),
+        "c",
+    ).groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.sum("c").cast("long").alias("sw"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("qw"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("nw").cast("long").alias("n"),
+        F.sum("sw").cast("long").alias("s"),
+        F.sum("qw").cast("long").alias("q"),
+        F.sum(
+            F.col("sw").cast("decimal(38,0)") * F.col("sw") / F.col("nw")
+        ).alias("fitss"),
+    )
+    q, s, n = F.col("q"), F.col("s").cast("double"), F.col("n")
+    return t.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        _r6n(
+            F.lit(1.0)
+            - (q - F.col("fitss").cast("double"))
+            / (q - s * F.col("s") / n)
+        ).alias("seasonality_strength"),
+    )
+
+
+@query(
+    "lineitem_spearman_rho",
+    """
+WITH v AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS a,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS b
+  FROM lineitem
+),
+ha AS (SELECT a, count(*) AS cnt FROM v GROUP BY 1),
+hb AS (SELECT b, count(*) AS cnt FROM v GROUP BY 1),
+ca AS (
+  SELECT a, 2 * (sum(cnt) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING) - cnt)
+            + cnt + 1 AS r2a
+  FROM ha
+),
+cb AS (
+  SELECT b, 2 * (sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - cnt)
+            + cnt + 1 AS r2b
+  FROM hb
+),
+r AS (
+  SELECT ca.r2a::HUGEINT AS x, cb.r2b::HUGEINT AS y
+  FROM v JOIN ca USING (a) JOIN cb USING (b)
+),
+t AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM r
+)
+SELECT n,
+       {rho} AS spearman_rho
+FROM t
+""".format(
+        rho=(
+            "round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+            " / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+            " * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) + 1e-9, 6)"
+        ),
+    ),
+)
+def lineitem_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation of quantity vs extended price — the
+    robust (monotone, outlier-resistant) complement to the Pearson
+    matrix, with exact midrank tie handling: each variable's 2x-scaled
+    midranks (2r = 2*cum_before + ties + 1, integers — the rank-sum-AUC
+    trick) come from a two-phase :func:`global_cumsum` over that
+    variable's value histogram and JOIN back to rows by value; rho is
+    then Pearson over the integer rank pairs with 128-bit power sums
+    (the 2x scaling cancels in the correlation).
+
+    Scale shape: two histogram cumsums + two hash joins keyed on the
+    value (never a global rank window over rows) + one final aggregate."""
+    from .functions.distribution import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("a"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("b"),
+    )
+    ha = v.groupBy("a").agg(F.count(F.lit(1)).alias("cnt"))
+    hb = v.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    ca = global_cumsum(ha, "a", "cnt", "cum").select(
+        "a",
+        (
+            F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
+        ).alias("r2a"),
+    )
+    cb = global_cumsum(hb, "b", "cnt", "cum").select(
+        "b",
+        (
+            F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
+        ).alias("r2b"),
+    )
+    r = v.join(ca, "a").join(cb, "b").select(
+        F.col("r2a").cast("decimal(38,0)").alias("x"),
+        F.col("r2b").cast("decimal(38,0)").alias("y"),
+    )
+    t = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return t.select(
+        "n",
+        _r6n(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("spearman_rho"),
+    )
+
+
+#: TextRank constants (shared by query and oracle)
+_TR_MIN_FREQ = 5
+_TR_ITERS = 3
+_TR_DAMPING = 0.85
+_TR_TOP_K = 20
+
+
+def _textrank_oracle_sql() -> str:
+    base = f"""
+WITH t AS (SELECT doc_id, {SIM._TOKS_SQL} AS toks FROM documents),
+tok0 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+),
+tok AS (
+  SELECT doc_id, i, toks[i] AS w FROM tok0
+  WHERE toks[i] NOT IN ({_RAKE_STOPS_SQL})
+),
+freq AS (SELECT w FROM tok GROUP BY w HAVING count(*) >= {_TR_MIN_FREQ}),
+tk AS MATERIALIZED (SELECT tok.doc_id, tok.i, tok.w FROM tok JOIN freq USING (w)),
+e0 AS (
+  SELECT a.w AS wa, b.w AS wb FROM tk a
+  JOIN tk b ON b.doc_id = a.doc_id
+           AND (b.i = a.i + 1 OR b.i = a.i + 2) AND b.w <> a.w
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT wa, wb FROM
+  (SELECT wa, wb FROM e0 UNION ALL SELECT wb AS wa, wa AS wb FROM e0)
+),
+deg AS MATERIALIZED (SELECT wa AS w, count(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT w, deg, round(1.0 / nn.n + 1e-9, 6) AS rank FROM deg CROSS JOIN nn
+)"""
+    prev = "r0"
+    rounds = []
+    for k in range(1, _TR_ITERS + 1):
+        rounds.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT d.w, d.deg,
+         round({1.0 - _TR_DAMPING!r} / nn.n
+               + {_TR_DAMPING!r} * coalesce(c.s, 0.0) + 1e-9, 6) AS rank
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.wb AS w, sum(r.rank / r.deg) AS s
+    FROM edges e JOIN {prev} r ON r.w = e.wa GROUP BY 1
+  ) c ON c.w = d.w
+)""")
+        prev = f"r{k}"
+    return base + "".join(rounds) + f"""
+SELECT w AS term, deg::BIGINT AS degree, rank
+FROM {prev} ORDER BY rank DESC, term ASC LIMIT {_TR_TOP_K}
+"""
+
+
+@query("text_textrank_keywords", _textrank_oracle_sql())
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): the
+    graph-based sibling of RAKE — PageRank over the word co-occurrence
+    graph (non-stopword tokens co-occurring within a 2-token window,
+    vocabulary pruned to corpus frequency >= {mf}), 3 damped rounds with
+    the suite's per-round trajectory rounding (the near_dup_pagerank
+    discipline, so the whole iteration is oracle-hashable), top-{k}
+    words by final rank via sort+limit.
+
+    Scale shape: the co-occurrence edges are TWO positional equi-joins
+    (i+1, i+2) of the frequency-pruned token relation keyed on
+    (doc, position); each PR round is one edge join + one aggregate;
+    iterations are a fixed unroll of {it}."""
+    from .cache import persist_tracked
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("i", "w")
+    )
+    stops = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    tok = tok.where(~F.array_contains(stops, F.col("w")))
+    freq = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _TR_MIN_FREQ)
+        .select("w")
+    )
+    tk = persist_tracked(tok.join(freq, "w").select("doc_id", "i", "w"))
+    b = tk.select(
+        "doc_id", F.col("i").alias("j"), F.col("w").alias("wb")
+    )
+    e0 = None
+    for off in (1, 2):
+        part = (
+            tk.withColumn("j", F.col("i") + off)
+            .join(b, ["doc_id", "j"])
+            .where(F.col("w") != F.col("wb"))
+            .select(F.col("w").alias("wa"), "wb")
+        )
+        e0 = part if e0 is None else e0.unionByName(part)
+    edges = persist_tracked(
+        e0.unionByName(
+            e0.select(F.col("wb").alias("wa"), F.col("wa").alias("wb"))
+        ).distinct()
+    )
+    deg = edges.groupBy("wa").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("wa").alias("w"), "deg")
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "w", "deg", _r6n(F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(r, edges.wa == r.w)
+            .select(
+                F.col("wb").alias("w"),
+                (F.col("rank") / F.col("deg")).alias("x"),
+            )
+            .groupBy("w")
+            .agg(F.sum("x").alias("s"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "w", "left")
+            .select(
+                "w",
+                "deg",
+                _r6n(
+                    F.lit(1.0 - _TR_DAMPING) / F.col("n")
+                    + F.lit(_TR_DAMPING)
+                    * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return (
+        r.orderBy(F.col("rank").desc(), F.col("w").asc())
+        .limit(_TR_TOP_K)
+        .select(
+            F.col("w").alias("term"),
+            F.col("deg").cast("long").alias("degree"),
+            "rank",
+        )
+    )
+
+
+text_textrank_keywords.__doc__ = text_textrank_keywords.__doc__.format(
+    mf=_TR_MIN_FREQ, k=_TR_TOP_K, it=_TR_ITERS
+)
+
+
+@query(
+    "events_type_entropy_rate",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS c
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+row_m AS (SELECT prev_type, sum(c)::BIGINT AS nr FROM tr GROUP BY 1),
+col_m AS (SELECT next_type, sum(c)::BIGINT AS nc FROM tr GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM tr),
+cond AS (
+  SELECT sum((tr.c::DOUBLE / tot.n) * ln(tr.c::DOUBLE / row_m.nr)) AS neg_h
+  FROM tr JOIN row_m USING (prev_type), tot
+),
+marg AS (
+  SELECT sum((col_m.nc::DOUBLE / tot.n) * ln(col_m.nc::DOUBLE / tot.n))
+           AS neg_hm
+  FROM col_m, tot
+)
+SELECT tot.n AS n_transitions,
+       {hm} AS marginal_entropy,
+       {hc} AS conditional_entropy,
+       {gain} AS predictability_gain
+FROM cond, marg, tot
+""".format(
+        hm="round(-marg.neg_hm + 1e-9, 6)",
+        hc="round(-cond.neg_h + 1e-9, 6)",
+        gain="round((cond.neg_h - marg.neg_hm) + 1e-9, 6)",
+    ),
+)
+def events_type_entropy_rate(spark, sf_dir):
+    """Behavioral predictability: the empirical entropy rate of the
+    per-user event-type Markov chain — conditional entropy H(next|cur)
+    vs the marginal H(next), with the gap (information gain) answering
+    "does knowing the current event type help predict the next one?"
+    (0 gain = memoryless traffic; large gap = strongly sequential
+    behavior worth a sequence model).  Weights are the empirical
+    transition mass (sum over cells of (n_ij/N) ln(n_ij/n_i)), the
+    plug-in entropy-rate estimator for a stationary chain.
+
+    One per-user lag window (partitioned, bounded by events-per-user)
+    reduces the stream to a |types|^2 transition matrix; everything
+    after is cell arithmetic with ln-ulp drift absorbed by the 6-dp
+    rounding convention."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(wseq).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row_m = tr.groupBy("prev_type").agg(F.sum("c").cast("long").alias("nr"))
+    col_m = tr.groupBy("next_type").agg(F.sum("c").cast("long").alias("nc"))
+    tot = tr.agg(F.sum("c").cast("long").alias("n"))
+    cond = (
+        tr.join(F.broadcast(row_m), "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("c").cast("double") / F.col("nr"))
+            ).alias("neg_h")
+        )
+    )
+    marg = col_m.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("nc").cast("double") / F.col("n"))
+            * F.log(F.col("nc").cast("double") / F.col("n"))
+        ).alias("neg_hm")
+    )
+    return (
+        cond.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_transitions"),
+            _r6n(-F.col("neg_hm")).alias("marginal_entropy"),
+            _r6n(-F.col("neg_h")).alias("conditional_entropy"),
+            _r6n(F.col("neg_h") - F.col("neg_hm")).alias(
+                "predictability_gain"
+            ),
+        )
+    )
+
+
+#: Benjamini-Hochberg false-discovery rate for the Welch pair family
+_BH_Q = 0.05
+#: Abramowitz & Stegun 26.2.17 normal-CDF polynomial constants
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_K = 0.2316419
+_SQRT_2PI = 2.5066282746310002
+
+
+def _phi_tail_sql(x: str) -> str:
+    """1 - Phi(x) for x >= 0 via A&S 26.2.17 (identical literals both
+    engines, so the approximation is bit-reproducible)."""
+    k = f"(1.0 / (1.0 + {_AS_K!r} * ({x})))"
+    poly = (
+        f"({_AS_B[0]!r} * {k} + {_AS_B[1]!r} * {k} * {k}"
+        f" + {_AS_B[2]!r} * {k} * {k} * {k}"
+        f" + {_AS_B[3]!r} * {k} * {k} * {k} * {k}"
+        f" + {_AS_B[4]!r} * {k} * {k} * {k} * {k} * {k})"
+    )
+    return f"(exp(-(({x}) * ({x})) / 2.0) / {_SQRT_2PI!r} * {poly})"
+
+
+def _phi_tail_col(x):
+    k = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_K) * x)
+    poly = (
+        F.lit(_AS_B[0]) * k
+        + F.lit(_AS_B[1]) * k * k
+        + F.lit(_AS_B[2]) * k * k * k
+        + F.lit(_AS_B[3]) * k * k * k * k
+        + F.lit(_AS_B[4]) * k * k * k * k * k
+    )
+    return F.exp(-(x * x) / F.lit(2.0)) / F.lit(_SQRT_2PI) * poly
+
+
+@query(
+    "event_type_welch_bh_fdr",
+    f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s1,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT))::BIGINT AS s2
+  FROM events GROUP BY 1
+),
+pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, b.n AS nb,
+         (a.s1::DOUBLE / a.n) AS ma, (b.s1::DOUBLE / b.n) AS mb,
+         ((a.s2 - a.s1::DOUBLE * a.s1 / a.n) / (a.n - 1)) AS va,
+         ((b.s2 - b.s1::DOUBLE * b.s1 / b.n) / (b.n - 1)) AS vb
+  FROM s a JOIN s b ON a.event_type < b.event_type
+),
+tst AS (
+  SELECT type_a, type_b,
+         abs(ma - mb) / sqrt(va / na + vb / nb) AS t_abs
+  FROM pr
+),
+pv AS (
+  SELECT type_a, type_b, round(t_abs + 1e-9, 6) AS t_abs6,
+         2.0 * {_phi_tail_sql("round(t_abs + 1e-9, 6)")} AS p_raw
+  FROM tst
+),
+rk AS (
+  SELECT type_a, type_b, t_abs6, p_raw,
+         row_number() OVER (ORDER BY p_raw, type_a, type_b) AS rk,
+         count(*) OVER () AS m
+  FROM pv
+),
+kmax AS (
+  SELECT coalesce(max(CASE WHEN p_raw <= rk * {_BH_Q!r} / m
+                           THEN rk END), 0) AS k
+  FROM rk
+)
+SELECT rk.type_a, rk.type_b, rk.t_abs6 AS t_abs,
+       {_r6n_sql('rk.p_raw')} AS p_norm_approx,
+       rk.rk::BIGINT AS p_rank,
+       (rk.rk <= kmax.k) AS significant_fdr05
+FROM rk, kmax
+""",
+)
+def event_type_welch_bh_fdr(spark, sf_dir):
+    """Multiple-testing control for the Welch pair family: every
+    (type_a < type_b) mean-value comparison gets a normal-approximation
+    p-value (A&S 26.2.17 polynomial CDF — identical literals both
+    engines, valid at these ~10^4 degrees of freedom), then
+    Benjamini-Hochberg step-up at q={q} marks which pairs survive FDR
+    control — the difference between "10 t-tests, 3 look significant"
+    and an honest discovery list (Benjamini & Hochberg 1995).
+
+    Power sums are exact integer cents; |t| is rounded BEFORE the
+    p-value so the polynomial sees identical doubles.  The rank window
+    runs over the |types|^2 pair grid (bounded); BH's k* is one scalar
+    join-back."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    s = e.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    a = s.select(*[F.col(c).alias(c + "_a") for c in s.columns])
+    b = s.select(*[F.col(c).alias(c + "_b") for c in s.columns])
+    pr = a.join(F.broadcast(b), F.col("event_type_a") < F.col("event_type_b"))
+
+    def m_v(side):
+        n, s1, s2 = (F.col(f"{c}_{side}").cast("double") for c in ("n", "s1", "s2"))
+        return s1 / n, (s2 - s1 * s1 / n) / (n - 1)
+
+    ma, va = m_v("a")
+    mb, vb = m_v("b")
+    t_abs = F.abs(ma - mb) / F.sqrt(
+        va / F.col("n_a") + vb / F.col("n_b")
+    )
+    pv = pr.select(
+        F.col("event_type_a").alias("type_a"),
+        F.col("event_type_b").alias("type_b"),
+        _r6n(t_abs).alias("t_abs6"),
+    ).withColumn("p_raw", F.lit(2.0) * _phi_tail_col(F.col("t_abs6")))
+    wr = Window.orderBy("p_raw", "type_a", "type_b")
+    rk = pv.select(
+        "*",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    kmax = rk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_raw")
+                    <= F.col("rk") * F.lit(_BH_Q) / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return rk.crossJoin(F.broadcast(kmax)).select(
+        "type_a",
+        "type_b",
+        F.col("t_abs6").alias("t_abs"),
+        _r6n(F.col("p_raw")).alias("p_norm_approx"),
+        F.col("rk").cast("long").alias("p_rank"),
+        (F.col("rk") <= F.col("k")).alias("significant_fdr05"),
+    )
+
+
+event_type_welch_bh_fdr.__doc__ = event_type_welch_bh_fdr.__doc__.format(
+    q=_BH_Q
+)
+
+
+@query(
+    "events_cuped_adjustment",
+    f"""
+WITH span AS (
+  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US})
+          + max(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US})) // 2 AS mid
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} <= span.mid
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} > span.mid
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS y
+  FROM events, span GROUP BY 1
+),
+t AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(x::HUGEINT * y) AS sxy
+  FROM u
+)
+SELECT n AS n_users,
+       {{theta}} AS theta,
+       {{corr}} AS corr_pre_post,
+       {{vr}} AS var_reduction_pct
+FROM t
+""".format(
+        theta=(
+            "round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+            " / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) + 1e-9, 6)"
+        ),
+        corr=(
+            "round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+            " / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+            " * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) + 1e-9, 6)"
+        ),
+        vr=(
+            "round(100.0 * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+            " * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+            " / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+            " * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) + 1e-9, 6)"
+        ),
+    ),
+)
+def events_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    split the event timeline at its midpoint day, aggregate each user's
+    pre-period and post-period spend, and compute theta =
+    cov(pre, post)/var(pre) plus the variance-reduction share corr^2 —
+    the industry-standard pre-experiment covariate adjustment that
+    tells an A/B platform how much smaller its confidence intervals
+    get for free.  All power/cross sums are exact 128-bit integers
+    over cents; the three reported ratios divide identical exact sums.
+
+    One keyed aggregate per user + one 1-row reduction; the midpoint
+    is a broadcast scalar."""
+    e = load_table(spark, sf_dir, "events")
+    day = _epoch_day("ts")
+    span = e.agg(
+        ((F.min(day) + F.max(day)) / 2).cast("long").alias("mid")
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    u = (
+        e.select("user_id", day.alias("d"), v.alias("v"))
+        .crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("mid"), F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("d") > F.col("mid"), F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    t = u.select(
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    return t.select(
+        F.col("n").alias("n_users"),
+        _r6n(cov_n / varx_n).alias("theta"),
+        _r6n(cov_n / F.sqrt(varx_n * vary_n)).alias("corr_pre_post"),
+        _r6n(F.lit(100.0) * cov_n * cov_n / (varx_n * vary_n)).alias(
+            "var_reduction_pct"
+        ),
+    )
+
+
+@query(
+    "events_error_rate_ztest",
+    f"""
+WITH d AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+),
+span AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+c AS (
+  SELECT sum(CASE WHEN day <= span.mid THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN day <= span.mid THEN is_err ELSE 0 END)::BIGINT AS e1,
+         sum(CASE WHEN day > span.mid THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN day > span.mid THEN is_err ELSE 0 END)::BIGINT AS e2
+  FROM d, span
+),
+z AS (
+  SELECT n1, e1, n2, e2,
+         round(abs(e1::DOUBLE / n1 - e2::DOUBLE / n2)
+               / sqrt(((e1 + e2)::DOUBLE / (n1 + n2))
+                      * (1.0 - (e1 + e2)::DOUBLE / (n1 + n2))
+                      * (1.0 / n1 + 1.0 / n2)) + 1e-9, 6) AS z_abs
+  FROM c
+)
+SELECT n1 AS n_pre, e1 AS errors_pre, n2 AS n_post, e2 AS errors_post,
+       {_r6n_sql('e1::DOUBLE / n1')} AS rate_pre,
+       {_r6n_sql('e2::DOUBLE / n2')} AS rate_post,
+       z_abs,
+       {_r6n_sql(f'2.0 * {_phi_tail_sql("z_abs")}')} AS p_norm_approx
+FROM z
+""",
+)
+def events_error_rate_ztest(spark, sf_dir):
+    """Two-proportion z-test on the error rate, pre vs post the
+    timeline midpoint — the incident-review / canary-release readout
+    "did the error fraction actually change?", completing the
+    experimentation family (Welch = means, KS = distributions, this =
+    proportions).  Pooled-variance z from exact integer event/error
+    counts; |z| is rounded before the shared A&S 26.2.17 normal-CDF
+    polynomial so the p-value is bit-reproducible across engines.
+
+    One corpus pass producing four integers + scalar arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    day = _epoch_day("ts")
+    d = e.select(
+        day.alias("day"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    span = d.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    c = d.crossJoin(F.broadcast(span)).agg(
+        F.sum(F.when(F.col("day") <= F.col("mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("day") <= F.col("mid"), F.col("is_err")).otherwise(0))
+        .cast("long")
+        .alias("e1"),
+        F.sum(F.when(F.col("day") > F.col("mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("day") > F.col("mid"), F.col("is_err")).otherwise(0))
+        .cast("long")
+        .alias("e2"),
+    )
+    n1, e1 = F.col("n1").cast("double"), F.col("e1").cast("double")
+    n2, e2 = F.col("n2").cast("double"), F.col("e2").cast("double")
+    pool = (e1 + e2) / (n1 + n2)
+    z = _r6n(
+        F.abs(e1 / n1 - e2 / n2)
+        / F.sqrt(pool * (F.lit(1.0) - pool) * (1 / n1 + 1 / n2))
+    )
+    out = c.withColumn("z_abs", z)
+    return out.select(
+        F.col("n1").alias("n_pre"),
+        F.col("e1").alias("errors_pre"),
+        F.col("n2").alias("n_post"),
+        F.col("e2").alias("errors_post"),
+        _r6n(e1 / n1).alias("rate_pre"),
+        _r6n(e2 / n2).alias("rate_post"),
+        "z_abs",
+        _r6n(F.lit(2.0) * _phi_tail_col(F.col("z_abs"))).alias(
+            "p_norm_approx"
+        ),
+    )
+
+
+@query(
+    "orders_runs_test",
+    f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_DAY_US} AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev
+  FROM orders GROUP BY 1
+),
+h AS (SELECT rev, count(*) AS cnt FROM daily GROUP BY 1),
+cum AS (
+  SELECT rev, cnt,
+         sum(cnt) OVER (ORDER BY rev ROWS UNBOUNDED PRECEDING) AS cumc,
+         sum(cnt) OVER () AS n
+  FROM h
+),
+med AS (
+  SELECT min(CASE WHEN cumc >= floor(0.50 * (n - 1)) + 1 THEN rev END) AS m
+  FROM cum
+),
+sgn AS (
+  SELECT day, CASE WHEN rev > med.m THEN 1 ELSE 0 END AS above,
+         lag(CASE WHEN rev > med.m THEN 1 ELSE 0 END)
+           OVER (ORDER BY day) AS prev
+  FROM daily, med
+),
+st AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(above)::BIGINT AS n1,
+         (count(*) - sum(above))::BIGINT AS n0,
+         (1 + sum(CASE WHEN prev IS NOT NULL AND above <> prev
+                       THEN 1 ELSE 0 END))::BIGINT AS runs
+  FROM sgn
+),
+z AS (
+  SELECT n, n1, n0, runs,
+         1.0 + 2.0 * n1 * n0 / n AS mu,
+         round(abs(runs - (1.0 + 2.0 * n1 * n0 / n))
+               / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+                      / (n::DOUBLE * n * (n - 1))) + 1e-9, 6) AS z_abs
+  FROM st
+)
+SELECT n AS n_days, n1 AS n_above, n0 AS n_below_eq, runs,
+       {_r6n_sql('mu')} AS expected_runs, z_abs,
+       {_r6n_sql(f'2.0 * {_phi_tail_sql("z_abs")}')} AS p_norm_approx
+FROM z
+""",
+)
+def orders_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (1940) for serial randomness of daily
+    revenue: dichotomize each day as above/below-or-equal the median
+    (discrete median from the two-phase histogram cumsum), count sign
+    runs with a single calendar-bounded lag, and compare to the
+    expected run count 1 + 2*n1*n0/n with the normal approximation —
+    too FEW runs = trending/sticky regimes, too many = oscillation.
+    Counts stay integer through the run tally; |z| rounds before the
+    shared normal-CDF polynomial."""
+    from pyspark.sql import Window
+
+    from .functions.distribution import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            _epoch_day(F.col("o_orderdate").cast("timestamp")).alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("rc"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rc").cast("long").alias("rev"))
+    )
+    h = daily.groupBy("rev").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = global_cumsum(h, "rev", "cnt", "cumc")
+    tot = h.agg(F.sum("cnt").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cumc")
+                    >= F.floor(F.lit(50) * (F.col("n") - 1) / 100) + 1,
+                    F.col("rev"),
+                )
+            ).alias("m")
+        )
+    )
+    wd = Window.orderBy("day")
+    sgn = (
+        daily.crossJoin(F.broadcast(med))
+        .select(
+            "day", (F.col("rev") > F.col("m")).cast("int").alias("above")
+        )
+        .withColumn("prev", F.lag("above").over(wd))
+    )
+    st = sgn.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("above").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n0"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("above") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n = F.col("n").cast("double")
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    mu = F.lit(1.0) + F.lit(2.0) * n1 * n0 / n
+    z = _r6n(
+        F.abs(F.col("runs") - mu)
+        / F.sqrt(
+            F.lit(2.0)
+            * n1
+            * n0
+            * (F.lit(2.0) * n1 * n0 - n)
+            / (n * n * (n - 1))
+        )
+    )
+    out = st.withColumn("z_abs", z)
+    return out.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below_eq"),
+        "runs",
+        _r6n(mu).alias("expected_runs"),
+        "z_abs",
+        _r6n(F.lit(2.0) * _phi_tail_col(F.col("z_abs"))).alias(
+            "p_norm_approx"
+        ),
+    )
+
+
+@query(
+    "event_value_anova",
+    """
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s1,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT))::BIGINT AS s2
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+         sum(s1)::BIGINT AS s1, sum(s2)::BIGINT AS s2,
+         sum(s1::HUGEINT * s1 / n) AS fit
+  FROM s
+)
+SELECT k AS n_groups, n AS n_rows,
+       {ssb} AS ss_between,
+       {ssw} AS ss_within,
+       {fstat} AS f_stat,
+       {eta} AS eta_squared
+FROM t
+""".format(
+        ssb="round((fit::DOUBLE - s1::DOUBLE * s1 / n) / 10000.0 + 1e-9, 6)",
+        ssw="round((s2 - fit::DOUBLE) / 10000.0 + 1e-9, 6)",
+        fstat=(
+            "round(((fit::DOUBLE - s1::DOUBLE * s1 / n) / (k - 1))"
+            " / ((s2 - fit::DOUBLE) / (n - k)) + 1e-9, 6)"
+        ),
+        eta=(
+            "round((fit::DOUBLE - s1::DOUBLE * s1 / n)"
+            " / (s2 - s1::DOUBLE * s1 / n) + 1e-9, 6)"
+        ),
+    ),
+)
+def event_value_anova(spark, sf_dir):
+    """One-way ANOVA across event types (Fisher 1925) — the omnibus
+    "do the group means differ AT ALL" gate run before any pairwise
+    Welch family, with eta^2 (SS_between/SS_total) as the effect size
+    that says whether a significant F even matters.  The whole test
+    reduces to the same mergeable per-group (n, S, Q) moment state as
+    the Welch grid: SS_between = sum_g S_g^2/n_g - S^2/n and SS_within
+    = Q - sum_g S_g^2/n_g, computed from exact integer cents (128-bit
+    fitted sums) and reported in value^2 units (/100^2).
+
+    One map-side-combined aggregate + a |groups|-row reduction."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    s = e.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1"),
+        F.sum("s2").cast("long").alias("s2"),
+        F.sum(
+            F.col("s1").cast("decimal(38,0)") * F.col("s1") / F.col("n")
+        ).alias("fit"),
+    )
+    k, n = F.col("k"), F.col("n")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    fit = F.col("fit").cast("double")
+    ssb = fit - s1 * F.col("s1") / n
+    ssw = s2 - fit
+    sst = s2 - s1 * F.col("s1") / n
+    return t.select(
+        k.alias("n_groups"),
+        n.alias("n_rows"),
+        _r6n(ssb / 10000.0).alias("ss_between"),
+        _r6n(ssw / 10000.0).alias("ss_within"),
+        _r6n((ssb / (k - 1)) / (ssw / (n - k))).alias("f_stat"),
+        _r6n(ssb / sst).alias("eta_squared"),
+    )
+
+
+@query(
+    "events_ab_srm_check",
+    f"""
+WITH arms AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || ':srm'), 1, 15))::BIGINT
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+c AS (
+  SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM arms
+),
+z AS (
+  SELECT na, nb,
+         round(abs(na - nb)::DOUBLE / sqrt((na + nb)::DOUBLE) + 1e-9, 6)
+           AS z_abs
+  FROM c
+)
+SELECT na AS n_arm_a, nb AS n_arm_b,
+       {_r6n_sql('na::DOUBLE / (na + nb)')} AS share_a,
+       z_abs,
+       {_r6n_sql(f'2.0 * {_phi_tail_sql("z_abs")}')} AS p_srm
+FROM z
+""",
+)
+def events_ab_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check (Fabijan et al. 2019) — the first
+    sanity gate of every A/B readout: assign each user to an arm by the
+    suite's deterministic md5 hash split (the same mechanism as
+    docs_train_test_split), then test the observed arm counts against
+    the designed 50/50 with the binomial z = |n_A - n_B|/sqrt(N)
+    (equivalently chi-square 1df) and the shared normal-CDF polynomial.
+    A tiny p here means the assignment or logging pipeline is BROKEN
+    and every downstream metric readout is invalid.
+
+    One distinct-user reduction + scalar arithmetic; the hash is
+    integer-exact on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"),
+                                       F.lit(":srm"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    arms = e.select("user_id").distinct().select(arm.alias("arm"))
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    z = _r6n(F.abs(na - nb) / F.sqrt(na + nb))
+    out = c.withColumn("z_abs", z)
+    return out.select(
+        F.col("na").alias("n_arm_a"),
+        F.col("nb").alias("n_arm_b"),
+        _r6n(na / (na + nb)).alias("share_a"),
+        "z_abs",
+        _r6n(F.lit(2.0) * _phi_tail_col(F.col("z_abs"))).alias("p_srm"),
+    )
+
+
+@query(
+    "orders_monthly_gini_trend",
+    """
+WITH rev AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS mth,
+         o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1, 2
+),
+h AS (
+  SELECT mth, cents AS v, count(*) AS cnt,
+         cents * count(*) AS rev_sum
+  FROM rev GROUP BY 1, 2
+),
+cum AS (
+  SELECT mth, v, cnt, rev_sum,
+         sum(cnt) OVER (PARTITION BY mth ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum_cnt
+  FROM h
+),
+g AS (
+  SELECT mth,
+         sum(cnt)::BIGINT AS n, sum(rev_sum)::BIGINT AS t,
+         sum(v::HUGEINT * (cnt * (cum_cnt - cnt)
+             + (cnt * (cnt + 1)) // 2))::BIGINT AS s_r
+  FROM cum GROUP BY 1
+)
+SELECT strftime(mth, '%Y-%m') AS month, n AS n_customers,
+       {gini} AS gini
+FROM g WHERE n >= 2
+""".format(
+        gini=(
+            "round(2.0 * s_r / (n::DOUBLE * t) - (n + 1)::DOUBLE / n"
+            " + 1e-9, 6)"
+        ),
+    ),
+)
+def orders_monthly_gini_trend(spark, sf_dir):
+    """Concentration MONITORING: the per-month Gini of customer revenue
+    as a time series — is the business (or corpus source mix) becoming
+    more head-heavy over time?  Same integer-cents rank identity as
+    customer_revenue_concentration, but the Lorenz cumsum is a window
+    PARTITIONED by month (each month's histogram is its own bounded
+    partition — no global-order structure at all), so the whole trend
+    is two keyed aggregates and one partitioned window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.select(
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            .alias("mth"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("rc"),
+        )
+        .groupBy("mth", "o_custkey")
+        .agg(F.sum("rc").cast("long").alias("cents"))
+    )
+    h = (
+        rev.groupBy("mth", F.col("cents").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rev_sum", F.col("v") * F.col("cnt"))
+    )
+    wc = (
+        Window.partitionBy("mth")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("cum_cnt", F.sum("cnt").over(wc))
+    g = cum.groupBy("mth").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("rev_sum").cast("long").alias("t"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * (
+                F.col("cnt") * (F.col("cum_cnt") - F.col("cnt"))
+                + F.expr("(cnt * (cnt + 1)) DIV 2")
+            )
+        )
+        .cast("long")
+        .alias("s_r"),
+    )
+    return g.where(F.col("n") >= 2).select(
+        F.date_format("mth", "yyyy-MM").alias("month"),
+        F.col("n").alias("n_customers"),
+        _r6n(
+            F.lit(2.0) * F.col("s_r")
+            / (F.col("n").cast("double") * F.col("t"))
+            - (F.col("n") + 1).cast("double") / F.col("n")
+        ).alias("gini"),
+    )
+
+
+#: Holt-Winters triple smoothing constants (level, trend, seasonal)
+_HW3_ALPHA = 0.3
+_HW3_GAMMA = 0.1
+_HW3_DELTA = 0.2
+
+
+@query(
+    "events_holt_winters_seasonal",
+    f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d,
+         count(*) AS c,
+         ((epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) + 4) % 7 + 1 AS widx,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) AS rn
+  FROM events GROUP BY event_type, d
+),
+hw AS (
+  SELECT event_type, rn, d, c, widx,
+         c::DOUBLE AS level, 0.0::DOUBLE AS trend,
+         [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS season
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.rn, n.d, n.c, n.widx,
+         {_HW3_ALPHA!r} * (n.c - h.season[n.widx])
+           + {1.0 - _HW3_ALPHA!r} * (h.level + h.trend),
+         {_HW3_GAMMA!r} * (({_HW3_ALPHA!r} * (n.c - h.season[n.widx])
+             + {1.0 - _HW3_ALPHA!r} * (h.level + h.trend)) - h.level)
+           + {1.0 - _HW3_GAMMA!r} * h.trend,
+         list_transform(generate_series(1, 7), j ->
+           CASE WHEN j = n.widx
+                THEN {_HW3_DELTA!r} * (n.c
+                       - ({_HW3_ALPHA!r} * (n.c - h.season[n.widx])
+                          + {1.0 - _HW3_ALPHA!r} * (h.level + h.trend)))
+                     + {1.0 - _HW3_DELTA!r} * h.season[n.widx]
+                ELSE h.season[j] END)
+  FROM hw h JOIN daily n
+    ON n.event_type = h.event_type AND n.rn = h.rn + 1
+)
+SELECT event_type, d AS day, c::BIGINT AS n_events,
+       {_r6n_sql("level")} AS level,
+       {_r6n_sql("trend")} AS trend,
+       {_r6n_sql("season[widx]")} AS season_component,
+       {_r6n_sql("level + trend + season[((d + 1) + 4) % 7 + 1]")}
+         AS forecast_next
+FROM hw
+""",
+)
+def events_holt_winters_seasonal(spark, sf_dir):
+    """Holt-Winters TRIPLE exponential smoothing (Winters 1960):
+    level + trend + additive weekly seasonality over each event type's
+    daily series — the forecasting-family capstone above the double
+    (events_holt_winters), whose recurrence now carries a 7-slot
+    seasonal state vector: l = a(x - s_old) + (1-a)(l+b),
+    b = g(l - l_prev) + (1-g)b, s_idx = d(x - l) + (1-d)s_old (cold
+    start: level = x_1, zero trend/season — the documented simple
+    init).  The season slot is the portable integer weekday
+    ((epoch_day + 4) mod 7).
+
+    The inherently-sequential fold runs IN-ROW over the calendar-
+    bounded sorted series (prefix F.aggregate with a struct(level,
+    trend, season[7]) accumulator — the established Holt/PCA/BPE
+    pattern), while the oracle replays the identical arithmetic as a
+    recursive CTE carrying a LIST column; both engines evaluate the
+    same literals in the same order, so trajectories agree to the ulp
+    before the 6-dp rounding."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", _epoch_day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("c")))
+        ).alias("arr")
+    )
+    a, g, ds = _HW3_ALPHA, _HW3_GAMMA, _HW3_DELTA
+
+    def widx(day_col):
+        # 0-based season slot of the portable integer weekday
+        return F.pmod(day_col + 4, F.lit(7)).cast("int")
+
+    def hw_state(prefix):
+        acc0 = F.struct(
+            F.lit(0.0).alias("level"),
+            F.lit(0.0).alias("trend"),
+            F.array(*[F.lit(0.0)] * 7).alias("season"),
+            F.lit(False).alias("started"),
+        )
+
+        def step(acc, el):
+            x = el["c"].cast("double")
+            idx = widx(el["d"])
+            s_old = F.element_at(acc.season, idx + 1)
+            nl = F.lit(a) * (x - s_old) + F.lit(1.0 - a) * (
+                acc.level + acc.trend
+            )
+            nt = F.lit(g) * (nl - acc.level) + F.lit(1.0 - g) * acc.trend
+            ns = F.lit(ds) * (x - nl) + F.lit(1.0 - ds) * s_old
+            season2 = F.transform(
+                F.sequence(F.lit(1), F.lit(7)),
+                lambda j: F.when(j == idx + 1, ns).otherwise(
+                    F.element_at(acc.season, j)
+                ),
+            )
+            return F.when(
+                ~acc.started,
+                F.struct(
+                    x.alias("level"),
+                    F.lit(0.0).alias("trend"),
+                    F.array(*[F.lit(0.0)] * 7).alias("season"),
+                    F.lit(True).alias("started"),
+                ),
+            ).otherwise(
+                F.struct(
+                    nl.alias("level"),
+                    nt.alias("trend"),
+                    season2.alias("season"),
+                    F.lit(True).alias("started"),
+                )
+            )
+
+        return F.aggregate(prefix, acc0, step)
+
+    states = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("arr"))),
+        lambda i: hw_state(F.slice(F.col("arr"), 1, i)),
+    )
+    z = arr.select(
+        "event_type",
+        F.explode(F.arrays_zip(F.col("arr"), states.alias("st"))).alias("e"),
+    )
+    lvl = F.col("e.st.level")
+    tr = F.col("e.st.trend")
+    d = F.col("e.arr.d")
+    season = F.col("e.st.season")
+    return z.select(
+        "event_type",
+        d.alias("day"),
+        F.col("e.arr.c").cast("long").alias("n_events"),
+        _r6n(lvl).alias("level"),
+        _r6n(tr).alias("trend"),
+        _r6n(F.element_at(season, widx(d) + 1)).alias("season_component"),
+        _r6n(
+            lvl + tr + F.element_at(season, widx(d + 1) + 1)
+        ).alias("forecast_next"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -228,3 +228,17 @@ def test_plan_lint_flags_and_clean(spark):
     rep2 = plan_lint(cart)
     assert rep2["bnlj"] or rep2["cartesian"]  # either physical form flags
     assert rep2["flags"]
+
+
+def test_skew_report_identifies_hot_key(spark):
+    """skew_report must rank the hottest key first with a sensible
+    multiplier and salt suggestion."""
+    base = spark.range(1000).select(
+        F.when(F.col("id") < 600, F.lit(7)).otherwise(F.col("id") % 50 + 100)
+        .alias("k")
+    )
+    rep = SK.skew_report(base, ["k"], top_n=3).collect()
+    assert rep[0].k == 7 and rep[0].n_rows == 600
+    # 50 distinct cold keys + the hot one => mean ~ 1000/51; 600/mean ~ 30x
+    assert rep[0].x_mean > 20 and rep[0].suggested_salts >= 20
+    assert rep[1].n_rows < 100

@@ -480,3 +480,35 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_snapshot_as_of(spark, sink, version=-1)
+
+
+def test_metrics_recorder_captures_progress(spark):
+    """The StreamingQueryListener metrics recorder must capture one row
+    per micro-batch with plausible input-row counts and expose them as
+    a DataFrame."""
+    import time
+
+    from datafusion_functions_extra_spark.streaming import (
+        read_events_stream,
+        record_metrics,
+        run_available_now,
+        streaming_tumbling_counts,
+    )
+
+    rec = record_metrics(spark)
+    try:
+        sdf = streaming_tumbling_counts(read_events_stream(spark, SF_DIR))
+        out = run_available_now(sdf)
+        n_out = out.count()
+        # listener events are delivered asynchronously on the driver
+        deadline = time.time() + 30
+        while not rec.rows and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+    assert n_out > 0
+    assert rec.rows, "no progress events captured"
+    df = rec.progress_df(spark)
+    got = df.collect()
+    assert sum(r.num_input_rows for r in got) > 0
+    assert all(r.batch_id >= 0 for r in got)

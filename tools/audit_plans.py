@@ -125,6 +125,20 @@ BNLJ_BOUNDED: dict[str, str] = {
     "lineitem_simpson_slopes": _SCALAR + " (1-row pooled-moments join-back)",
     "orders_interarrival_cadence": _SCALAR + " (1-row gap-totals join-back)",
     "docs_t_closeness": _SCALAR + " (1-row corpus-count join-back)",
+    "lineitem_ks_returned_price": _SCALAR + " (totals row x sup-stat row)",
+    "text_textrank_keywords": (
+        _SCALAR + " (1-row node-count join-back, once per PR round)"
+    ),
+    "events_type_entropy_rate": (
+        _SCALAR + " (transition-total row x marginal row join-backs)"
+    ),
+    "event_type_welch_bh_fdr": (
+        "theta pair-grid over the per-TYPE moment aggregate (|types|^2) "
+        "plus the 1-row BH k* join-back"
+    ),
+    "events_cuped_adjustment": _SCALAR + " (1-row midpoint-day join-back)",
+    "events_error_rate_ztest": _SCALAR + " (1-row midpoint-day join-back)",
+    "orders_runs_test": _SCALAR + " (median row x totals row join-backs)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -200,6 +214,22 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "orders_interarrival_cadence": (
         "two-phase global_cumsum offset window (<= #partitions rows); the "
         "gap histogram is calendar-bounded"
+    ),
+    "lineitem_ks_returned_price": (
+        "two-phase global_cumsum_multi offset window (<= #partitions rows) "
+        "over the shared two-sample price histogram"
+    ),
+    "lineitem_spearman_rho": (
+        "two two-phase global_cumsum offset windows (<= #partitions rows) "
+        "over the per-variable value histograms"
+    ),
+    "event_type_welch_bh_fdr": (
+        "BH rank/count windows over the |types|^2 pair grid — bounded by "
+        "the type-domain size at any corpus size"
+    ),
+    "orders_runs_test": (
+        "two-phase global_cumsum offset window (<= #partitions rows) plus "
+        "the run-boundary lag over the per-DAY rollup — calendar-bounded"
     ),
 }
 

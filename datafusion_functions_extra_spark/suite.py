@@ -12712,6 +12712,352 @@ def events_holt_winters_seasonal(spark, sf_dir):
     )
 
 
+@query(
+    "events_markov_stationary",
+    f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS c
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+types AS (SELECT prev_type AS t FROM tr GROUP BY 1 ORDER BY 1),
+tlist AS (SELECT list(t ORDER BY t) AS ts FROM types),
+rowm AS (SELECT prev_type, sum(c)::BIGINT AS nr FROM tr GROUP BY 1),
+pmat AS (
+  -- row-stochastic transition matrix as an ordered list of ordered lists
+  SELECT list(prow ORDER BY pt) AS p FROM (
+    SELECT tr0.t AS pt,
+           list(round(coalesce(tr.c, 0)::DOUBLE / rowm.nr + 1e-9, 6)
+                ORDER BY t2.t) AS prow
+    FROM types tr0
+    CROSS JOIN types t2
+    LEFT JOIN tr ON tr.prev_type = tr0.t AND tr.next_type = t2.t
+    JOIN rowm ON rowm.prev_type = tr0.t
+    GROUP BY tr0.t
+  ) _
+),
+it AS (
+  SELECT 0 AS k,
+         list_transform(tl.ts, x -> 1.0 / len(tl.ts)) AS v
+  FROM tlist tl
+  UNION ALL
+  SELECT it.k + 1,
+         list_transform(generate_series(1, len(it.v)), j ->
+           round(list_sum(list_transform(generate_series(1, len(it.v)),
+                 i -> it.v[i] * pmat.p[i][j])) + 1e-9, 6))
+  FROM it, pmat WHERE it.k < 20
+),
+fin AS (SELECT v FROM it WHERE k = 20),
+marg AS (
+  SELECT next_type, sum(c)::BIGINT AS nc FROM tr GROUP BY 1
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM tr)
+SELECT t2.t AS event_type,
+       fin.v[t2.rn] AS stationary_prob,
+       {_r6n_sql('marg.nc::DOUBLE / tot.n')} AS empirical_next_share,
+       {_r6n_sql('abs(fin.v[t2.rn] - marg.nc::DOUBLE / tot.n)')} AS abs_gap
+FROM (SELECT t, row_number() OVER (ORDER BY t) AS rn FROM types) t2
+JOIN marg ON marg.next_type = t2.t, fin, tot
+""",
+)
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain by power
+    iteration (pi <- pi P, 20 rounds from uniform, per-round 6-dp
+    trajectory rounding — the k-means/PageRank determinism rule): where
+    does user behavior SETTLE, and how far is the empirical next-event
+    share from the chain's equilibrium (a gap = the process isn't
+    stationary yet — mixing effects worth modeling).
+
+    The |types|x|types| matrix collapses to ONE nested-array row and
+    all 20 iterations run as in-row list arithmetic (the PCA/BPE
+    pattern: corpus-sized work is one transition count, iteration cost
+    is |types|^2 per round, zero extra stages); the oracle replays the
+    identical ordered arithmetic in a recursive CTE carrying the pi
+    LIST."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(wseq).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rowm = tr.groupBy("prev_type").agg(F.sum("c").cast("long").alias("nr"))
+    # ordered type domain + dense cells (missing transitions = 0)
+    types = tr.select(F.col("prev_type").alias("t")).distinct()
+    grid = (
+        types.select(F.col("t").alias("prev_type"))
+        .crossJoin(types.select(F.col("t").alias("next_type")))
+        .join(tr, ["prev_type", "next_type"], "left")
+        .join(rowm, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            _r6n(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("nr")
+            ).alias("p"),
+        )
+    )
+    # one nested-array row: P as list of ordered row-lists
+    mat = (
+        grid.groupBy("prev_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("next_type"), F.col("p")))
+            ).alias("prow")
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("prev_type"), F.col("prow")))
+            ).alias("rows_")
+        )
+        .select(
+            F.transform(
+                F.col("rows_"), lambda r: r.getField("prev_type")
+            ).alias("ts"),
+            F.transform(
+                F.col("rows_"),
+                lambda r: F.transform(
+                    r.getField("prow"), lambda cell: cell.getField("p")
+                ),
+            ).alias("p"),
+        )
+    )
+    k = F.size(F.col("ts"))
+    v0 = F.transform(F.sequence(F.lit(1), k), lambda _: 1.0 / k)
+
+    def step(v):
+        return F.transform(
+            F.sequence(F.lit(1), k),
+            lambda j: _r6n(
+                F.aggregate(
+                    F.sequence(F.lit(1), k),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.element_at(v, i)
+                    * F.element_at(F.element_at(F.col("p"), i), j),
+                )
+            ),
+        )
+    cur = mat.select("ts", "p", v0.alias("v"))
+    for _ in range(20):
+        cur = cur.select("ts", "p", step(F.col("v")).alias("v"))
+    marg = tr.groupBy(F.col("next_type").alias("event_type")).agg(
+        F.sum("c").cast("long").alias("nc")
+    )
+    tot = tr.agg(F.sum("c").cast("long").alias("n"))
+    pi = cur.select(
+        F.explode(
+            F.arrays_zip(F.col("ts").alias("event_type"), F.col("v").alias("sp"))
+        ).alias("z")
+    ).select(
+        F.col("z.event_type").alias("event_type"),
+        F.col("z.sp").alias("stationary_prob"),
+    )
+    return (
+        pi.join(marg, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "stationary_prob",
+            _r6n(F.col("nc").cast("double") / F.col("n")).alias(
+                "empirical_next_share"
+            ),
+            _r6n(
+                F.abs(
+                    F.col("stationary_prob")
+                    - F.col("nc").cast("double") / F.col("n")
+                )
+            ).alias("abs_gap"),
+        )
+    )
+
+
+@query(
+    "events_forecast_backtest",
+    f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d,
+         count(*) AS c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) AS rn
+  FROM events GROUP BY 1, 2
+),
+hw AS (
+  SELECT event_type, rn, d, c, c::DOUBLE AS level, 0.0::DOUBLE AS trend
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.rn, n.d, n.c,
+         {_HW_ALPHA!r} * n.c + {1.0 - _HW_ALPHA!r} * (h.level + h.trend),
+         {_HW_GAMMA!r} * (({_HW_ALPHA!r} * n.c
+             + {1.0 - _HW_ALPHA!r} * (h.level + h.trend)) - h.level)
+           + {1.0 - _HW_GAMMA!r} * h.trend
+  FROM hw h JOIN daily n
+    ON n.event_type = h.event_type AND n.rn = h.rn + 1
+),
+err AS (
+  SELECT h.event_type, abs(nx.c - (h.level + h.trend)) AS ae,
+         (nx.c - (h.level + h.trend)) * (nx.c - (h.level + h.trend)) AS se,
+         2.0 * abs(nx.c - (h.level + h.trend))
+           / (abs(nx.c::DOUBLE) + abs(h.level + h.trend)) AS smape_term
+  FROM hw h JOIN daily nx
+    ON nx.event_type = h.event_type AND nx.rn = h.rn + 1
+),
+naive AS (
+  SELECT a.event_type, abs(a.c - b.c)::DOUBLE AS nae
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d = a.d - 7
+),
+em AS (
+  SELECT event_type, count(*)::BIGINT AS n_forecasts,
+         sum(ae) AS sae, sum(se) AS sse, sum(smape_term) AS ssm
+  FROM err GROUP BY 1
+),
+nm AS (
+  SELECT event_type, count(*)::BIGINT AS n_naive, sum(nae) AS snae
+  FROM naive GROUP BY 1
+)
+SELECT em.event_type, em.n_forecasts,
+       {_r6n_sql('em.sae / em.n_forecasts')} AS mae,
+       {_r6n_sql('sqrt(em.sse / em.n_forecasts)')} AS rmse,
+       {_r6n_sql('100.0 * em.ssm / em.n_forecasts')} AS smape_pct,
+       {_r6n_sql('''(em.sae / em.n_forecasts)
+            / (nm.snae / nm.n_naive)''')} AS mase
+FROM em JOIN nm USING (event_type)
+""",
+)
+def events_forecast_backtest(spark, sf_dir):
+    """Forecast-quality backtest for the Holt level+trend model
+    (events_holt_winters): one-step-ahead errors against the next
+    observed day, reported as MAE, RMSE, sMAPE, and MASE — the
+    mean absolute error SCALED by the seasonal-naive baseline
+    |x_d - x_(d-7)| (Hyndman & Koehler 2006), so MASE < 1 means the
+    smoother actually beats "same day last week".  A forecasting
+    operator without its backtest is a liability; this closes the loop.
+
+    The trajectory is the identical in-row prefix fold both engines
+    already hash-match; errors are one positional self-join (rn+1) and
+    the naive baseline one calendar self-join (d-7), all hash joins
+    over the calendar-bounded daily histogram."""
+    e = load_table(spark, sf_dir, "events")
+    daily0 = (
+        e.select("event_type", _epoch_day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    arr = daily0.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("c")))
+        ).alias("arr")
+    )
+    a, g = _HW_ALPHA, _HW_GAMMA
+
+    def hw_state(prefix):
+        acc0 = F.struct(
+            F.lit(0.0).alias("level"),
+            F.lit(0.0).alias("trend"),
+            F.lit(False).alias("started"),
+        )
+
+        def step(acc, el):
+            x = el["c"].cast("double")
+            nl = F.lit(a) * x + F.lit(1.0 - a) * (acc.level + acc.trend)
+            nt = F.lit(g) * (nl - acc.level) + F.lit(1.0 - g) * acc.trend
+            return F.when(
+                ~acc.started,
+                F.struct(
+                    x.alias("level"),
+                    F.lit(0.0).alias("trend"),
+                    F.lit(True).alias("started"),
+                ),
+            ).otherwise(
+                F.struct(
+                    nl.alias("level"),
+                    nt.alias("trend"),
+                    F.lit(True).alias("started"),
+                )
+            )
+
+        return F.aggregate(prefix, acc0, step)
+
+    states = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("arr"))),
+        lambda i: hw_state(F.slice(F.col("arr"), 1, i)),
+    )
+    z = arr.select(
+        "event_type",
+        F.posexplode(F.arrays_zip(F.col("arr"), states.alias("st"))).alias(
+            "pos", "e"
+        ),
+    ).select(
+        "event_type",
+        (F.col("pos") + 1).alias("rn"),
+        F.col("e.arr.d").alias("d"),
+        F.col("e.arr.c").alias("c"),
+        (F.col("e.st.level") + F.col("e.st.trend")).alias("fc"),
+    )
+    nxt = z.select(
+        "event_type",
+        (F.col("rn") - 1).alias("rn"),
+        F.col("c").alias("c_next"),
+    )
+    err = z.join(nxt, ["event_type", "rn"]).select(
+        "event_type",
+        F.abs(F.col("c_next") - F.col("fc")).alias("ae"),
+        (
+            (F.col("c_next") - F.col("fc"))
+            * (F.col("c_next") - F.col("fc"))
+        ).alias("se"),
+        (
+            F.lit(2.0)
+            * F.abs(F.col("c_next") - F.col("fc"))
+            / (
+                F.abs(F.col("c_next").cast("double"))
+                + F.abs(F.col("fc"))
+            )
+        ).alias("smape_term"),
+    )
+    nb = daily0.select(
+        "event_type", (F.col("d") - 7).alias("d"), F.col("c").alias("cb")
+    )
+    naive = daily0.join(nb, ["event_type", "d"]).select(
+        "event_type",
+        F.abs(F.col("cb") - F.col("c")).cast("double").alias("nae"),
+    )
+    em = err.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+        F.sum("ae").alias("sae"),
+        F.sum("se").alias("sse"),
+        F.sum("smape_term").alias("ssm"),
+    )
+    nm = naive.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_naive"),
+        F.sum("nae").alias("snae"),
+    )
+    return em.join(nm, "event_type").select(
+        "event_type",
+        "n_forecasts",
+        _r6n(F.col("sae") / F.col("n_forecasts")).alias("mae"),
+        _r6n(F.sqrt(F.col("sse") / F.col("n_forecasts"))).alias("rmse"),
+        _r6n(F.lit(100.0) * F.col("ssm") / F.col("n_forecasts")).alias(
+            "smape_pct"
+        ),
+        _r6n(
+            (F.col("sae") / F.col("n_forecasts"))
+            / (F.col("snae") / F.col("n_naive"))
+        ).alias("mase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

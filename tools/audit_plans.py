@@ -139,6 +139,10 @@ BNLJ_BOUNDED: dict[str, str] = {
     "events_cuped_adjustment": _SCALAR + " (1-row midpoint-day join-back)",
     "events_error_rate_ztest": _SCALAR + " (1-row midpoint-day join-back)",
     "orders_runs_test": _SCALAR + " (median row x totals row join-backs)",
+    "events_markov_stationary": (
+        _SCALAR + " (1-row transition-total join-back; the matrix row is "
+        "|types|^2 nested arrays)"
+    ),
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:

@@ -13058,6 +13058,215 @@ def events_forecast_backtest(spark, sf_dir):
     )
 
 
+@query(
+    "orders_cohort_ltv_curve",
+    """
+WITH om AS (
+  SELECT o_custkey,
+         date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS mth,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1, 2
+),
+first AS (SELECT o_custkey, min(mth) AS cohort FROM om GROUP BY 1),
+off AS (
+  SELECT f.cohort, om.o_custkey,
+         datediff('month', f.cohort, om.mth) AS k, om.cents
+  FROM om JOIN first f USING (o_custkey)
+),
+fan AS (
+  SELECT cohort, o_custkey, unnest(generate_series(k, 5)) AS kk, cents
+  FROM off WHERE k <= 5
+),
+cs AS (SELECT cohort, count(*) AS n_customers FROM first GROUP BY 1),
+pts AS (
+  SELECT cohort, kk AS k, sum(cents)::BIGINT AS tot_cum,
+         count(DISTINCT o_custkey)::BIGINT AS n_ordered_by_k
+  FROM fan GROUP BY 1, 2
+)
+SELECT strftime(pts.cohort, '%Y-%m') AS cohort, pts.k AS month_offset,
+       cs.n_customers, pts.n_ordered_by_k,
+       {ltv} AS avg_cum_ltv
+FROM pts JOIN cs USING (cohort)
+""".format(
+        ltv=(
+            "round(pts.tot_cum::DOUBLE / cs.n_customers / 100.0 + 1e-9, 6)"
+        ),
+    ),
+)
+def orders_cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, average CUMULATIVE revenue per cohort member at month
+    offsets 0..5 — the money sibling of the retention matrix, and the
+    payback-period table an acquisition budget is set against.  Note
+    the denominator is the FULL cohort (n_customers), not just
+    still-active buyers, so the curve is a true per-acquired-customer
+    value.
+
+    Exact integer cents end to end; the carry-forward is an exploded
+    offset fan-out (each month's revenue counts at every later offset
+    <= 5, fixed fan-out 6) so the curve is monotone BY CONSTRUCTION —
+    no per-customer window at all — and the rollup is one keyed
+    aggregate with a distinct-customer count."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    om = (
+        o.select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            .alias("mth"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("rc"),
+        )
+        .groupBy("o_custkey", "mth")
+        .agg(F.sum("rc").cast("long").alias("cents"))
+    )
+    first = om.groupBy("o_custkey").agg(F.min("mth").alias("cohort"))
+    off = om.join(first, "o_custkey").select(
+        "cohort",
+        "o_custkey",
+        F.months_between(F.col("mth"), F.col("cohort"))
+        .cast("long")
+        .alias("k"),
+        "cents",
+    )
+    fan = off.where(F.col("k") <= 5).select(
+        "cohort",
+        "o_custkey",
+        F.explode(F.sequence(F.col("k"), F.lit(5))).alias("kk"),
+        "cents",
+    )
+    cs = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    pts = fan.groupBy("cohort", F.col("kk").alias("k")).agg(
+        F.sum("cents").cast("long").alias("tot_cum"),
+        F.countDistinct("o_custkey").cast("long").alias("n_ordered_by_k"),
+    )
+    return pts.join(cs, "cohort").select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort"),
+        F.col("k").alias("month_offset"),
+        "n_customers",
+        "n_ordered_by_k",
+        _r6n(
+            F.col("tot_cum").cast("double") / F.col("n_customers") / 100.0
+        ).alias("avg_cum_ltv"),
+    )
+
+
+@query(
+    "events_littles_law",
+    f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+marks AS (
+  SELECT user_id, us,
+         CASE WHEN prev_us IS NULL
+                   OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+sess AS (
+  SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+  FROM (
+    SELECT user_id, us,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marks
+  ) _ GROUP BY 1, 2
+),
+span AS (SELECT min(s_start) AS t0, max(s_end) AS t1 FROM sess),
+agg AS (
+  SELECT count(*)::BIGINT AS n_sessions,
+         sum(s_end - s_start)::BIGINT AS busy_us
+  FROM sess
+)
+SELECT agg.n_sessions,
+       {_r6n_sql('(span.t1 - span.t0)::DOUBLE / 86400000000.0')}
+         AS span_days,
+       {_r6n_sql('agg.busy_us::DOUBLE / agg.n_sessions / 60000000.0')}
+         AS w_mean_session_min,
+       {_r6n_sql('agg.n_sessions::DOUBLE * 3600000000.0 / (span.t1 - span.t0)')}
+         AS lambda_sessions_per_hr,
+       {_r6n_sql('agg.busy_us::DOUBLE / (span.t1 - span.t0)')}
+         AS l_avg_concurrent
+FROM agg, span
+""",
+)
+def events_littles_law(spark, sf_dir):
+    """Little's law telemetry (L = lambda * W, Little 1961) over gap
+    sessions (30-min inactivity): arrival rate lambda (sessions/hour),
+    mean session duration W, and average concurrency L — computed so
+    the identity holds EXACTLY by construction (L = busy-time / span =
+    lambda*W), making the three numbers a self-consistent capacity
+    model: "how many concurrent sessions must the serving tier hold?"
+    scales as lambda or W moves.
+
+    One per-user sessionization (partitioned lag + cumsum, the
+    established gap-session shape) reduces the stream to session
+    intervals; everything else is two scalar aggregates in exact
+    integer microseconds."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "user_id",
+        us.alias("us"),
+        F.lag(us).over(wseq).alias("prev_us"),
+    )
+    marks = seq.select(
+        "user_id",
+        "us",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        marks.withColumn("sid", F.sum("is_new").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+    )
+    span = sess.agg(
+        F.min("s_start").alias("t0"), F.max("s_end").alias("t1")
+    )
+    agg = sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("s_end") - F.col("s_start")).cast("long").alias(
+            "busy_us"
+        ),
+    )
+    out = agg.crossJoin(F.broadcast(span))
+    dur = (F.col("t1") - F.col("t0")).cast("double")
+    return out.select(
+        "n_sessions",
+        _r6n(dur / 86400000000.0).alias("span_days"),
+        _r6n(
+            F.col("busy_us").cast("double")
+            / F.col("n_sessions")
+            / 60000000.0
+        ).alias("w_mean_session_min"),
+        _r6n(
+            F.col("n_sessions").cast("double") * 3600000000.0 / dur
+        ).alias("lambda_sessions_per_hr"),
+        _r6n(F.col("busy_us").cast("double") / dur).alias(
+            "l_avg_concurrent"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

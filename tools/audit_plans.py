@@ -143,6 +143,7 @@ BNLJ_BOUNDED: dict[str, str] = {
         _SCALAR + " (1-row transition-total join-back; the matrix row is "
         "|types|^2 nested arrays)"
     ),
+    "events_littles_law": _SCALAR + " (1-row span join-back)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:

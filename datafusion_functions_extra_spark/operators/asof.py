@@ -34,6 +34,7 @@ def asof_join(
     value_cols: list[str],
     tiebreak_col: str | None = None,
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Inclusive as-of join; ``direction`` picks the side of the clock.
 
@@ -55,6 +56,13 @@ def asof_join(
     ``value_cols`` must not collide with left column names.  Left rows
     with no match in the chosen direction get NULLs (left-join
     semantics).
+
+    ``tolerance`` (pandas ``merge_asof`` parity): maximum allowed time
+    distance between the left row and its matched right row, INCLUSIVE —
+    in SECONDS when ``ts_col`` is a timestamp, in the column's own units
+    when numeric.  Matches farther away revert to NULLs.  Implemented as
+    a post-carry filter on the matched right timestamp, so the plan
+    shape (one union + in-partition window scans) is unchanged.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -99,12 +107,33 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
+    is_ts = dict(unioned.dtypes)[ts_col].startswith("timestamp")
+
+    def _within(rts_col):
+        if tolerance is None:
+            return F.lit(True)
+        if is_ts:
+            diff = F.abs(
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(rts_col)
+            )
+            return rts_col.isNotNull() & (diff <= int(tolerance * 1_000_000))
+        return rts_col.isNotNull() & (
+            F.abs(F.col(ts_col) - rts_col) <= tolerance
+        )
+
     if direction in ("backward", "forward"):
         w = w_back if direction == "backward" else w_fwd
-        filled = unioned.select("*", *_carry(w, value_cols, "__asof_"))
+        rts0 = F.when(F.col("__side") == 0, F.col(ts_col))
+        filled = unioned.withColumn("__rts", rts0).select(
+            "*", *_carry(w, value_cols + ["__rts"], "__asof_")
+        )
+        ok = _within(F.col("__asof___rts"))
         return filled.where(F.col("__side") == 1).select(
             *left_cols,
-            *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+            *[
+                F.when(ok, F.col(f"__asof_{c}")).alias(c)
+                for c in value_cols
+            ],
         )
 
     # nearest: carry both directions plus the matched right timestamp so
@@ -120,11 +149,17 @@ def asof_join(
         F.col("__b___rts").isNotNull()
         & ((t - F.col("__b___rts")) <= (F.col("__f___rts") - t))
     )
+    win_rts = F.when(back_wins, F.col("__b___rts")).otherwise(
+        F.col("__f___rts")
+    )
+    ok = _within(win_rts)
     return both.where(F.col("__side") == 1).select(
         *left_cols,
         *[
-            F.when(back_wins, F.col(f"__b_{c}"))
-            .otherwise(F.col(f"__f_{c}"))
+            F.when(
+                ok & back_wins, F.col(f"__b_{c}")
+            )
+            .when(ok & ~back_wins, F.col(f"__f_{c}"))
             .alias(c)
             for c in value_cols
         ],

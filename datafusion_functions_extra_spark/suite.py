@@ -13267,6 +13267,92 @@ def events_littles_law(spark, sf_dir):
     )
 
 
+#: two-sided alpha=0.05 and power=0.80 normal quantiles (shared literals)
+_Z_ALPHA2 = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+_MDE_PCTS = (1, 2, 5)
+
+
+@query(
+    "event_type_power_analysis",
+    f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s1,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT))::BIGINT AS s2
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT event_type, n,
+         s1::DOUBLE / n / 100.0 AS mean_v,
+         sqrt((n::DOUBLE * s2 - s1::DOUBLE * s1)
+              / (n::DOUBLE * (n - 1))) / 100.0 AS sd_v
+  FROM s
+),
+grid AS (SELECT unnest([{", ".join(str(m) for m in _MDE_PCTS)}]) AS mde_pct)
+SELECT d.event_type, grid.mde_pct,
+       d.n::BIGINT AS n_observed,
+       {_r6n_sql('d.mean_v')} AS mean_value,
+       {_r6n_sql('d.sd_v')} AS sd_value,
+       CAST(ceil(2.0 * ({_Z_ALPHA2!r} + {_Z_BETA!r})
+                 * ({_Z_ALPHA2!r} + {_Z_BETA!r})
+                 * (d.sd_v / (d.mean_v * grid.mde_pct / 100.0))
+                 * (d.sd_v / (d.mean_v * grid.mde_pct / 100.0)))
+            AS BIGINT) AS n_per_arm
+FROM d CROSS JOIN grid
+""",
+)
+def event_type_power_analysis(spark, sf_dir):
+    """A/B sample-size planner: per event type and minimum-detectable
+    effect (1%/2%/5% of the mean), the required n per arm
+    2(z_a+z_b)^2 (sigma/delta)^2 at alpha=0.05 two-sided, power=0.80 —
+    the DESIGN-side member of the experimentation family (SRM and
+    Welch/ANOVA judge an experiment after the fact; this sizes it
+    before).  Shared z quantile literals and exact integer-cent power
+    sums make the ceil'd sample size identical on both engines.
+
+    One map-side-combined aggregate + a |types| x |MDE grid| scalar
+    expansion."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    s = e.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean_v = F.col("s1").cast("double") / n / 100.0
+    sd_v = (
+        F.sqrt(
+            (n * F.col("s2") - F.col("s1").cast("double") * F.col("s1"))
+            / (n * (F.col("n") - 1))
+        )
+        / 100.0
+    )
+    d = s.select(
+        "event_type", "n", mean_v.alias("mean_v"), sd_v.alias("sd_v")
+    )
+    grid = d.select(
+        "*",
+        F.explode(F.array(*[F.lit(m) for m in _MDE_PCTS])).alias("mde_pct"),
+    )
+    zsum = F.lit(_Z_ALPHA2 + _Z_BETA)
+    ratio = F.col("sd_v") / (
+        F.col("mean_v") * F.col("mde_pct") / F.lit(100.0)
+    )
+    return grid.select(
+        "event_type",
+        "mde_pct",
+        F.col("n").cast("long").alias("n_observed"),
+        _r6n(F.col("mean_v")).alias("mean_value"),
+        _r6n(F.col("sd_v")).alias("sd_value"),
+        F.ceil(F.lit(2.0) * zsum * zsum * ratio * ratio)
+        .cast("long")
+        .alias("n_per_arm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

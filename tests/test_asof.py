@@ -123,3 +123,74 @@ def test_nearest_tie_resolves_backward(spark):
         left, right, on=["k"], ts_col="ts", value_cols=["v"], direction="nearest"
     ).collect()
     assert out[0].v == "back"  # d=2 both ways -> backward wins
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    """asof_join(tolerance=...) must reproduce pandas merge_asof with a
+    Timedelta tolerance for all three directions on real event data."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_extra_spark.operators.asof import asof_join
+    from datafusion_functions_extra_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    left = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    right = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    lp = left.toPandas().sort_values("ts", kind="mergesort")
+    rp = (
+        right.toPandas()
+        .sort_values(["ts", "click_id"], kind="mergesort")
+        # mirror the operator's deterministic equal-ts dedup (max id for
+        # backward/nearest) so pandas sees one row per (user, ts)
+    )
+    tol_s = 3600.0
+    for direction in ("backward", "forward", "nearest"):
+        keep = "last" if direction != "forward" else "first"
+        rp_d = rp.drop_duplicates(["user_id", "ts"], keep=keep)
+        got = (
+            asof_join(
+                left,
+                right,
+                on=["user_id"],
+                ts_col="ts",
+                value_cols=["click_id", "click_value"],
+                tiebreak_col="click_id",
+                direction=direction,
+                tolerance=tol_s,
+            )
+            .toPandas()
+            .sort_values(["user_id", "ts", "view_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            lp,
+            rp_d,
+            on="ts",
+            by="user_id",
+            direction=direction,
+            tolerance=pd.Timedelta(seconds=tol_s),
+        ).sort_values(["user_id", "ts", "view_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        assert len(got) == len(want) > 0
+        assert got["view_id"].tolist() == want["view_id"].tolist()
+        a = got["click_id"].fillna(-1).astype("int64").tolist()
+        b = want["click_id"].fillna(-1).astype("int64").tolist()
+        assert a == b, (direction, sum(x != y for x, y in zip(a, b)))
+    # tolerance=None superset check: every toleranced match appears in the
+    # unbounded join too
+    un = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        value_cols=["click_id"], tiebreak_col="click_id",
+    ).where(F.col("click_id").isNotNull()).count()
+    to = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        value_cols=["click_id"], tiebreak_col="click_id", tolerance=tol_s,
+    ).where(F.col("click_id").isNotNull()).count()
+    assert to <= un

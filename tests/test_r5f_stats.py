@@ -190,3 +190,100 @@ def test_holt_winters_matches_recurrence(spark):
             assert abs(r.level - lvl) < 1e-5
             assert abs(r.trend - tr) < 1e-5
             assert abs(r.forecast_next - (lvl + tr)) < 1e-5
+
+
+def test_spearman_matches_pandas(spark):
+    """lineitem_spearman_rho must equal pandas' corr(method='spearman')
+    on the same integer-cent data (midrank tie convention)."""
+    import pandas as pd
+
+    from datafusion_functions_extra_spark.suite import QUERIES
+
+    r = QUERIES["lineitem_spearman_rho"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    pdf = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .selectExpr(
+            "cast(round(l_quantity * 100) as long) a",
+            "cast(round(l_extendedprice * 100) as long) b",
+        )
+        .toPandas()
+    )
+    # pandas' method="spearman" delegates to scipy (absent here);
+    # midrank + Pearson is the definition itself
+    ra = pdf["a"].rank(method="average")
+    rb = pdf["b"].rank(method="average")
+    want = ra.corr(rb, method="pearson")
+    assert abs(r.spearman_rho - want) < 1e-6, (r.spearman_rho, want)
+    assert r.n == len(pdf)
+
+
+def test_pettitt_matches_bruteforce(spark):
+    """events_pettitt_changepoint's K and change day must match a pure-
+    python rank computation on the same daily series."""
+    from datafusion_functions_extra_spark.suite import QUERIES
+
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_pettitt_changepoint"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    daily = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .selectExpr(
+            "event_type",
+            "cast(unix_micros(cast(ts as timestamp)) / 86400000000 as long) d",
+        )
+        .groupBy("event_type", "d")
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.d, r["count"]))
+    for et, pts in series.items():
+        pts.sort()
+        xs = [c for _, c in pts]
+        n = len(xs)
+        order = sorted(range(n), key=lambda i: xs[i])
+        # 2x midranks with ties
+        r2 = [0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and xs[order[j]] == xs[order[i]]:
+                j += 1
+            # ranks i+1..j occupied by the tie group -> 2*midrank
+            m2 = (i + 1) + j  # 2 * (i+1+j)/2
+            for k2 in range(i, j):
+                r2[order[k2]] = m2
+            i = j
+        cum = 0
+        best_k, best_d = -1, None
+        for t in range(n - 1):
+            cum += r2[t]
+            ut = cum - (t + 1) * (n + 1)
+            if abs(ut) > best_k:
+                best_k, best_d = abs(ut), pts[t][0]
+        g = got[et]
+        assert g.k_stat == best_k, (et, g.k_stat, best_k)
+        assert g.cp_day == best_d, (et, g.cp_day, best_d)
+
+
+def test_stat_query_bounds(spark):
+    """Bound invariants for the round's statistics: Gini in [0,1),
+    KS D in [0,1], HHI in (0,1], t-closeness in [0,1], ANOVA eta^2 in
+    [0,1]."""
+    from datafusion_functions_extra_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    g = QUERIES["customer_revenue_concentration"](spark, sf).collect()[0]
+    assert 0.0 <= g.gini < 1.0
+    ks = QUERIES["lineitem_ks_returned_price"](spark, sf).collect()[0]
+    assert 0.0 <= ks.ks_d <= 1.0 and 0.0 <= ks.p_approx <= 2.0
+    for r in QUERIES["brand_hhi_by_type"](spark, sf).collect():
+        assert 0.0 < r.hhi <= 1.0 and r.top_brand_share <= 1.0
+    a = QUERIES["event_value_anova"](spark, sf).collect()[0]
+    assert 0.0 <= a.eta_squared <= 1.0 and a.f_stat >= 0.0

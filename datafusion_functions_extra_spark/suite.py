@@ -13353,6 +13353,456 @@ def event_type_power_analysis(spark, sf_dir):
     )
 
 
+#: Cramer's-rule solve of the 3x3 normal equations [[n,sx1,sx2],
+#: [sx1,s11,s12],[sx2,s12,s22]] b = [sy,s1y,s2y] — ONE shared formula
+#: text parsed by both engines (Spark ``F.expr`` / DuckDB SQL), so the
+#: double op ORDER is identical and no rounding tolerance is needed
+#: beyond the house 6-dp.
+_OLS_DET = (
+    "(n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s12 - s11*sx2))"
+)
+_OLS_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)"
+    " + sx2*(s1y*s12 - s11*s2y))"
+)
+_OLS_DET1 = (
+    "(n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s2y - s1y*sx2))"
+)
+_OLS_DET2 = (
+    "(n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)"
+    " + sy*(sx1*s12 - s11*sx2))"
+)
+_OLS_B0 = f"({_OLS_DET0} / {_OLS_DET})"
+_OLS_B1 = f"({_OLS_DET1} / {_OLS_DET})"
+_OLS_B2 = f"({_OLS_DET2} / {_OLS_DET})"
+_OLS_R2 = (
+    f"(1.0 - (syy - {_OLS_B0}*sy - {_OLS_B1}*s1y - {_OLS_B2}*s2y)"
+    " / (syy - sy*sy/n))"
+)
+
+
+@query(
+    "lineitem_ols_price_model",
+    f"""
+WITH r AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(q)::DOUBLE AS sx1, sum(d)::DOUBLE AS sx2, sum(y)::DOUBLE AS sy,
+         sum(q::HUGEINT * q)::DOUBLE AS s11,
+         sum(q::HUGEINT * d)::DOUBLE AS s12,
+         sum(d::HUGEINT * d)::DOUBLE AS s22,
+         sum(q::HUGEINT * y)::DOUBLE AS s1y,
+         sum(d::HUGEINT * y)::DOUBLE AS s2y,
+         sum(y::HUGEINT * y)::DOUBLE AS syy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       {_r6n_sql(_OLS_B0)} AS beta0_cents,
+       {_r6n_sql(_OLS_B1)} AS beta_qty_cents,
+       {_r6n_sql(_OLS_B2)} AS beta_disc_cents,
+       {_r6n_sql(_OLS_R2)} AS r_squared
+FROM g
+""",
+)
+def lineitem_ols_price_model(spark, sf_dir):
+    """Multivariate OLS in ONE corpus pass: fit
+    ``extendedprice_cents ~ b0 + b1*quantity + b2*discount_pct`` by
+    accumulating the 10 Gram-matrix sums as a single map-side-combined
+    aggregate (exact 128-bit integers — Spark DECIMAL(38), DuckDB
+    HUGEINT; the y^2 cross sum overflows 64-bit at sf>=0.1) and solving
+    the 3x3 normal equations in closed form (Cramer) on the one
+    result row.  R^2 comes from the same sums.  This is the at-scale
+    shape for linear model fitting: no gradient iterations, no
+    per-row residual pass — 100 TB costs exactly one aggregate.
+
+    The Cramer formulas are ONE shared text (`_OLS_B0`..`_OLS_R2`)
+    parsed by Spark ``F.expr`` and DuckDB alike, so both engines run
+    the identical double op order on identical exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_quantity").cast("long").cast("decimal(38,0)").alias("q"),
+        F.round(F.col("l_discount") * 100)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("d"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    g = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").cast("double").alias("sx1"),
+        F.sum("d").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("s11"),
+        F.sum(F.col("q") * F.col("d")).cast("double").alias("s12"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("s22"),
+        F.sum(F.col("q") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("d") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_rows"),
+        _r6n(F.expr(_OLS_B0)).alias("beta0_cents"),
+        _r6n(F.expr(_OLS_B1)).alias("beta_qty_cents"),
+        _r6n(F.expr(_OLS_B2)).alias("beta_disc_cents"),
+        _r6n(F.expr(_OLS_R2)).alias("r_squared"),
+    )
+
+
+@query(
+    "quality_isotonic_calibration",
+    f"""
+WITH t AS (
+  SELECT doc_id, md5(text) AS k, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, k,
+         round(
+           0.3 * least(1.0, length(norm)::DOUBLE / 500.0)
+         + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * (1.0 - least(1.0,
+              abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
+                  / len(toks)::DOUBLE - 0.4) / 0.6))
+           + 1e-9,
+         6) AS quality
+  FROM t
+),
+dc AS (SELECT k, count(*) AS c FROM q GROUP BY 1),
+bins AS (
+  SELECT least(9, floor(q.quality * 10))::BIGINT AS bin,
+         count(*) AS n_docs,
+         sum(CASE WHEN dc.c > 1 THEN 1 ELSE 0 END) AS dups
+  FROM q JOIN dc USING (k)
+  GROUP BY 1
+),
+iv AS (
+  SELECT s.bin AS s, t2.bin AS t,
+         sum(j.dups)::DOUBLE / sum(j.n_docs)::DOUBLE AS a
+  FROM bins s JOIN bins t2 ON s.bin <= t2.bin
+  JOIN bins j ON j.bin BETWEEN s.bin AND t2.bin
+  GROUP BY 1, 2
+),
+mm AS (
+  SELECT i.bin, iv.s, min(iv.a) AS mn
+  FROM bins i JOIN iv ON iv.s <= i.bin AND iv.t >= i.bin
+  GROUP BY 1, 2
+)
+SELECT bins.bin, bins.n_docs,
+       {_r6n_sql('bins.dups::DOUBLE / bins.n_docs')} AS dup_rate,
+       {_r6n_sql('(SELECT max(mn) FROM mm WHERE mm.bin = bins.bin)')}
+         AS iso_dup_rate
+FROM bins
+""",
+)
+def quality_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAVA) calibration of the quality score against the
+    exact-duplicate rate, via the minimax closed form
+    ``iso[i] = max_(s<=i) min_(t>=i) wavg(dup, s..t)`` (Barlow et al.
+    1972) — the monotone-nondecreasing fit that turns a raw reliability
+    curve into a usable calibrated scorer.  The corpus collapses to a
+    <=10-row decile relation in one scan (same bins as
+    ``quality_calibration_bins``); the minimax runs as three joins over
+    that bounded relation (55 intervals), every interval average an
+    exact-integer ratio, so both engines produce bit-identical doubles.
+
+    Scale shape: the only corpus-sized work is the one scan + md5
+    reduction; everything after is O(bins^3) on <=10 rows (broadcast
+    joins)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        F.md5(F.col("text").cast("binary")).alias("k"),
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("quality"),
+    )
+    dc = q.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    bins = (
+        q.join(dc, "k")
+        .withColumn(
+            "bin",
+            F.least(F.lit(9), F.floor(F.col("quality") * 10)).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("dups"),
+        )
+    )
+    s = bins.select(F.col("bin").alias("s"))
+    t2 = bins.select(F.col("bin").alias("t"))
+    j = bins.select(
+        F.col("bin").alias("j"), F.col("n_docs").alias("jn"),
+        F.col("dups").alias("jd"),
+    )
+    iv = (
+        s.join(t2, F.col("s") <= F.col("t"))
+        .join(j, (F.col("j") >= F.col("s")) & (F.col("j") <= F.col("t")))
+        .groupBy("s", "t")
+        .agg(
+            (
+                F.sum("jd").cast("double") / F.sum("jn").cast("double")
+            ).alias("a")
+        )
+    )
+    i = bins.select(F.col("bin").alias("i"))
+    mm = (
+        i.join(iv, (F.col("s") <= F.col("i")) & (F.col("t") >= F.col("i")))
+        .groupBy("i", "s")
+        .agg(F.min("a").alias("mn"))
+        .groupBy("i")
+        .agg(F.max("mn").alias("iso"))
+    )
+    return (
+        bins.join(mm, bins["bin"] == mm["i"])
+        .select(
+            "bin",
+            "n_docs",
+            _r6n(
+                F.col("dups").cast("double") / F.col("n_docs")
+            ).alias("dup_rate"),
+            _r6n(F.col("iso")).alias("iso_dup_rate"),
+        )
+    )
+
+
+#: heavy-hitter summary knobs: shards model per-node summaries, m is the
+#: per-shard retained capacity
+_HH_SHARDS = 8
+_HH_M = 50
+
+
+@query(
+    "token_heavy_hitters_merged",
+    f"""
+WITH t AS (
+  SELECT doc_id % {_HH_SHARDS} AS shard, unnest({_TOKENS_SQL}) AS token
+  FROM documents
+),
+sc AS (SELECT shard, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+rk AS (
+  SELECT shard, token, cnt,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, token ASC) AS rk
+  FROM sc
+),
+res AS (
+  SELECT shard,
+         coalesce(max(CASE WHEN rk > {_HH_M} THEN cnt END), 0) AS residual
+  FROM rk GROUP BY 1
+),
+tot AS (SELECT sum(residual) AS r_all FROM res),
+kept AS (SELECT shard, token, cnt FROM rk WHERE rk <= {_HH_M}),
+est AS (
+  SELECT k.token, sum(k.cnt) AS est_count,
+         (SELECT r_all FROM tot) - sum(res.residual) AS err_bound
+  FROM kept k JOIN res ON k.shard = res.shard
+  GROUP BY 1
+),
+ex AS (SELECT token, sum(cnt) AS exact_count FROM sc GROUP BY 1)
+SELECT est.token, est.est_count::BIGINT AS est_count,
+       est.err_bound::BIGINT AS err_bound,
+       ex.exact_count::BIGINT AS exact_count
+FROM est JOIN ex USING (token)
+ORDER BY est.est_count DESC, est.token ASC LIMIT 20
+""",
+)
+def token_heavy_hitters_merged(spark, sf_dir):
+    """Mergeable deterministic top-k (SpaceSaving-merge shape, Metwally
+    et al. 2005 / Agarwal et al. 2012 mergeable summaries): each of
+    {_HH_SHARDS} data shards keeps only its top-{_HH_M} token counts
+    plus ONE residual (the largest dropped count — that shard's
+    worst-case undercount for any token it failed to retain); merging
+    sums retained counts and accumulates residuals of non-retaining
+    shards into a per-token error bound, guaranteeing
+    ``est <= exact <= est + err`` with summary size O(shards * m)
+    instead of O(vocabulary).  The exact counts ride along as the eval
+    leg (like `lsh_eval_metrics`), so the oracle hash certifies the
+    bound arithmetic, not just the ranking.
+
+    Scale shape: the shard ranking window is PARTITIONED by shard
+    (never global); at cluster scale shards = executors and the
+    summary is what travels, not the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        (F.col("doc_id") % _HH_SHARDS).alias("shard"),
+        F.explode(TX.tokens("text")).alias("token"),
+    )
+    sc = t.groupBy("shard", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    rk = sc.withColumn("rk", F.row_number().over(w))
+    res = rk.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") > _HH_M, F.col("cnt"))), F.lit(0)
+        ).alias("residual")
+    )
+    tot = res.agg(F.sum("residual").alias("r_all"))
+    kept = rk.where(F.col("rk") <= _HH_M).select("shard", "token", "cnt")
+    est = (
+        kept.join(F.broadcast(res), "shard")
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").alias("est_count"),
+            F.sum("residual").alias("covered"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "est_count",
+            (F.col("r_all") - F.col("covered")).alias("err_bound"),
+        )
+    )
+    ex = sc.groupBy("token").agg(F.sum("cnt").alias("exact_count"))
+    return (
+        est.join(ex, "token")
+        .select(
+            "token",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("err_bound").cast("long").alias("err_bound"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "events_conformal_intervals",
+    f"""
+WITH e AS (
+  SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+cal AS (SELECT * FROM e WHERE user_id % 2 = 0),
+tst AS (SELECT * FROM e WHERE user_id % 2 <> 0),
+m AS (
+  SELECT event_type, count(*) AS n_cal,
+         CAST(round(sum(v)::DOUBLE / count(*) + 1e-9) AS BIGINT) AS mc
+  FROM cal GROUP BY 1
+),
+h AS (
+  SELECT c.event_type, abs(c.v - m.mc) AS r, count(*) AS cnt
+  FROM cal c JOIN m USING (event_type) GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, r,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY r) AS cum
+  FROM h
+),
+q AS (
+  SELECT cum.event_type, min(cum.r) AS qhat
+  FROM cum JOIN m USING (event_type)
+  WHERE cum.cum >= least(m.n_cal,
+                         CAST(ceil(0.9 * (m.n_cal + 1)) AS BIGINT))
+  GROUP BY 1
+),
+cov AS (
+  SELECT t.event_type, count(*) AS n_test,
+         sum(CASE WHEN abs(t.v - m.mc) <= q.qhat THEN 1 ELSE 0 END) AS hits
+  FROM tst t JOIN m USING (event_type) JOIN q USING (event_type)
+  GROUP BY 1
+)
+SELECT m.event_type, m.n_cal, cov.n_test, m.mc AS center_cents,
+       q.qhat AS qhat_cents,
+       {_r6n_sql('cov.hits::DOUBLE / cov.n_test')} AS coverage
+FROM m JOIN q USING (event_type) JOIN cov USING (event_type)
+""",
+)
+def events_conformal_intervals(spark, sf_dir):
+    """Split-conformal prediction intervals per event type (Vovk et al.
+    2005; Lei et al. 2018): a deterministic hash split (even user_id =
+    calibration, odd = test), a cent-rounded calibration mean as the
+    point predictor, and the finite-sample-valid radius = the
+    ceil(0.9*(n+1))-th smallest absolute residual — giving distribution-
+    free ~90% marginal coverage, which the test half then measures.
+
+    Exactness: residuals live in integer cents, so the quantile is an
+    exact order statistic selected from a BOUNDED residual histogram
+    (domain <= value range in cents) via a per-type cumsum — no
+    full-data sort, no percentile_approx convention mismatch.  Both
+    engines agree bit-for-bit; coverage is the only double (rounded).
+
+    Scale shape: two aggregates over the stream + a window over the
+    bounded per-type histogram; everything joined back by broadcast."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cal = e.where(F.col("user_id") % 2 == 0)
+    tst = e.where(F.col("user_id") % 2 != 0)
+    m = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(1e-9)
+        )
+        .cast("long")
+        .alias("mc"),
+    )
+    h = (
+        cal.join(F.broadcast(m), "event_type")
+        .select("event_type", F.abs(F.col("v") - F.col("mc")).alias("r"))
+        .groupBy("event_type", "r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("r")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.withColumn("cum", F.sum("cnt").over(wc))
+    k = F.least(
+        F.col("n_cal"),
+        F.ceil(F.lit(0.9) * (F.col("n_cal") + 1)).cast("long"),
+    )
+    q = (
+        cum.join(F.broadcast(m), "event_type")
+        .where(F.col("cum") >= k)
+        .groupBy("event_type")
+        .agg(F.min("r").alias("qhat"))
+    )
+    cov = (
+        tst.join(F.broadcast(m), "event_type")
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("mc")) <= F.col("qhat"), 1
+                ).otherwise(0)
+            ).alias("hits"),
+        )
+    )
+    return (
+        m.join(q, "event_type")
+        .join(cov, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            F.col("mc").alias("center_cents"),
+            F.col("qhat").alias("qhat_cents"),
+            _r6n(F.col("hits").cast("double") / F.col("n_test")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -144,6 +144,11 @@ BNLJ_BOUNDED: dict[str, str] = {
         "|types|^2 nested arrays)"
     ),
     "events_littles_law": _SCALAR + " (1-row span join-back)",
+    "quality_isotonic_calibration": (
+        "minimax interval joins over the <=10-row decile-bin relation "
+        "(O(bins^3) on a bounded build side, never data-sized)"
+    ),
+    "token_heavy_hitters_merged": _SCALAR + " (1-row residual-total crossJoin)",
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:

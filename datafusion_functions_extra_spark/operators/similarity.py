@@ -416,6 +416,121 @@ SELECT id AS doc_id, min(root) AS component FROM reach GROUP BY id
 """
 
 
+def kcore_trajectory(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = 2,
+    rounds: int = 6,
+) -> DataFrame:
+    """(round, n_nodes, n_edges) trajectory of iterative k-core peeling
+    over the near-dup candidate graph: each round drops every vertex
+    whose current degree is < ``k`` (and the edges touching it), a FIXED
+    ``rounds`` times — the graph-structural dedup lens that separates
+    dense duplicate cliques (which survive peeling: template families,
+    mirror farms) from tree-like incidental overlap (which dissolves in
+    a round or two).  Round 0 is the raw candidate graph; the last row
+    approaches the k-core (the fixpoint of the peel, Seidman 1983 /
+    Batagelj-Zaversnik 2003).
+
+    The iteration count is pinned (not run-to-convergence) so the Spark
+    loop and the oracle's unrolled CTE chain compute the identical
+    relation.  Scale shape: each round is one degree aggregate + two
+    semi-joins on the EDGE relation (already candidate-pruned by LSH,
+    never all-pairs); every round's edges are ``localCheckpoint``-ed so
+    the logical plan stays O(1) per round instead of nesting the whole
+    prior chain (the §9.1 iterative-plan lesson), and the per-round
+    1-row summaries read those materialized blocks."""
+    pairs = near_dup_pairs(df, text_col, id_col, threshold).select(
+        "id_a", "id_b"
+    )
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    summaries = []
+    for r in range(rounds + 1):
+        summaries.append(
+            edges.agg(
+                F.lit(r).cast("long").alias("round"),
+                F.countDistinct("id_a").cast("long").alias("n_nodes"),
+                F.floor(F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            )
+        )
+        if r == rounds:
+            break
+        keep = (
+            edges.groupBy("id_a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("id_a").alias("v"))
+        )
+        edges = (
+            edges.join(keep, edges.id_a == keep.v, "left_semi")
+            .join(
+                keep.select(F.col("v").alias("w")),
+                F.col("id_b") == F.col("w"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def kcore_trajectory_oracle_sql(
+    threshold: float = 0.5, k: int = 2, rounds: int = 6
+) -> str:
+    """Unrolled CTE chain mirror of :func:`kcore_trajectory`: e0 is the
+    symmetric candidate graph, e{r+1} keeps the edges whose BOTH
+    endpoints have degree >= k in e{r}; the summary union reads every
+    stage.  Unrolling (not a recursive CTE) keeps the per-round relation
+    named so the trajectory — not just the fixpoint — is certified."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""k{r} AS (
+  SELECT id_a AS v FROM e{r} GROUP BY 1 HAVING count(*) >= {k}
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.id_a, e.id_b FROM e{r} e
+  JOIN k{r} ka ON ka.v = e.id_a
+  JOIN k{r} kb ON kb.v = e.id_b
+)"""
+        )
+    summary = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, count(DISTINCT id_a) AS n_nodes,"
+        f" count(*) // 2 AS n_edges FROM e{r}"
+        for r in range(rounds + 1)
+    )
+    return f"""
+WITH {_sig_cte()}, {_bands_cte()},
+pairs AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE list_sum(list_transform(generate_series(1, {MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {MINHASH_K}.0 >= {threshold}
+),
+{",".join(parts)}
+{summary}
+"""
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.3
 ) -> DataFrame:
@@ -1274,6 +1389,170 @@ r AS (
   FROM scored
 )
 SELECT q_id, neighbor_id, cos, rank::INT AS rank FROM r WHERE rank <= {k}
+"""
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 16,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per query from its
+    relevance-top-``pool`` candidates, each round taking the candidate
+    maximizing ``cos(q, c) - lam * max_{s in selected} cos(c, s)`` —
+    the diversity-aware retrieval head every RAG/dedup-aware search
+    stack wants on top of plain ANN (plain top-k returns the same
+    near-duplicate cluster k times; MMR returns the cluster once).
+
+    (q_id, pick_rank, neighbor_id, relevance, mmr) — pick_rank 1 is the
+    pure-relevance argmax (mmr NULL), later rows carry the greedy score
+    at pick time.  Determinism: both relevance and candidate-candidate
+    sims use the house 6-dp-rounded cosine, greedy argmax tie-breaks by
+    neighbor id, and each greedy round operates on the BOUNDED
+    (queries x pool) relation — the corpus-sized work is exactly the
+    one :func:`cosine_topk` pass that builds the pool."""
+    from pyspark.sql import Window
+
+    pool_df = cosine_topk(emb, query_ids, k=pool, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+    p = (
+        pool_df.join(vecs, pool_df.neighbor_id == vecs.nid)
+        .select("q_id", "neighbor_id", "cos", "rank", "vec")
+        .localCheckpoint(eager=True)
+    )
+    a = p.select(
+        "q_id", F.col("neighbor_id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = p.select(
+        "q_id", F.col("neighbor_id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    sims = (
+        a.join(b, "q_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "q_id",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = p.where(F.col("rank") == 1).select(
+        "q_id",
+        "neighbor_id",
+        F.col("cos").alias("relevance"),
+        F.lit(None).cast("double").alias("mmr"),
+        F.lit(1).cast("int").alias("pick_rank"),
+    )
+    for r in range(2, k + 1):
+        taken = sel.select("q_id", F.col("neighbor_id").alias("id_b"))
+        msim = (
+            sims.join(taken, ["q_id", "id_b"])
+            .groupBy("q_id", "id_a")
+            .agg(F.max("sim").alias("msim"))
+        )
+        scored = (
+            msim.join(
+                taken.select("q_id", F.col("id_b").alias("id_a")),
+                ["q_id", "id_a"],
+                "left_anti",
+            )
+            .join(
+                p.select("q_id", F.col("neighbor_id").alias("id_a"), "cos"),
+                ["q_id", "id_a"],
+            )
+            .withColumn(
+                "mmr", F.round(F.col("cos") - F.lit(lam) * F.col("msim"), 6)
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("mmr").desc(), F.col("id_a").asc()
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "q_id",
+                F.col("id_a").alias("neighbor_id"),
+                F.col("cos").alias("relevance"),
+                "mmr",
+                F.lit(r).cast("int").alias("pick_rank"),
+            )
+        )
+        sel = sel.unionAll(pick).localCheckpoint(eager=True)
+    return sel.select("q_id", "pick_rank", "neighbor_id", "relevance", "mmr")
+
+
+def mmr_topk_oracle_sql(
+    query_ids: list[int], k: int = 5, pool: int = 16, lam: float = 0.5
+) -> str:
+    """Unrolled greedy rounds mirroring :func:`mmr_topk` — identical
+    6-dp cosine convention, identical (mmr DESC, id ASC) argmax."""
+    ids = ", ".join(str(i) for i in query_ids)
+    parts = [
+        f"""sel1 AS (
+  SELECT q_id, neighbor_id, cos AS relevance,
+         CAST(NULL AS DOUBLE) AS mmr, 1 AS pick_rank
+  FROM pool WHERE rank = 1
+),
+acc1 AS (SELECT q_id, neighbor_id FROM sel1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""m{r} AS (
+  SELECT s.q_id, s.id_a, max(s.sim) AS msim
+  FROM sims s JOIN acc{r - 1} a ON a.q_id = s.q_id
+                              AND a.neighbor_id = s.id_b
+  WHERE NOT EXISTS (SELECT 1 FROM acc{r - 1} x
+                    WHERE x.q_id = s.q_id AND x.neighbor_id = s.id_a)
+  GROUP BY 1, 2
+),
+sel{r} AS (
+  SELECT q_id, neighbor_id, relevance, mmr, {r} AS pick_rank FROM (
+    SELECT m.q_id, m.id_a AS neighbor_id, p.cos AS relevance,
+           round(p.cos - {lam} * m.msim, 6) AS mmr,
+           row_number() OVER (
+             PARTITION BY m.q_id
+             ORDER BY round(p.cos - {lam} * m.msim, 6) DESC, m.id_a ASC
+           ) AS rn
+    FROM m{r} m JOIN pool p ON p.q_id = m.q_id AND p.neighbor_id = m.id_a
+  ) WHERE rn = 1
+),
+acc{r} AS (SELECT q_id, neighbor_id FROM acc{r - 1}
+           UNION ALL SELECT q_id, neighbor_id FROM sel{r})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM sel{r}" for r in range(1, k + 1)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id IN ({ids})),
+scored0 AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, e.embedding AS vec,
+         round({_cos_sql('q.q_vec', 'e.embedding')}, 6) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+),
+pool AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored0
+  ) WHERE rank <= {pool}
+),
+sims AS MATERIALIZED (
+  SELECT a.q_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+         round({_cos_sql('a.vec', 'b.vec')}, 6) AS sim
+  FROM pool a JOIN pool b ON b.q_id = a.q_id
+                         AND b.neighbor_id <> a.neighbor_id
+),
+{",".join(parts)}
+SELECT q_id, pick_rank::INT AS pick_rank, neighbor_id, relevance, mmr
+FROM ({union})
 """
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import MERSENNE_P, _hash60_sql, hash60
@@ -287,3 +287,89 @@ hll AS (
   FROM pg2
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+#: KMV parameters: k minimum 60-bit hashes per group
+KMV_K = 64
+#: 2^60 as a double — the hash-space size the k-th minimum is scaled by
+KMV_SPACE = float(1 << 60)
+
+#: shared estimate finisher over (nb = #sketch rows, hk = k-th minimum
+#: hash) — exact-count fallback below k, else the classic (k-1)/F(h_k)
+#: estimator (Bar-Yossef et al. 2002 / Beyer et al. 2007)
+KMV_EST = (
+    f"(CASE WHEN nb < {KMV_K} THEN nb * 1.0"
+    f" ELSE {KMV_K - 1}.0 * {KMV_SPACE!r} / hk END)"
+)
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(group, h) — the KMV sketch relation: the ``KMV_K`` smallest
+    distinct 60-bit content hashes of ``value_col`` per group.
+
+    The sketch IS a relation (like the CMS/HLL siblings above), so
+    "merge" is literally ``unionAll`` + re-applying this bottom-k —
+    bottom-k of a union of bottom-ks equals bottom-k of the union, an
+    EXACT identity (not an approximation), which
+    ``suite.events_kmv_distinct`` certifies inside the hash-compared
+    output.  Scale shape: one distinct reduction on (group, hash) then
+    a PARTITIONED row_number (one partition per group, each at most
+    |hash domain| rows before the limit, k after)."""
+    h = (
+        df.select(
+            F.col(group_col).alias("g"),
+            hash60(F.col(value_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .select("g", "h")
+    )
+
+
+def kmv_rebottom(sketches: DataFrame) -> DataFrame:
+    """Merge a union of sketch relations back to one sketch per group:
+    distinct hashes, then bottom-k again (the exact merge identity)."""
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        sketches.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .select("g", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """(g, nb, hk, kmv_est) from a sketch relation — ``KMV_EST`` is the
+    shared finisher text so both engines run identical double ops."""
+    agg = sketch.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.max("h").cast("double").alias("hk"),
+    )
+    return agg.withColumn("kmv_est", F.expr(KMV_EST))
+
+
+def kmv_cte_sql(table: str, value_col: str, group_col: str, prefix: str = "") -> str:
+    """DuckDB mirror ending in ``{prefix}est(g, nb, hk, kmv_est)``."""
+    h = _hash60_sql(f"{value_col}::VARCHAR")
+    return f"""{prefix}h AS (
+  SELECT DISTINCT {group_col} AS g, {h} AS h FROM {table}
+),
+{prefix}bk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM {prefix}h
+  ) WHERE rn <= {KMV_K}
+),
+{prefix}est AS (
+  SELECT g, count(*)::BIGINT AS nb, max(h)::DOUBLE AS hk,
+         {KMV_EST} AS kmv_est
+  FROM {prefix}bk GROUP BY g
+)"""

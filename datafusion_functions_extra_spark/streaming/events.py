@@ -238,6 +238,98 @@ def streaming_ohlc(
     )
 
 
+def streaming_gram_ols(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window linear-regression STATE maintained on a stream: the
+    five Gram sums (n, Sx, Sy, Sxx, Sxy) of ``value`` cents against
+    minutes-since-window-start, per (window, event_type).
+
+    The model itself (slope/intercept) is NOT computed here — only its
+    sufficient statistics, which are plain counts and sums of integer
+    products: a commutative monoid, so per-micro-batch partials merge
+    into window state exactly like the moment family
+    (:func:`streaming_moment_stats`).  The closed-form finish runs on
+    the drained batch (``suite.events_streaming_gram_ols``), the same
+    split as the batch ``lineitem_ols_price_model``: 100 TB of stream
+    history costs five longs per open window, and the solve is O(1) per
+    emitted row.  All sums stay exact 64-bit integers (x <= 59, y is
+    integer cents), so batch replay and any micro-batch partition of the
+    input fold to bit-identical state.
+    """
+    x = F.floor(
+        (F.unix_micros(F.col("ts")) % F.lit(3600000000)) / F.lit(60000000)
+    ).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", x.alias("x"), y.alias("y"))
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sx",
+            "sy",
+            "sxx",
+            "sxy",
+        )
+    )
+
+
+#: fixed histogram geometry for streaming percentiles: 256 bins of 256
+#: cents each (covers value in [0, 655.36) — the events domain) — the
+#: edges must be STATIC literals because a stream cannot run the batch
+#: sibling's min/max pre-pass
+BINNED_STREAM_BINS = 256
+BINNED_STREAM_WIDTH_CENTS = 256
+
+
+def streaming_binned_histogram(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window fixed-bin value histogram maintained as STREAMING
+    state: (window_start, event_type, bin, c).  Bin counts are a SUM
+    monoid, so micro-batch partials merge into window state exactly
+    like the moment family — this is the streaming sibling of
+    ``suite.price_quantiles_binned``, trading its exact min/max edges
+    (impossible on a stream) for static literal edges.  The percentile
+    finish (first bin whose cumulative count reaches ceil(p*n)) runs on
+    the drained batch in ``suite.events_streaming_binned_quantiles``;
+    state is O(bins) integers per open (window, type)."""
+    y = F.round(F.col("value") * 100).cast("long")
+    b = (
+        F.least(
+            F.lit(BINNED_STREAM_BINS - 1),
+            F.greatest(
+                F.lit(0), F.floor(y / F.lit(BINNED_STREAM_WIDTH_CENTS))
+            ),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", b)
+        .groupBy(F.window("ts", window).alias("w"), "event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "bin", "c"
+        )
+    )
+
+
 def streaming_interval_join(
     events: DataFrame,
     left_type: str = "click",

@@ -41,6 +41,7 @@ from .operators import decontaminate as DECON
 from .operators import dedup as DD
 from .operators import importance as IMP
 from .operators import sketches as SKCH
+from .streaming import events as SE
 from .operators import sessions as SS
 from .operators import similarity as SIM
 from .operators import skew as SK
@@ -13800,6 +13801,1058 @@ def events_conformal_intervals(spark, sf_dir):
                 "coverage"
             ),
         )
+    )
+
+
+#: Kruskal-Wallis closed forms over the 1-row exact-sum relation
+#: (columns n, k, s, tt as DOUBLE) — ONE shared text parsed by both
+#: engines so the double op order is identical.  ``s`` is
+#: sum_g (2R_g)^2 / n_g, hence the 3/(N(N+1)) coefficient (12/4).
+_KW_H = (
+    "((3.0 * s / (n * (n + 1.0)) - 3.0 * (n + 1.0))"
+    " / (1.0 - tt / (n * (n * n - 1.0))))"
+)
+#: Wilson-Hilferty cube-root normalization of a chi^2(k-1) tail, applied
+#: to the ROUNDED h_stat/n_groups output columns (the Welch-grid
+#: convention: p is computed from what the row shows).
+_KW_Z = (
+    "((cbrt(h_stat / (n_groups - 1.0)) - (1.0 - 2.0 / (9.0 * (n_groups - 1.0))))"
+    " / sqrt(2.0 / (9.0 * (n_groups - 1.0))))"
+)
+
+
+@query(
+    "event_value_kruskal_wallis",
+    f"""
+WITH r AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+h AS (SELECT event_type, v, count(*) AS cnt FROM r GROUP BY 1, 2),
+tv AS (SELECT v, sum(cnt)::BIGINT AS t FROM h GROUP BY 1),
+rk AS (SELECT v, t, sum(t) OVER (ORDER BY v) AS cum FROM tv),
+g AS (
+  SELECT event_type, sum(cnt)::BIGINT AS n_g,
+         sum(cnt::HUGEINT * (2 * cum - t + 1)) AS r2g
+  FROM h JOIN rk USING (v) GROUP BY 1
+),
+ties AS (SELECT sum(t::HUGEINT * t * t - t)::DOUBLE AS tt FROM tv),
+top AS (
+  SELECT count(*)::DOUBLE AS k, sum(n_g)::DOUBLE AS n,
+         sum(r2g * r2g / n_g)::DOUBLE AS s
+  FROM g
+),
+o AS (
+  SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_rows,
+         {_r6n_sql(_KW_H)} AS h_stat
+  FROM top, ties
+),
+z AS (SELECT *, {_r6n_sql(_KW_Z)} AS z_wh FROM o)
+SELECT n_groups, n_rows, h_stat, z_wh,
+       {_r6n_sql(f"CASE WHEN z_wh >= 0.0 THEN {_phi_tail_sql('z_wh')} ELSE 1.0 - {_phi_tail_sql('(-z_wh)')} END")} AS p_wh_approx
+FROM z
+""",
+)
+def event_value_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) of event value
+    across event types — the NONPARAMETRIC omnibus sibling of
+    ``event_value_anova`` for when normality can't be assumed, with the
+    standard tie correction C = 1 - sum(t^3 - t)/(N^3 - N) and a
+    Wilson-Hilferty chi^2->normal p-value through the shared A&S
+    normal-CDF polynomial.
+
+    Exactness: values reduce to a cents HISTOGRAM; midranks enter as
+    the INTEGER 2r = 2*cum - t + 1 (the rank-sum-AUC convention), group
+    rank sums and the tie term stay exact 128-bit integers, and the one
+    cross-group reduction uses the ANOVA's exact-quotient shape
+    ``sum(R2_g^2 / n_g)``; the H/z/p finishers are ONE shared formula
+    text (`_KW_H`/`_KW_Z`) parsed by both engines.
+
+    Scale shape: one histogram aggregate, the two-phase
+    ``global_cumsum`` over distinct cent values (<= 1e6 buckets at any
+    corpus size), a histogram-sized join, a |groups|-row reduction, and
+    a 1-row tie-total join-back (annotated BNLJ)."""
+    from .functions.distribution import global_cumsum
+
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tv = h.groupBy("v").agg(F.sum("cnt").cast("long").alias("t"))
+    rk = global_cumsum(tv, "v", "t", "cum")
+    g = (
+        h.join(rk, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_g"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * (2 * F.col("cum") - F.col("t") + 1)
+            ).alias("r2g"),
+        )
+    )
+    ties = tv.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("tt")
+    )
+    top = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n_g").cast("double").alias("n"),
+        F.sum(F.col("r2g") * F.col("r2g") / F.col("n_g"))
+        .cast("double")
+        .alias("s"),
+    )
+    o = top.crossJoin(F.broadcast(ties)).select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        _r6n(F.expr(_KW_H)).alias("h_stat"),
+    )
+    z = o.withColumn("z_wh", _r6n(F.expr(_KW_Z)))
+    return z.select(
+        "n_groups",
+        "n_rows",
+        "h_stat",
+        "z_wh",
+        _r6n(
+            F.expr(
+                f"CASE WHEN z_wh >= 0.0 THEN {_phi_tail_sql('z_wh')} "
+                f"ELSE 1.0 - {_phi_tail_sql('(-z_wh)')} END"
+            )
+        ).alias("p_wh_approx"),
+    )
+
+
+#: classical-decomposition per-dow finishers over exact integer sums
+#: (sa = sum of 7n - S7, saa = its square sum, n_days) — shared text.
+_SD_MEAN = "(sa / (7.0 * n_days))"
+_SD_STD = "(sqrt((saa - sa * sa / n_days) / n_days) / 7.0)"
+#: deterministic left-to-right center over the 7 pivoted dow means
+_SD_CTR = (
+    "(((((((s0 + s1) + s2) + s3) + s4) + s5) + s6) / 7.0)"
+)
+_SD_PIVOT_SQL = ", ".join(
+    f"coalesce(max(CASE WHEN dow = {i} THEN sa / (7.0 * n_days) END), 0.0)"
+    f" AS s{i}"
+    for i in range(7)
+)
+
+
+@query(
+    "events_seasonal_decomposition",
+    f"""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         ((((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 4) % 7 + 7) % 7)
+           AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT dow, n,
+         sum(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS s7,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS c7
+  FROM d
+),
+det AS (SELECT dow, 7 * n - s7 AS a FROM w WHERE c7 = 7),
+g AS (
+  SELECT dow, count(*)::DOUBLE AS n_days, sum(a)::DOUBLE AS sa,
+         sum(a::HUGEINT * a)::DOUBLE AS saa
+  FROM det GROUP BY 1
+),
+piv AS (SELECT {_SD_PIVOT_SQL} FROM g),
+ctr AS (SELECT {_SD_CTR} AS c FROM piv)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+       {_r6n_sql(_SD_MEAN)} AS mean_detrended,
+       {_r6n_sql(f"({_SD_MEAN} - c)")} AS seasonal,
+       {_r6n_sql(_SD_STD)} AS remainder_std
+FROM g, ctr
+""",
+)
+def events_seasonal_decomposition(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily event
+    count series (the moving-average skeleton of STL, Cleveland et al.
+    1990): trend = centered 7-day moving average (full windows only),
+    weekly seasonal profile = per-day-of-week mean of the detrended
+    series re-centered to sum ~0, remainder spread = per-dow std of the
+    detrended series (shift-invariant, so it equals the remainder's).
+
+    Exactness: daily counts are integers, so ``7*n - S7`` (7x the
+    detrended value) and its square stay EXACT integers per dow; every
+    double appears only in the shared finisher texts (`_SD_MEAN`/
+    `_SD_STD`/`_SD_CTR`), and the cross-dow center is a DETERMINISTIC
+    left-to-right 7-term pivot sum, never an order-dependent aggregate.
+
+    Scale shape: one daily rollup (calendar-bounded — the annotated
+    unpartitioned window runs over ~365 rows/year however large the
+    event volume), a 7-row dow reduction, a 1-row pivot, and a 1-row
+    center join-back (annotated BNLJ)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    day_us = F.lit(86400000000)
+    epoch_day = ((us - F.pmod(us, day_us)).cast("long") / day_us).cast("long")
+    d = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.pmod(epoch_day + 4, F.lit(7)).alias("dow"),
+        )
+        .groupBy("day", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "dow",
+        "n",
+        F.sum("n").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    det = w.where(F.col("c7") == 7).select(
+        "dow", (7 * F.col("n") - F.col("s7")).alias("a")
+    )
+    g = det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("double").alias("n_days"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("a"))
+        .cast("double")
+        .alias("saa"),
+    )
+    piv = g.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("dow") == i,
+                        F.col("sa") / (F.lit(7.0) * F.col("n_days")),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"s{i}")
+            for i in range(7)
+        ]
+    )
+    ctr = piv.select(F.expr(_SD_CTR).alias("c"))
+    return g.crossJoin(F.broadcast(ctr)).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n_days").cast("long").alias("n_days"),
+        _r6n(F.expr(_SD_MEAN)).alias("mean_detrended"),
+        _r6n(F.expr(f"({_SD_MEAN} - c)")).alias("seasonal"),
+        _r6n(F.expr(_SD_STD)).alias("remainder_std"),
+    )
+
+
+@query("near_dup_kcore_peel", SIM.kcore_trajectory_oracle_sql(0.5, 2, 6))
+def near_dup_kcore_peel(spark, sf_dir):
+    """k-core peel trajectory of the near-dup candidate graph
+    (operators/similarity.py kcore_trajectory; Seidman 1983): (round,
+    n_nodes, n_edges) after each of 6 rounds of dropping degree<2
+    vertices — dense duplicate cliques survive the peel, tree-like
+    incidental LSH overlap dissolves, so the curve's plateau height is
+    a direct "how much of the candidate graph is REAL template mass"
+    observability signal (the structural companion of the triangle
+    census and degree histogram).
+
+    The round count is pinned so the Spark loop and the oracle's
+    unrolled CTE chain certify the identical trajectory, not just a
+    fixpoint; every peeled edge relation is localCheckpoint-ed
+    (candidate-pruned size) so the plan stays O(1) per round."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.kcore_trajectory(d, "text", "doc_id", threshold=0.5, k=2, rounds=6)
+
+
+#: streaming-OLS finishers over the drained exact Gram sums (columns
+#: n, sx, sy, sxx, sxy as DOUBLE) — shared text, degenerate windows
+#: (zero x-variance) yield NULL slope/intercept on both engines.
+_GOLS_SLOPE = (
+    "(CASE WHEN (n * sxx - sx * sx) = 0.0 THEN NULL"
+    " ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END)"
+)
+_GOLS_ICEPT = f"(CASE WHEN (n * sxx - sx * sx) = 0.0 THEN NULL ELSE (sy - {_GOLS_SLOPE} * sx) / n END)"
+
+
+@query(
+    "events_streaming_gram_ols",
+    f"""
+WITH r AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000) // 60000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+g AS (
+  SELECT window_start, event_type, count(*)::DOUBLE AS n,
+         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x * x)::DOUBLE AS sxx, sum(x::HUGEINT * y)::DOUBLE AS sxy
+  FROM r GROUP BY 1, 2
+)
+SELECT window_start, event_type, CAST(n AS BIGINT) AS n_events,
+       {_r6n_sql(_GOLS_SLOPE)} AS slope_cents_per_min,
+       {_r6n_sql(_GOLS_ICEPT)} AS intercept_cents
+FROM g
+""",
+)
+def events_streaming_gram_ols(spark, sf_dir):
+    """Per-window trend slopes maintained as STREAMING state
+    (streaming/events.py streaming_gram_ols) and drained availableNow
+    into the oracle lane: the five OLS Gram sums (n, Sx, Sy, Sxx, Sxy)
+    of value cents vs minute-within-hour are a commutative integer-sum
+    monoid, so they fold across micro-batches exactly like the moment
+    family — one more reference-style algebraic aggregate proven on a
+    stream.  The slope/intercept finish (`_GOLS_SLOPE`, shared formula
+    text) runs on the drained batch; all products stay under 2^53 so
+    the doubles are EXACT and batch replay is bit-identical.
+
+    Oracle = the same Gram sums per (hour, type) over the batch table
+    (single-file availableNow replay emits every window)."""
+    from .streaming import read_events_stream, run_available_now
+    from .streaming.events import streaming_gram_ols
+
+    stream = read_events_stream(spark, sf_dir)
+    drained = run_available_now(streaming_gram_ols(stream))
+    dc = [F.col(c).cast("double").alias(c) for c in ("n", "sx", "sy", "sxx", "sxy")]
+    return drained.select("window_start", "event_type", *dc).select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        _r6n(F.expr(_GOLS_SLOPE)).alias("slope_cents_per_min"),
+        _r6n(F.expr(_GOLS_ICEPT)).alias("intercept_cents"),
+    )
+
+
+@query(
+    "events_kmv_distinct",
+    f"""
+WITH src AS (SELECT event_type, user_id FROM events),
+{SKCH.kmv_cte_sql("src", "user_id", "event_type")},
+odd AS (SELECT event_type, user_id FROM src WHERE user_id % 2 = 1),
+evn AS (SELECT event_type, user_id FROM src WHERE user_id % 2 = 0),
+{SKCH.kmv_cte_sql("odd", "user_id", "event_type", prefix="o")},
+{SKCH.kmv_cte_sql("evn", "user_id", "event_type", prefix="v")},
+merged AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM (SELECT DISTINCT g, h FROM (
+      SELECT g, h FROM obk UNION ALL SELECT g, h FROM vbk))
+  ) WHERE rn <= {SKCH.KMV_K}
+),
+mest AS (
+  SELECT g, count(*)::BIGINT AS nb, max(h)::DOUBLE AS hk,
+         {SKCH.KMV_EST} AS kmv_est
+  FROM merged GROUP BY g
+),
+exact AS (SELECT event_type AS g, count(DISTINCT user_id)::BIGINT AS n_exact
+          FROM src GROUP BY 1)
+SELECT est.g AS event_type, exact.n_exact, est.nb AS sketch_rows,
+       {_r6n_sql("est.kmv_est")} AS kmv_est,
+       {_r6n_sql("mest.kmv_est")} AS merged_est,
+       (est.kmv_est = mest.kmv_est) AS merge_exact,
+       {_r6n_sql("abs(est.kmv_est - exact.n_exact) / exact.n_exact")} AS rel_err
+FROM est JOIN mest ON mest.g = est.g JOIN exact ON exact.g = est.g
+""",
+)
+def events_kmv_distinct(spark, sf_dir):
+    """KMV / bottom-k distinct sketch (operators/sketches.py
+    kmv_sketch; Bar-Yossef et al. 2002, Beyer et al. 2007): per event
+    type, the 64 smallest 60-bit user-id hashes give the estimate
+    (k-1)/F(h_k) — the third mergeable-distinct leg next to the engine
+    HLL (approx_distinct_users) and the relational HLL
+    (hll_users_by_type), and the one whose MERGE is an exact identity:
+    bottom-k of a union of bottom-ks IS bottom-k of the union.  The
+    query certifies that inside the hash-compared row — the sketch is
+    rebuilt from an odd/even user-id shard split, re-merged, and
+    ``merge_exact`` asserts estimate equality — plus the realized
+    relative error against the exact distinct count.
+
+    Scale shape: a distinct reduction on (type, hash), then PARTITIONED
+    row_number windows (per type); every shuffle carries 16-byte rows."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    full = SKCH.kmv_estimate(SKCH.kmv_sketch(e, "event_type", "user_id"))
+    odd = SKCH.kmv_sketch(
+        e.where(F.col("user_id") % 2 == 1), "event_type", "user_id"
+    )
+    evn = SKCH.kmv_sketch(
+        e.where(F.col("user_id") % 2 == 0), "event_type", "user_id"
+    )
+    merged = SKCH.kmv_estimate(SKCH.kmv_rebottom(odd.unionAll(evn)))
+    exact = e.groupBy(F.col("event_type").alias("g")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    f = full.alias("f")
+    m = merged.alias("m")
+    return (
+        f.join(m, "g")
+        .join(exact, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            "n_exact",
+            F.col("f.nb").alias("sketch_rows"),
+            _r6n(F.col("f.kmv_est")).alias("kmv_est"),
+            _r6n(F.col("m.kmv_est")).alias("merged_est"),
+            (F.col("f.kmv_est") == F.col("m.kmv_est")).alias("merge_exact"),
+            _r6n(
+                F.abs(F.col("f.kmv_est") - F.col("n_exact"))
+                / F.col("n_exact")
+            ).alias("rel_err"),
+        )
+    )
+
+
+#: streaming binned-percentile finisher: midpoint of the first bin whose
+#: cumulative count reaches ceil(p*n), in VALUE units (cents / 100)
+_SBQ_SEL = ", ".join(
+    f"min(CASE WHEN cum_c >= ceil({p} * n) THEN"
+    f" (bin + 0.5) * {SE.BINNED_STREAM_WIDTH_CENTS}.0 / 100.0 END)"
+    f" AS p{int(p * 100)}_est"
+    for p in (0.5, 0.9, 0.99)
+)
+
+
+@query(
+    "events_streaming_binned_quantiles",
+    f"""
+WITH r AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         least({SE.BINNED_STREAM_BINS - 1}, greatest(0,
+           CAST(round(value * 100) AS BIGINT)
+             // {SE.BINNED_STREAM_WIDTH_CENTS})) AS bin
+  FROM events
+),
+h AS (
+  SELECT window_start, event_type, bin, count(*) AS c
+  FROM r GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY window_start, event_type
+                         ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_c,
+         sum(c) OVER (PARTITION BY window_start, event_type) AS n
+  FROM h
+)
+SELECT window_start, event_type, max(n)::BIGINT AS n_events,
+       {_SBQ_SEL}
+FROM cum GROUP BY 1, 2
+""",
+)
+def events_streaming_binned_quantiles(spark, sf_dir):
+    """Percentiles from STREAMING histogram state
+    (streaming/events.py streaming_binned_histogram) drained
+    availableNow: per-(window, type) 256-bin counts are a SUM monoid
+    maintained as stream state, and the drained batch picks p50/p90/p99
+    as the midpoint of the first bin reaching ceil(p*n) — the streaming
+    sibling of ``price_quantiles_binned`` with static literal edges
+    (a stream cannot run the batch min/max pre-pass).  Everything up to
+    the midpoint multiply is exact integer arithmetic, so the oracle
+    hash certifies an approximate-percentile pipeline end to end.
+
+    Oracle = the same histogram + pick over the batch table
+    (single-file availableNow replay emits every window)."""
+    from pyspark.sql import Window
+
+    from .streaming import read_events_stream, run_available_now
+    from .streaming.events import streaming_binned_histogram
+
+    stream = read_events_stream(spark, sf_dir)
+    drained = run_available_now(streaming_binned_histogram(stream))
+    w = (
+        Window.partitionBy("window_start", "event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("window_start", "event_type")
+    cum = drained.withColumn("cum_c", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.ceil(F.lit(p) * F.col("n")),
+                (F.col("bin") + 0.5)
+                * F.lit(float(SE.BINNED_STREAM_WIDTH_CENTS))
+                / 100.0,
+            )
+        ).alias(f"p{int(p * 100)}_est")
+        for p in (0.5, 0.9, 0.99)
+    ]
+    return cum.groupBy("window_start", "event_type").agg(
+        F.max("n").cast("long").alias("n_events"), *picks
+    )
+
+
+@query(
+    "event_value_cliffs_delta",
+    f"""
+WITH r AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+h AS (SELECT event_type, v, count(*) AS c FROM r GROUP BY 1, 2),
+n AS (SELECT event_type, sum(c)::BIGINT AS n FROM h GROUP BY 1),
+vals AS (SELECT DISTINCT v FROM h),
+grid AS (
+  SELECT n.event_type, vals.v, coalesce(h.c, 0) AS c
+  FROM n CROSS JOIN vals
+  LEFT JOIN h ON h.event_type = n.event_type AND h.v = vals.v
+),
+cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum_le
+  FROM grid
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         sum(a.c::HUGEINT * (b.cum_le - b.c)) AS gt,
+         sum(a.c::HUGEINT * (nb.n - b.cum_le)) AS lt
+  FROM h a
+  JOIN cum b ON b.v = a.v AND b.event_type > a.event_type
+  JOIN n nb ON nb.event_type = b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b,
+       gt::BIGINT AS gt_pairs, lt::BIGINT AS lt_pairs,
+       {_r6n_sql("((gt::DOUBLE - lt::DOUBLE) / (na.n::DOUBLE * nb.n))")} AS cliffs_delta
+FROM pairs
+JOIN n na ON na.event_type = type_a
+JOIN n nb ON nb.event_type = type_b
+""",
+)
+def event_value_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size for every event-type pair (Cliff
+    1993): P(X>Y) - P(X<Y) computed EXACTLY from value-cents histograms
+    — the ordinal, outlier-immune companion the Welch/rank-sum family
+    reports alongside p-values (a significant test with |delta| < 0.15
+    is noise at corpus scale).  The all-pairs double sum collapses to
+    one histogram equi-join on value: for each of type a's values,
+    type b's cumulative count below/above it, weighted by a's count —
+    gt/lt stay exact 128-bit integers, so the only double is the final
+    ratio.
+
+    Scale shape: one histogram aggregate, a domain-sized grid (|types|
+    x distinct cents, type side broadcast), a partitioned cumsum, and
+    a histogram-sized pair join — the raw relation is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = h.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    vals = h.select("v").distinct()
+    grid = (
+        F.broadcast(n.select("event_type"))
+        .crossJoin(vals)
+        .join(h, ["event_type", "v"], "left")
+        .select(
+            "event_type", "v", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cum_le", F.sum("c").over(wcum))
+    a = h.select(
+        F.col("event_type").alias("type_a"),
+        F.col("v").alias("v"),
+        F.col("c").alias("ca"),
+    )
+    b = cum.select(
+        F.col("event_type").alias("type_b"),
+        "v",
+        F.col("c").alias("cb"),
+        "cum_le",
+    )
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n").alias("nbn"))
+    pairs = (
+        a.join(b, "v")
+        .where(F.col("type_b") > F.col("type_a"))
+        .join(F.broadcast(nb), "type_b")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.col("ca").cast("decimal(38,0)")
+                * (F.col("cum_le") - F.col("cb"))
+            ).alias("gt"),
+            F.sum(
+                F.col("ca").cast("decimal(38,0)")
+                * (F.col("nbn") - F.col("cum_le"))
+            ).alias("lt"),
+        )
+    )
+    na2 = n.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb2 = n.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na2), "type_a")
+        .join(F.broadcast(nb2), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.col("gt").cast("long").alias("gt_pairs"),
+            F.col("lt").cast("long").alias("lt_pairs"),
+            _r6n(
+                (F.col("gt").cast("double") - F.col("lt").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("cliffs_delta"),
+        )
+    )
+
+
+@query("embedding_mmr_topk", SIM.mmr_topk_oracle_sql(ANN_QUERY_IDS, k=5, pool=16))
+def embedding_mmr_topk(spark, sf_dir):
+    """Maximal Marginal Relevance diversified retrieval
+    (operators/similarity.py mmr_topk; Carbonell & Goldstein 1998):
+    greedy top-5 per query from the relevance-top-16 pool, each round
+    maximizing ``cos(q,c) - 0.5 * max-sim-to-selected`` — the
+    dedup-aware retrieval head (plain top-k returns a near-duplicate
+    cluster k times; MMR returns it once).  The corpus pays exactly one
+    cosine_topk pass; every greedy round runs on the bounded
+    (queries x pool) relation, and the unrolled oracle certifies the
+    whole greedy trajectory with the house 6-dp cosine + id tie-break."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.mmr_topk(e, ANN_QUERY_IDS, k=5, pool=16)
+
+
+#: KS finishers over named double columns (cle/ple per score row;
+#: nsd = source count, nd = corpus count; kd = the max diff; lam6 = the
+#: rounded lambda) — ONE shared text per step
+_KS_DIFF = "abs(cle / nsd - (ple - cle) / (nd - nsd))"
+_KS_LAM = "(sqrt(nsd * (nd - nsd) / nd) * kd)"
+_KS_P = (
+    "least(1.0, greatest(0.0, 2.0 * ("
+    "exp(-2.0 * lam6 * lam6) - exp(-8.0 * lam6 * lam6)"
+    " + exp(-18.0 * lam6 * lam6) - exp(-32.0 * lam6 * lam6)"
+    " + exp(-50.0 * lam6 * lam6))))"
+)
+
+
+@query(
+    "source_quality_ks_drift",
+    f"""
+WITH t AS (
+  SELECT source, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks FROM documents
+),
+sc AS (
+  SELECT source,
+         round(
+           0.3 * least(1.0, length(norm)::DOUBLE / 500.0)
+         + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * (1.0 - least(1.0,
+              abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
+                  / len(toks)::DOUBLE - 0.4) / 0.6))
+           + 1e-9,
+         6) AS score
+  FROM t
+),
+h AS (SELECT source, score, count(*) AS c FROM sc GROUP BY 1, 2),
+ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM h GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM h),
+vals AS (SELECT DISTINCT score FROM h),
+grid AS (
+  SELECT ns.source, vals.score, coalesce(h.c, 0) AS c
+  FROM ns CROSS JOIN vals
+  LEFT JOIN h ON h.source = ns.source AND h.score = vals.score
+),
+cum AS (
+  SELECT source, score, c,
+         sum(c) OVER (PARTITION BY source ORDER BY score
+                      ROWS UNBOUNDED PRECEDING) AS cum_le
+  FROM grid
+),
+pool AS (SELECT score, sum(cum_le) AS pool_le FROM cum GROUP BY 1),
+d AS (
+  SELECT cum.source,
+         max({_KS_DIFF.replace("cle", "cum.cum_le::DOUBLE").replace("ple", "pool.pool_le::DOUBLE").replace("nsd", "ns.n_s::DOUBLE").replace("nd", "tot.n::DOUBLE")}) AS kd
+  FROM cum JOIN pool USING (score) JOIN ns ON ns.source = cum.source, tot
+  GROUP BY 1
+),
+o AS (
+  SELECT d.source, ns.n_s AS n_docs, {_r6n_sql("kd")} AS ks_d,
+         {_r6n_sql(_KS_LAM.replace("nsd", "ns.n_s::DOUBLE").replace("nd", "(SELECT n FROM tot)::DOUBLE"))} AS lam6
+  FROM d JOIN ns ON ns.source = d.source
+)
+SELECT source, n_docs, ks_d, lam6 AS ks_lambda,
+       {_r6n_sql(_KS_P)} AS p_asymp
+FROM o
+""",
+)
+def source_quality_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift screen (Kolmogorov 1933,
+    Smirnov 1948): per source, the KS distance between its quality-score
+    distribution and the REST of the corpus — the distribution-free
+    recipe-monitoring gate next to the per-source KL drift (KL sees
+    density ratios, KS sees the worst CDF gap; a source can pass one
+    and fail the other).  The asymptotic p uses the 5-term Kolmogorov
+    series on the ROUNDED lambda (the Welch-grid convention).
+
+    Exactness: scores are 6-dp rounded; CDFs are exact integer
+    cumulative counts over the (source x distinct-score) grid, the
+    diff/max/lambda/p steps are shared formula text, and max (unlike
+    sum) is double-order-independent, so the whole statistic
+    hash-matches.  Scale shape: one corpus scan to the score histogram;
+    everything after runs on (|sources| x distinct 6-dp scores) rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.select(
+        "source",
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("score"),
+    )
+    h = sc.groupBy("source", "score").agg(F.count(F.lit(1)).alias("c"))
+    ns = h.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    tot = h.agg(F.sum("c").cast("long").alias("n"))
+    vals = h.select("score").distinct()
+    grid = (
+        F.broadcast(ns.select("source"))
+        .crossJoin(vals)
+        .join(h, ["source", "score"], "left")
+        .select(
+            "source", "score", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cum_le", F.sum("c").over(wcum))
+    pool = cum.groupBy("score").agg(F.sum("cum_le").alias("pool_le"))
+    withd = (
+        cum.join(pool, "score")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("cum_le").cast("double").alias("cle"),
+            F.col("pool_le").cast("double").alias("ple"),
+            F.col("n_s").cast("double").alias("nsd"),
+            F.col("n").cast("double").alias("nd"),
+        )
+    )
+    dmax = withd.groupBy("source").agg(F.max(F.expr(_KS_DIFF)).alias("kd"))
+    o = (
+        dmax.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.col("n_s").cast("double").alias("nsd"),
+            F.col("n").cast("double").alias("nd"),
+            "kd",
+        )
+        .select(
+            "source",
+            "n_docs",
+            _r6n(F.col("kd")).alias("ks_d"),
+            _r6n(F.expr(_KS_LAM)).alias("lam6"),
+        )
+    )
+    return o.select(
+        "source",
+        "n_docs",
+        "ks_d",
+        F.col("lam6").alias("ks_lambda"),
+        _r6n(F.expr(_KS_P)).alias("p_asymp"),
+    )
+
+
+#: MI finishers over the 1-row micro-nat sums (mim/htm/hbm) and the
+#: double corpus count nd — shared text
+_MI_NATS = "(mim / 1000000.0 / nd)"
+_MI_NMI = (
+    f"({_MI_NATS} / sqrt((htm / 1000000.0 / nd) * (hbm / 1000000.0 / nd)))"
+)
+#: value-bin geometry: 4096-cent bins, clamp to 16 bins
+_MI_BIN = 4096
+_MI_NBINS = 16
+
+
+@query(
+    "events_type_value_mi",
+    f"""
+WITH r AS (
+  SELECT event_type,
+         least({_MI_NBINS - 1},
+               CAST(round(value * 100) AS BIGINT) // {_MI_BIN}) AS bin
+  FROM events
+),
+cells AS (SELECT event_type, bin, count(*) AS nij FROM r GROUP BY 1, 2),
+rows_ AS (SELECT event_type, sum(nij)::BIGINT AS ni FROM cells GROUP BY 1),
+cols_ AS (SELECT bin, sum(nij)::BIGINT AS mj FROM cells GROUP BY 1),
+tot AS (SELECT sum(nij)::BIGINT AS n FROM cells),
+terms AS (
+  SELECT CAST(round(1000000.0 * (cells.nij * ln(
+           (tot.n::DOUBLE * cells.nij) / (rows_.ni::DOUBLE * cols_.mj)
+         ))) AS BIGINT) AS tm
+  FROM cells
+  JOIN rows_ USING (event_type) JOIN cols_ USING (bin), tot
+),
+ht AS (
+  SELECT sum(CAST(round(1000000.0 * (ni * ln(tot.n::DOUBLE / ni)))
+             AS BIGINT))::BIGINT AS htm
+  FROM rows_, tot
+),
+hb AS (
+  SELECT sum(CAST(round(1000000.0 * (mj * ln(tot.n::DOUBLE / mj)))
+             AS BIGINT))::BIGINT AS hbm
+  FROM cols_, tot
+),
+s AS (
+  SELECT (SELECT sum(tm) FROM terms)::BIGINT AS mim,
+         (SELECT htm FROM ht) AS htm,
+         (SELECT hbm FROM hb) AS hbm,
+         (SELECT count(*) FROM cells)::BIGINT AS n_cells,
+         (SELECT n FROM tot)::BIGINT AS n_rows,
+         (SELECT n FROM tot)::DOUBLE AS nd
+)
+SELECT n_rows, n_cells,
+       {_r6n_sql(_MI_NATS)} AS mi_nats,
+       {_r6n_sql("(htm / 1000000.0 / nd)")} AS h_type_nats,
+       {_r6n_sql("(hbm / 1000000.0 / nd)")} AS h_bin_nats,
+       {_r6n_sql(_MI_NMI)} AS nmi
+FROM s
+""",
+)
+def events_type_value_mi(spark, sf_dir):
+    """Mutual information between event type and value bin (Shannon
+    1948; 16 bins of 40.96) — the information-theoretic dependence gate
+    next to the chi-square grid (chi2 detects ANY deviation, MI
+    measures HOW MANY nats the type tells you about the value), with
+    normalized MI = I/sqrt(H_type * H_bin) as the [0,1] effect size.
+
+    Exactness: every cell/marginal term is rounded to integer
+    MICRO-nats before summation (the DSIR determinism trick), so the
+    cross-cell sums are order-independent integers and only the shared
+    finisher text divides back to nats.  Scale shape: one contingency
+    aggregate (|types| x 16 cells), two marginal reductions off it, and
+    1-row scalar join-backs (annotated BNLJ)."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            F.least(
+                F.lit(_MI_NBINS - 1),
+                F.floor(
+                    F.round(F.col("value") * 100).cast("long") / F.lit(_MI_BIN)
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    rows_ = cells.groupBy("event_type").agg(
+        F.sum("nij").cast("long").alias("ni")
+    )
+    cols_ = cells.groupBy("bin").agg(F.sum("nij").cast("long").alias("mj"))
+    tot = cells.agg(F.sum("nij").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "bin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.col("nij")
+                    * F.log(
+                        (F.col("n").cast("double") * F.col("nij"))
+                        / (F.col("ni").cast("double") * F.col("mj"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("tm")
+        )
+    )
+    mim = terms.agg(F.sum("tm").cast("long").alias("mim"))
+    ht = rows_.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.col("ni")
+                    * F.log(F.col("n").cast("double") / F.col("ni"))
+                )
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("htm")
+    )
+    hb = cols_.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.col("mj")
+                    * F.log(F.col("n").cast("double") / F.col("mj"))
+                )
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hbm")
+    )
+    ncells = cells.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    s = (
+        mim.crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(ncells))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_cells",
+            "mim",
+            "htm",
+            "hbm",
+            F.col("n").cast("double").alias("nd"),
+        )
+    )
+    return s.select(
+        "n_rows",
+        "n_cells",
+        _r6n(F.expr(_MI_NATS)).alias("mi_nats"),
+        _r6n(F.expr("(htm / 1000000.0 / nd)")).alias("h_type_nats"),
+        _r6n(F.expr("(hbm / 1000000.0 / nd)")).alias("h_bin_nats"),
+        _r6n(F.expr(_MI_NMI)).alias("nmi"),
+    )
+
+
+@query(
+    "quality_quantile_norm_map",
+    f"""
+WITH t AS (
+  SELECT source, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks FROM documents
+),
+sc AS (
+  SELECT source,
+         round(
+           0.3 * least(1.0, length(norm)::DOUBLE / 500.0)
+         + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * (1.0 - least(1.0,
+              abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
+                  / len(toks)::DOUBLE - 0.4) / 0.6))
+           + 1e-9,
+         6) AS score
+  FROM t
+),
+h AS (SELECT source, score, count(*) AS c FROM sc GROUP BY 1, 2),
+cum AS (
+  SELECT source, score,
+         sum(c) OVER (PARTITION BY source ORDER BY score
+                      ROWS UNBOUNDED PRECEDING) AS cum_le,
+         sum(c) OVER (PARTITION BY source) AS n_s
+  FROM h
+),
+hp AS (SELECT score, sum(c) AS c FROM h GROUP BY 1),
+cump AS (
+  SELECT score,
+         sum(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_le,
+         sum(c) OVER () AS n
+  FROM hp
+),
+dec AS (SELECT unnest(generate_series(1, 9)) AS d),
+src_cut AS (
+  SELECT cum.source, dec.d,
+         min(CASE WHEN cum.cum_le >= ceil((dec.d * cum.n_s) / 10.0)
+                  THEN cum.score END) AS src_cutoff
+  FROM cum CROSS JOIN dec GROUP BY 1, 2
+),
+pool_cut AS (
+  SELECT dec.d,
+         min(CASE WHEN cump.cum_le >= ceil((dec.d * cump.n) / 10.0)
+                  THEN cump.score END) AS pooled_cutoff
+  FROM cump CROSS JOIN dec GROUP BY 1
+)
+SELECT s.source, s.d AS decile, s.src_cutoff, p.pooled_cutoff,
+       {_r6n_sql("(p.pooled_cutoff - s.src_cutoff)")} AS shift
+FROM src_cut s JOIN pool_cut p USING (d)
+""",
+)
+def quality_quantile_norm_map(spark, sf_dir):
+    """Quantile-normalization mapping table (the cross-source score
+    harmonization step of a mixing recipe; Bolstad et al. 2003 made the
+    technique canonical for microarrays): for each source and decile
+    d/10, the source's own score cutoff and the POOLED corpus cutoff at
+    the same decile — replacing a doc's score by the pooled cutoff at
+    its source-relative rank removes per-source scorer bias before
+    cross-source thresholding (a fixed global threshold keeps different
+    fractions of each source; the mapped threshold keeps the same).
+
+    Exactness: cutoffs are discrete order statistics (min score whose
+    exact integer cumulative count reaches ceil(d*n/10)) over 6-dp
+    scores — no interpolation, no doubles until the reported shift.
+    Scale shape: one corpus scan to the (source, score) histogram,
+    PARTITIONED cumsums, a 9-row decile fan-out, domain-sized output."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.select(
+        "source",
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("score"),
+    )
+    h = sc.groupBy("source", "score").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("source")
+    cum = h.withColumn("cum_le", F.sum("c").over(wcum)).withColumn(
+        "n_s", F.sum("c").over(wn)
+    )
+    hp = h.groupBy("score").agg(F.sum("c").alias("c"))
+    # the pooled cumsum runs over distinct 6-dp scores — bounded by the
+    # score domain (<= 1e6 rows at any corpus size), two-phase shape
+    from .functions.distribution import global_cumsum
+
+    cump = global_cumsum(hp, "score", "c", "cum_le")
+    ptot = hp.agg(F.sum("c").alias("n"))
+    dec = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    src_cut = (
+        cum.crossJoin(F.broadcast(dec))
+        .groupBy("source", "d")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_le")
+                    >= F.ceil((F.col("d") * F.col("n_s")) / F.lit(10.0)),
+                    F.col("score"),
+                )
+            ).alias("src_cutoff")
+        )
+    )
+    pool_cut = (
+        cump.crossJoin(F.broadcast(ptot))
+        .crossJoin(F.broadcast(dec))
+        .groupBy("d")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_le")
+                    >= F.ceil((F.col("d") * F.col("n")) / F.lit(10.0)),
+                    F.col("score"),
+                )
+            ).alias("pooled_cutoff")
+        )
+    )
+    return src_cut.join(F.broadcast(pool_cut), "d").select(
+        "source",
+        F.col("d").alias("decile"),
+        "src_cutoff",
+        "pooled_cutoff",
+        _r6n(F.col("pooled_cutoff") - F.col("src_cutoff")).alias("shift"),
     )
 
 

@@ -149,6 +149,28 @@ BNLJ_BOUNDED: dict[str, str] = {
         "(O(bins^3) on a bounded build side, never data-sized)"
     ),
     "token_heavy_hitters_merged": _SCALAR + " (1-row residual-total crossJoin)",
+    "event_value_kruskal_wallis": _SCALAR + " (1-row tie-total join-back)",
+    "event_value_cliffs_delta": (
+        "the |event-type|-row domain grid cross join (5-row broadcast "
+        "side, bounded by the type domain at any data volume)"
+    ),
+    "events_seasonal_decomposition": (
+        _SCALAR + " (1-row pivoted seasonal-center join-back onto the "
+        "7-row dow relation)"
+    ),
+    "source_quality_ks_drift": (
+        "source-domain x distinct-6dp-score grid fan-out (|sources| "
+        "broadcast rows, <= 1e6 distinct scores) plus 1-row corpus-total "
+        "join-backs — bounded by the score domain, never data-sized"
+    ),
+    "events_type_value_mi": (
+        _SCALAR + " (1-row n join-backs onto the |types| x 16-bin "
+        "contingency relation and its two marginals)"
+    ),
+    "quality_quantile_norm_map": (
+        "1-row pooled-total and 9-row decile-grid broadcast fan-outs "
+        "onto domain-bounded histogram relations"
+    ),
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -203,9 +225,21 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "quality_neardup_auc": (
         "two-phase global_cumsum offset window (<= #partitions rows)"
     ),
+    "event_value_kruskal_wallis": (
+        "two-phase global_cumsum offset window (<= #partitions rows) over "
+        "the distinct-cent-value histogram"
+    ),
+    "events_seasonal_decomposition": (
+        "centered 7-day moving average over the per-DAY rollup — "
+        "calendar-bounded (~365 rows/year regardless of event volume)"
+    ),
     "users_survival_curve": (
         "two-phase global_cumsum offset windows (<= #partitions rows); the "
         "duration histogram itself is calendar-bounded"
+    ),
+    "quality_quantile_norm_map": (
+        "two-phase global_cumsum offset window (<= #partitions rows) over "
+        "the pooled distinct-6dp-score histogram"
     ),
     "embedding_alignment_uniformity": (
         "two-phase global_rank offset window (<= #partitions rows)"

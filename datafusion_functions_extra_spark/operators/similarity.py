@@ -2512,3 +2512,392 @@ SELECT count(*) AS n_pairs,
        {r6n_sql('sum(CASE WHEN r >= 0.5 AND r <= 2.0 THEN 1 ELSE 0 END)::DOUBLE / count(*)')} AS frac_within_2x
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# candidate-graph PageRank (integer fixed-point, oracle-exact)
+# ---------------------------------------------------------------------------
+
+#: PageRank mass scale: ranks live in integer units of 1e-12 so every
+#: per-round contribution (pr DIV deg) and damping step ((15*base +
+#: 85*inflow) DIV 100) is INTEGER arithmetic — bit-identical across
+#: engines and partition orders, with no float drift to amplify over
+#: the iteration.  Total mass <= 1e12 regardless of graph size, so all
+#: sums stay far inside int64.
+PAGERANK_SCALE = 10**12
+
+
+def pagerank_topn(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    rounds: int = 6,
+    n_top: int = 20,
+) -> DataFrame:
+    """(rank, doc_id, pr_int, pr) — top-``n_top`` PageRank (Brin & Page
+    1998, damping 0.85) over the symmetric near-dup candidate graph:
+    the centrality lens on duplication — a high-PR document is the hub
+    its template family copies from, the thing to keep (or to blame)
+    when a near-dup cluster collapses.
+
+    Determinism is structural, not numeric: rank mass is integer
+    micro-units (``PAGERANK_SCALE``), every round's contribution uses
+    integer division (both engines floor identically), so the whole
+    trajectory is EXACT and the oracle hash certifies all ``rounds``
+    iterations.  Scale shape: per round one hash join (edges x ranks,
+    both id-keyed) + one aggregate; edge relation localCheckpoint-ed
+    once (LSH-pruned, never all-pairs); top-n via sort+limit
+    (TakeOrderedAndProject, no global single-partition window)."""
+    pairs = near_dup_pairs(df, text_col, id_col, threshold).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    deg = edges.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
+    ew = (
+        edges.join(deg, "id_a")
+        .select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "deg"
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = deg.select(F.col("id_a").alias("v")).localCheckpoint(eager=True)
+    ncnt = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    base = F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) div n_nodes")
+    pr = (
+        nodes.crossJoin(F.broadcast(ncnt))
+        .select("v", base.alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        inflow = (
+            ew.join(pr, ew.src == pr.v)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div deg")).cast("long").alias("inflow"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(ncnt))
+            .join(inflow, F.col("v") == F.col("dst"), "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST((15 * (CAST({PAGERANK_SCALE} AS BIGINT) div n_nodes)"
+                    f" + 85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"
+                    " AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    top = pr.orderBy(F.col("pr").desc(), F.col("v").asc()).limit(n_top)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pr").desc(), F.col("v").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            F.col("v").alias("doc_id"),
+            F.col("pr").alias("pr_int"),
+            F.round(F.col("pr") / F.lit(float(PAGERANK_SCALE)), 6).alias("pr"),
+        )
+    )
+
+
+def pagerank_topn_oracle_sql(
+    threshold: float = 0.5, rounds: int = 6, n_top: int = 20
+) -> str:
+    """Unrolled integer-arithmetic mirror of :func:`pagerank_topn`."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT id_a, id_b FROM prs UNION SELECT id_b, id_a FROM prs
+),
+deg AS MATERIALIZED (SELECT id_a AS src, count(*)::BIGINT AS deg FROM e0 GROUP BY 1),
+nodes AS (SELECT src AS v FROM deg),
+ncnt AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+pr0 AS (SELECT v, {PAGERANK_SCALE}::BIGINT // n_nodes AS pr FROM nodes, ncnt)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""in{r} AS (
+  SELECT e.id_b AS dst, sum(p.pr // d.deg)::BIGINT AS inflow
+  FROM e0 e JOIN deg d ON d.src = e.id_a JOIN pr{r} p ON p.v = e.id_a
+  GROUP BY 1
+),
+pr{r + 1} AS (
+  SELECT nodes.v,
+         ((15 * ({PAGERANK_SCALE}::BIGINT // n_nodes)
+           + 85 * coalesce(i.inflow, 0)) // 100)::BIGINT AS pr
+  FROM nodes CROSS JOIN ncnt LEFT JOIN in{r} i ON i.dst = nodes.v
+)"""
+        )
+    return f"""
+WITH {_sig_cte()}, {_bands_cte()},
+prs AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE list_sum(list_transform(generate_series(1, {MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {MINHASH_K}.0 >= {threshold}
+),
+{",".join(parts)}
+SELECT rank, doc_id, pr_int,
+       round(pr_int / {float(PAGERANK_SCALE)!r}, 6) AS pr
+FROM (
+  SELECT row_number() OVER (ORDER BY pr DESC, v ASC)::INT AS rank,
+         v AS doc_id, pr AS pr_int
+  FROM pr{rounds}
+) WHERE rank <= {n_top}
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez farthest-point selection)
+# ---------------------------------------------------------------------------
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(pick_rank, center_id, radius) — greedy k-center / farthest-point
+    coreset selection (Gonzalez 1985; 2-approximation to the optimal
+    k-center cover): seed = min id, then ``k-1`` rounds each picking the
+    point FARTHEST from everything selected so far (cosine distance
+    ``round(1 - cos, 6)``, argmax tie-break min id).  ``radius`` is the
+    picked point's distance at pick time — the coverage-radius
+    trajectory is non-increasing and row k bounds the whole corpus's
+    distance to the coreset.  This is the diversity-first data-selection
+    head (pick the examples that EXPAND coverage, the opposite of
+    near-dup pruning).
+
+    Scale shape: the state is one (id, vec, min-dist) relation updated
+    per round against the single new center (1-row broadcast crossJoin,
+    annotated BNLJ) — k passes over the corpus total, each pass one
+    projection + one sort+limit(1) argmax (TakeOrderedAndProject, no
+    global window); ``localCheckpoint`` per round keeps the plan O(1).
+    The oracle's unrolled CTE chain certifies the whole trajectory."""
+    pts = emb.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("vec"))
+    seed = pts.orderBy(F.col("pid").asc()).limit(1).localCheckpoint(eager=True)
+    picks = [
+        seed.select(
+            F.lit(1).cast("int").alias("pick_rank"),
+            F.col("pid").alias("center_id"),
+            F.lit(None).cast("double").alias("radius"),
+        )
+    ]
+    state = (
+        pts.crossJoin(
+            F.broadcast(seed.select(F.col("vec").alias("cvec")))
+        )
+        .select(
+            "pid",
+            "vec",
+            F.round(F.lit(1.0) - cosine(F.col("vec"), F.col("cvec")), 6).alias(
+                "mind"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        pick = (
+            state.orderBy(F.col("mind").desc(), F.col("pid").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            pick.select(
+                F.lit(r).cast("int").alias("pick_rank"),
+                F.col("pid").alias("center_id"),
+                F.col("mind").alias("radius"),
+            )
+        )
+        if r == k:
+            break
+        state = (
+            state.crossJoin(
+                F.broadcast(pick.select(F.col("vec").alias("cvec")))
+            )
+            .select(
+                "pid",
+                "vec",
+                F.least(
+                    F.col("mind"),
+                    F.round(
+                        F.lit(1.0) - cosine(F.col("vec"), F.col("cvec")), 6
+                    ),
+                ).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def kcenter_coreset_oracle_sql(k: int = 8) -> str:
+    """Unrolled greedy trajectory mirror of :func:`kcenter_coreset`."""
+    parts = [
+        """p AS MATERIALIZED (SELECT vec_id AS pid, embedding AS vec FROM embeddings),
+c1 AS (SELECT pid, vec FROM p ORDER BY pid ASC LIMIT 1),
+s1 AS MATERIALIZED (
+  SELECT p.pid, p.vec,
+         round(1.0 - ({_COS}), 6) AS mind
+  FROM p, c1
+)""".replace("{_COS}", _cos_sql("p.vec", "c1.vec"))
+    ]
+    for r in range(2, k + 1):
+        upd = (
+            f"""s{r} AS MATERIALIZED (
+  SELECT s.pid, s.vec,
+         least(s.mind, round(1.0 - ({_cos_sql(f's.vec', f'c{r}.vec')}), 6)) AS mind
+  FROM s{r - 1} s, c{r}
+)"""
+            if r < k
+            else None
+        )
+        parts.append(
+            f"""c{r} AS (SELECT pid, vec, mind FROM s{r - 1}
+       ORDER BY mind DESC, pid ASC LIMIT 1)"""
+            + (f",\n{upd}" if upd else "")
+        )
+    rows = ["SELECT 1::INT AS pick_rank, pid AS center_id, NULL::DOUBLE AS radius FROM c1"]
+    rows += [
+        f"SELECT {r}::INT, pid, mind FROM c{r}" for r in range(2, k + 1)
+    ]
+    return f"""
+WITH {",".join(parts)}
+{" UNION ALL ".join(rows)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer / MOSS local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+#: winnowing window: one fingerprint selected from every WINNOW_W
+#: consecutive k-gram hashes (guarantee: any match of length
+#: >= W + k - 1 tokens shares a fingerprint)
+WINNOW_W = 4
+#: bits reserved for the (inverted) position in the packed selection key
+_WINNOW_POS_BITS = 22
+_WINNOW_POS_MASK = (1 << _WINNOW_POS_BITS) - 1
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """(id_a, id_b, shared_fps) — candidate pairs sharing >=
+    ``min_shared`` winnowing fingerprints (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm): per document, hash every 3-word
+    shingle, slide a ``WINNOW_W``-gram window, and select each window's
+    minimum hash with RIGHTMOST tie-break — a position-robust ~1/W
+    subsample of the shingle space that still guarantees any shared run
+    of >= W+2 tokens produces a shared fingerprint.  The third
+    candidate generator next to MinHash-LSH (probabilistic Jaccard) and
+    SimHash (Hamming): winnowing is exact-substring-match-driven, the
+    right recall shape for clone/quotation detection.
+
+    Determinism: min-with-rightmost-tie is ONE integer ``min`` over the
+    packed key ``hash40 * 2^22 + (2^22-1-pos)`` — no argmax ambiguity,
+    same integer op in both engines.  Scale shape: shingle hashing is a
+    per-doc projection, window selection a per-doc PARTITIONED window,
+    fingerprints reduce to distinct (doc, hash) before the equi-join on
+    the hash; hub fingerprints (document frequency > ``max_df``,
+    boilerplate) are dropped before the join so a viral shingle cannot
+    fan out quadratically."""
+    kg = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_shingles_or_whole(F.col(text_col))).alias("pos", "gram"),
+    )
+    h40 = F.shiftright(hash60(F.col("gram")), 20)
+    key = F.shiftleft(h40, _WINNOW_POS_BITS) + (
+        F.lit(_WINNOW_POS_MASK) - F.col("pos")
+    )
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("id")
+    frame = part.orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = (
+        kg.withColumn("key", key.cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(part))
+        .withColumn("selkey", F.min("key").over(frame))
+        .where(
+            (F.col("pos") <= F.col("n") - WINNOW_W)
+            | ((F.col("n") < WINNOW_W) & (F.col("pos") == 0))
+        )
+    )
+    fps = sel.select(
+        "id", F.shiftright(F.col("selkey"), _WINNOW_POS_BITS).alias("fp")
+    ).distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    keep = fps.join(rare, "fp")
+    a = keep.select(F.col("id").alias("id_a"), "fp")
+    b = keep.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnow_pairs_oracle_sql(min_shared: int = 2, max_df: int = 50) -> str:
+    h40 = f"({_hash60_sql('gram')} >> 20)"
+    return f"""
+WITH t AS (SELECT doc_id AS id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks
+           FROM documents),
+sh AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [norm] END AS shingles
+  FROM t
+),
+kg AS (
+  SELECT id, generate_subscripts(shingles, 1) - 1 AS pos,
+         unnest(shingles) AS gram
+  FROM sh
+),
+keyed AS (
+  SELECT id, pos,
+         ({h40} << {_WINNOW_POS_BITS}) + ({_WINNOW_POS_MASK} - pos) AS key,
+         count(*) OVER (PARTITION BY id) AS n
+  FROM kg
+),
+sel AS (
+  SELECT id, pos, n,
+         min(key) OVER (PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS selkey
+  FROM keyed
+),
+fps AS (
+  SELECT DISTINCT id, selkey >> {_WINNOW_POS_BITS} AS fp
+  FROM sel
+  WHERE pos <= n - {WINNOW_W} OR (n < {WINNOW_W} AND pos = 0)
+),
+rare AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= {max_df})
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared_fps
+FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+WHERE a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

@@ -14439,9 +14439,11 @@ _KS_P = (
 )
 
 
-@query(
-    "source_quality_ks_drift",
-    f"""
+#: the full KS-drift oracle SELECT — shared verbatim between
+#: ``source_quality_ks_drift`` and the BH-FDR correction built on it
+#: (``source_ks_fdr`` wraps it as a subquery), so the p-values being
+#: adjusted are certified to come from the identical computation
+_KS_ORACLE_SQL = f"""
 WITH t AS (
   SELECT source, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks FROM documents
 ),
@@ -14487,8 +14489,10 @@ o AS (
 SELECT source, n_docs, ks_d, lam6 AS ks_lambda,
        {_r6n_sql(_KS_P)} AS p_asymp
 FROM o
-""",
-)
+"""
+
+
+@query("source_quality_ks_drift", _KS_ORACLE_SQL)
 def source_quality_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift screen (Kolmogorov 1933,
     Smirnov 1948): per source, the KS distance between its quality-score
@@ -14855,6 +14859,336 @@ def quality_quantile_norm_map(spark, sf_dir):
         _r6n(F.col("pooled_cutoff") - F.col("src_cutoff")).alias("shift"),
     )
 
+
+@query(
+    "near_dup_pagerank",
+    SIM.pagerank_topn_oracle_sql(threshold=0.5, rounds=6, n_top=20),
+)
+def near_dup_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank over the near-dup candidate graph
+    (operators/similarity.py pagerank_topn; Brin & Page 1998): the
+    duplication-hub centrality ranking — which documents sit at the
+    center of template families.  Whole 6-round trajectory is exact
+    integer arithmetic, so the oracle hash certifies every iteration,
+    not a tolerance."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.pagerank_topn(d, "text", "doc_id", threshold=0.5)
+
+
+@query("embedding_kcenter_coreset", SIM.kcenter_coreset_oracle_sql(k=8))
+def embedding_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center / farthest-point coreset selection
+    (operators/similarity.py kcenter_coreset; Gonzalez 1985): the
+    diversity-first data-selection head — 8 centers maximizing
+    coverage, with the non-increasing coverage-radius trajectory."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.kcenter_coreset(e, k=8)
+
+
+@query("docs_winnow_pairs", SIM.winnow_pairs_oracle_sql(min_shared=2, max_df=50))
+def docs_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint candidate pairs (operators/similarity.py
+    winnow_pairs; Schleimer et al. 2003, the MOSS algorithm): the
+    exact-substring-driven third candidate generator next to
+    MinHash-LSH and SimHash, with a document-frequency hub screen
+    before the fingerprint equi-join."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.winnow_pairs(d, "text", "doc_id", min_shared=2, max_df=50)
+
+
+@query(
+    "lineitem_kendall_tau",
+    """
+WITH h AS (
+  SELECT l_quantity::BIGINT AS x, round(l_discount * 100)::BIGINT AS y,
+         count(*)::BIGINT AS c
+  FROM lineitem GROUP BY 1, 2
+),
+xs AS (SELECT DISTINCT x FROM h),
+ys AS (SELECT DISTINCT y FROM h),
+grid AS (
+  SELECT xs.x, ys.y, coalesce(h.c, 0)::BIGINT AS c
+  FROM xs CROSS JOIN ys LEFT JOIN h ON h.x = xs.x AND h.y = ys.y
+),
+sfx AS (
+  SELECT x, y, c,
+         coalesce(sum(c) OVER (PARTITION BY x ORDER BY y DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sgty,
+         coalesce(sum(c) OVER (PARTITION BY x ORDER BY y ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS slty
+  FROM grid
+),
+dom AS (
+  SELECT x, y, c,
+         coalesce(sum(sgty) OVER (PARTITION BY y ORDER BY x DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gg,
+         coalesce(sum(slty) OVER (PARTITION BY y ORDER BY x DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ll
+  FROM sfx
+),
+cd AS (
+  SELECT sum(c * gg) AS conc, sum(c * ll) AS disc FROM dom
+),
+mx AS (SELECT x, sum(c) AS nx FROM h GROUP BY 1),
+my AS (SELECT y, sum(c) AS ny FROM h GROUP BY 1),
+stats AS (
+  SELECT (SELECT sum(c) FROM h) AS n,
+         (SELECT sum(nx * (nx - 1) / 2) FROM mx) AS tx,
+         (SELECT sum(ny * (ny - 1) / 2) FROM my) AS ty
+)
+SELECT n::BIGINT AS n_rows,
+       conc::BIGINT AS concordant,
+       disc::BIGINT AS discordant,
+       tx::BIGINT AS tie_x_pairs,
+       ty::BIGINT AS tie_y_pairs,
+       round((conc::DOUBLE - disc::DOUBLE)
+             / sqrt((n::DOUBLE * (n::DOUBLE - 1.0) / 2.0 - tx::DOUBLE)
+                    * (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0 - ty::DOUBLE))
+             + 1e-9, 6) AS tau_b
+FROM cd, stats
+""",
+)
+def lineitem_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank correlation between quantity and discount
+    (Kendall 1938; tau-b tie correction, Kendall 1945) — the ordinal
+    dependence companion to the Pearson matrix and Spearman rho: the
+    all-pairs concordant/discordant double sum collapsed to 2-D
+    dominance counts over the DENSE (quantity x discount-cent) domain
+    grid via two cascaded PARTITIONED cumulative windows (suffix over y
+    within x, then suffix over x within y) — never a pair join, never a
+    global window.
+
+    Exactness: every dominance count is integer; products accumulate in
+    DECIMAL(38)/HUGEINT; the only doubles are the final tau ratio
+    (boundary-nudged 6-dp round).  Scale shape: one fact-table
+    histogram aggregate, then ALL window/join work on the bounded
+    |x-domain| x |y-domain| grid (51 x 11 here) — constant-sized
+    regardless of row count."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    xs = h.select("x").distinct()
+    ys = h.select("y").distinct()
+    grid = (
+        xs.crossJoin(F.broadcast(ys))
+        .join(h, ["x", "y"], "left")
+        .select("x", "y", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    wy_gt = (
+        Window.partitionBy("x")
+        .orderBy(F.col("y").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wy_lt = (
+        Window.partitionBy("x")
+        .orderBy(F.col("y").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sfx = grid.withColumn(
+        "sgty", F.coalesce(F.sum("c").over(wy_gt), F.lit(0))
+    ).withColumn("slty", F.coalesce(F.sum("c").over(wy_lt), F.lit(0)))
+    wx_gt = (
+        Window.partitionBy("y")
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom = sfx.withColumn(
+        "gg", F.coalesce(F.sum("sgty").over(wx_gt), F.lit(0))
+    ).withColumn("ll", F.coalesce(F.sum("slty").over(wx_gt), F.lit(0)))
+    cd = dom.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("gg")).alias("conc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("ll")).alias("disc"),
+    )
+    mx = h.groupBy("x").agg(F.sum("c").alias("nx"))
+    my = h.groupBy("y").agg(F.sum("c").alias("ny"))
+    stats = (
+        h.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
+        .crossJoin(
+            mx.agg(
+                F.sum(
+                    F.col("nx").cast("decimal(38,0)") * (F.col("nx") - 1) / 2
+                ).alias("tx")
+            )
+        )
+        .crossJoin(
+            my.agg(
+                F.sum(
+                    F.col("ny").cast("decimal(38,0)") * (F.col("ny") - 1) / 2
+                ).alias("ty")
+            )
+        )
+    )
+    nd = F.col("n").cast("double")
+    n0 = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    return cd.crossJoin(F.broadcast(stats)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.col("tx").cast("long").alias("tie_x_pairs"),
+        F.col("ty").cast("long").alias("tie_y_pairs"),
+        _r6n(
+            (F.col("conc").cast("double") - F.col("disc").cast("double"))
+            / F.sqrt(
+                (n0 - F.col("tx").cast("double"))
+                * (n0 - F.col("ty").cast("double"))
+            )
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "source_ks_fdr",
+    f"""
+WITH ks AS ({_KS_ORACLE_SQL}),
+r AS (
+  SELECT source, p_asymp,
+         row_number() OVER (ORDER BY p_asymp ASC, source ASC) AS bh_rank,
+         count(*) OVER () AS m
+  FROM ks
+),
+s AS (
+  SELECT source, p_asymp, bh_rank, m,
+         min((p_asymp * m) / bh_rank) OVER (
+           ORDER BY bh_rank DESC ROWS UNBOUNDED PRECEDING) AS suffmin
+  FROM r
+)
+SELECT source, p_asymp, bh_rank::INT AS bh_rank,
+       {_r6n_sql("least(1.0, suffmin)")} AS p_adj,
+       ({_r6n_sql("least(1.0, suffmin)")} <= 0.1) AS discovery_q10
+FROM s
+""",
+)
+def source_ks_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR correction (Benjamini & Hochberg 1995)
+    over the per-source KS drift p-values — the multiple-testing gate a
+    20-source drift screen needs before anyone acts on "source X
+    drifted" (at alpha=0.05 one of 20 sources false-alarms every run).
+    Adjusted p = min over j >= rank of p_(j) * m / j (the step-up
+    suffix minimum), discovery flag at q = 0.10.
+
+    The p-values come from the IDENTICAL computation both sides: the
+    Spark side calls the KS query function, the oracle inlines the
+    shared KS oracle text as a subquery.  Scale shape: everything after
+    the KS screen runs on the |sources|-row relation — the ranking
+    windows are bounded by the source domain (annotated), never
+    data-sized."""
+    from pyspark.sql import Window
+
+    ks = source_quality_ks_drift(spark, sf_dir).select("source", "p_asymp")
+    wr = Window.orderBy(F.col("p_asymp").asc(), F.col("source").asc())
+    wm = Window.partitionBy()
+    r = ks.withColumn("bh_rank", F.row_number().over(wr)).withColumn(
+        "m", F.count(F.lit(1)).over(wm)
+    )
+    wsuf = Window.orderBy(F.col("bh_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = r.withColumn(
+        "suffmin",
+        F.min((F.col("p_asymp") * F.col("m")) / F.col("bh_rank")).over(wsuf),
+    )
+    p_adj = _r6n(F.least(F.lit(1.0), F.col("suffmin")))
+    return s.select(
+        "source",
+        "p_asymp",
+        F.col("bh_rank").cast("int").alias("bh_rank"),
+        p_adj.alias("p_adj"),
+        (p_adj <= 0.1).alias("discovery_q10"),
+    )
+
+
+def _ndcg_fold(p: str) -> str:
+    """Deterministic parenthesized DCG@5 fold over pivoted per-rank
+    cosine columns ``{p}1..{p}5`` — relevance = max(cos, 0), discount
+    1/log2(rank+1) as a PYTHON-printed literal so both engines divide
+    by the identical double."""
+    import math
+
+    terms = [
+        f"(greatest(coalesce({p}{j}, 0.0), 0.0) / {math.log2(j + 1)!r})"
+        for j in range(1, 6)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _ndcg_pivot_sql(inner: str) -> str:
+    cases = ", ".join(
+        f"max(CASE WHEN rank = {j} THEN cos END) AS c{j}" for j in range(1, 6)
+    )
+    return f"SELECT q_id, {cases} FROM ({inner}) z GROUP BY 1"
+
+
+@query(
+    "embedding_ann_ndcg",
+    f"""
+WITH ep AS ({_ndcg_pivot_sql(SIM.cosine_topk_oracle_sql(ANN_QUERY_IDS, 5))}),
+ap AS ({_ndcg_pivot_sql(SIM.ann_multiprobe_topk_oracle_sql(ANN_QUERY_IDS, 5))}),
+j AS (
+  SELECT ep.q_id,
+         {_ndcg_fold('ap.c')} AS dcg,
+         {_ndcg_fold('ep.c')} AS idcg
+  FROM ep LEFT JOIN ap ON ap.q_id = ep.q_id
+)
+SELECT q_id, {_r6n_sql('dcg')} AS dcg, {_r6n_sql('idcg')} AS idcg,
+       CASE WHEN idcg > 0.0 THEN {_r6n_sql('(dcg / idcg)')} END AS ndcg
+FROM j
+""",
+)
+def embedding_ann_ndcg(spark, sf_dir):
+    """nDCG@5 of the multi-probe LSH ANN retrieval against exact
+    brute-force cosine ranking (Jarvelin & Kekalainen 2002): graded
+    relevance = the EXACT cosine of each retrieved neighbor (clamped at
+    0), ideal list = exact top-5 — the rank-quality companion to the
+    set-based recall@5 harness (recall can't see that ANN returned the
+    right set in the wrong order; nDCG can).
+
+    Determinism: per-rank cosines pivot to 5 columns and DCG is ONE
+    explicitly parenthesized fold (no order-dependent group sum);
+    discount literals are Python-printed doubles shared by both
+    engines.  Scale shape: two bounded retrieval heads (each one corpus
+    scan, broadcast query side) + an 8-row pivot/join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = SIM.cosine_topk(e, ANN_QUERY_IDS, k=5)
+    ann = SIM.ann_multiprobe_topk(e, ANN_QUERY_IDS, k=5)
+
+    def pivot(df, p):
+        return df.groupBy("q_id").agg(
+            *[
+                F.max(F.when(F.col("rank") == j, F.col("cos"))).alias(
+                    f"{p}{j}"
+                )
+                for j in range(1, 6)
+            ]
+        )
+
+    ep = pivot(exact, "e")
+    ap = pivot(ann, "a")
+    j = ep.join(ap, "q_id", "left").select(
+        "q_id",
+        F.expr(_ndcg_fold("a")).alias("dcg"),
+        F.expr(_ndcg_fold("e")).alias("idcg"),
+    )
+    return j.select(
+        "q_id",
+        _r6n(F.col("dcg")).alias("dcg"),
+        _r6n(F.col("idcg")).alias("idcg"),
+        F.when(F.col("idcg") > 0.0, _r6n(F.col("dcg") / F.col("idcg"))).alias(
+            "ndcg"
+        ),
+    )
+
+# ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
 # driver-window rotation

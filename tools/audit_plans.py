@@ -171,6 +171,17 @@ BNLJ_BOUNDED: dict[str, str] = {
         "1-row pooled-total and 9-row decile-grid broadcast fan-outs "
         "onto domain-bounded histogram relations"
     ),
+    "lineitem_kendall_tau": (
+        "dense |quantity| x |discount-cent| domain-grid crossJoin "
+        "(51 x 11 cells max) plus 1-row tie/total-stat join-backs — "
+        "bounded by the value domains, never data-sized"
+    ),
+    "source_ks_fdr": (
+        "inherited from the inlined KS screen: source-domain x "
+        "distinct-6dp-score grid fan-out plus 1-row corpus-total "
+        "join-backs (see source_quality_ks_drift)"
+    ),
+    "embedding_ann_ndcg": _QUERYSET,
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -240,6 +251,13 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "quality_quantile_norm_map": (
         "two-phase global_cumsum offset window (<= #partitions rows) over "
         "the pooled distinct-6dp-score histogram"
+    ),
+    "near_dup_pagerank": (
+        "row_number over the sort+limit(20) top-k head — 20 rows"
+    ),
+    "source_ks_fdr": (
+        "BH rank / m-count / step-up suffix-min windows over the "
+        "|sources|-row p-value relation — bounded by the source domain"
     ),
     "embedding_alignment_uniformity": (
         "two-phase global_rank offset window (<= #partitions rows)"

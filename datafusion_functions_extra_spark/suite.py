@@ -15188,7 +15188,657 @@ def embedding_ann_ndcg(spark, sf_dir):
         ),
     )
 
-# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_vocab_richness",
+    f"""
+WITH t AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+tc AS (
+  SELECT tok, count(*)::BIGINT AS c
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+)
+SELECT sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS vocab_size,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+       sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+       round(count(*)::DOUBLE
+             + (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE - 1.0))
+               / (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::DOUBLE + 1.0))
+             + 1e-9, 6) AS chao1,
+       {_r6n_sql("sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / sum(c)::DOUBLE")} AS gt_unseen_mass,
+       {_r6n_sql("1.0 - sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / sum(c)::DOUBLE")} AS gt_coverage
+FROM tc
+""",
+)
+def corpus_vocab_richness(spark, sf_dir):
+    """Vocabulary richness & coverage: Chao1 unseen-species estimate
+    (Chao 1984; bias-corrected ``D + f1(f1-1)/(2(f2+1))``) and
+    Good-Turing unseen probability mass ``f1/N`` (Good 1953) from the
+    corpus token count-of-counts — the "how much vocabulary haven't we
+    crawled yet" gate next to the Heaps-law curve (Heaps extrapolates
+    growth, Chao1 bounds the asymptote).
+
+    Everything is integers until the final ratios: one token explode ->
+    (token, count) reduction -> count-of-counts aggregate.  Scale: the
+    reduction is the same shape as the vocabulary build; the final
+    aggregate is over count-of-count rows only."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("double")
+    return tc.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            + (f1 * (f1 - 1.0)) / (2.0 * (f2 + 1.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("chao1"),
+        _r6n(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("gt_unseen_mass"),
+        _r6n(
+            F.lit(1.0)
+            - F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("gt_coverage"),
+    )
+
+
+#: Laplace-mechanism epsilon grid for the DP-count audit
+_DP_EPS = [0.1, 0.5, 2.0]
+
+#: shared inverse-CDF Laplace draw (u in [0,1) from a 60-bit hash;
+#: {e} = the epsilon column/literal): -1/e * sign(u-.5) * ln(1-2|u-.5|)
+_DP_NOISE = "(-(1.0 / {e}) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)))"
+
+
+@query(
+    "docs_dp_noisy_counts",
+    f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS true_n FROM documents GROUP BY 1),
+g AS (
+  SELECT source, true_n, eps,
+         ({SIM._hash60_sql("source || ':' || eps::VARCHAR")})::DOUBLE
+           / {float(1 << 60)!r} AS u
+  FROM c CROSS JOIN (SELECT unnest([{", ".join(str(e) for e in _DP_EPS)}]) AS eps)
+)
+SELECT source, eps AS epsilon, true_n,
+       {_r6n_sql("true_n + " + _DP_NOISE.format(e="eps"))} AS noisy_count,
+       {_r6n_sql("abs(" + _DP_NOISE.format(e="eps") + ")")} AS abs_err
+FROM g
+""",
+)
+def docs_dp_noisy_counts(spark, sf_dir):
+    """Differential-privacy utility audit: per-source document counts
+    released through the Laplace mechanism (Dwork, McSherry, Nissim &
+    Smith 2006; sensitivity 1, noise ~ Lap(1/epsilon)) at three epsilon
+    levels, with the realized absolute error alongside — the
+    privacy-utility-tradeoff table a governance review wants before
+    publishing corpus composition stats.  (True counts ride along
+    because this is the AUDIT harness measuring utility, not the
+    release artifact itself.)
+
+    The draw is deterministic: u = hash60(source:eps)/2^60 through the
+    inverse Laplace CDF — ONE shared formula text, so both engines
+    produce the identical noise and the hash compare certifies the
+    mechanism arithmetic.  Scale: one count aggregate + a 3-row epsilon
+    fan-out on the |sources|-row relation."""
+    from .operators.similarity import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    eps = spark.createDataFrame([(e,) for e in _DP_EPS], "eps double")
+    g = c.crossJoin(F.broadcast(eps)).withColumn(
+        "u",
+        hash60(
+            F.concat_ws(":", F.col("source"), F.col("eps").cast("string"))
+        ).cast("double")
+        / F.lit(float(1 << 60)),
+    )
+    noise = _DP_NOISE.format(e="eps")
+    return g.select(
+        "source",
+        F.col("eps").alias("epsilon"),
+        "true_n",
+        _r6n(F.expr(f"true_n + {noise}")).alias("noisy_count"),
+        _r6n(F.expr(f"abs({noise})")).alias("abs_err"),
+    )
+
+
+@query(
+    "segment_target_encoding",
+    f"""
+WITH r AS (
+  SELECT c.c_mktsegment AS segment,
+         ({SIM._hash60_sql("o.o_orderkey::VARCHAR")}) % 5 AS fold,
+         round(o.o_totalprice * 100)::BIGINT AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+sf AS (
+  SELECT segment, fold, count(*)::BIGINT AS n_sf, sum(cents)::BIGINT AS s_sf
+  FROM r GROUP BY 1, 2
+),
+seg AS (SELECT segment, sum(n_sf)::BIGINT AS n_s, sum(s_sf)::BIGINT AS s_s
+        FROM sf GROUP BY 1),
+fld AS (SELECT fold, sum(n_sf)::BIGINT AS n_f, sum(s_sf)::BIGINT AS s_f
+        FROM sf GROUP BY 1),
+tot AS (SELECT sum(n_sf)::BIGINT AS n, sum(s_sf)::BIGINT AS s FROM sf)
+SELECT sf.segment, sf.fold::INT AS fold, sf.n_sf AS n_rows,
+       {_r6n_sql("((s_s - s_sf) / CAST(n_s - n_sf AS DOUBLE)) / 100.0")} AS oof_mean,
+       {_r6n_sql("((CAST(s_s - s_sf AS DOUBLE) + 100.0 * ((s - s_f) / CAST(n - n_f AS DOUBLE))) / (CAST(n_s - n_sf AS DOUBLE) + 100.0)) / 100.0")} AS smoothed_mean
+FROM sf JOIN seg USING (segment) JOIN fld USING (fold), tot
+""",
+)
+def segment_target_encoding(spark, sf_dir):
+    """Leakage-safe out-of-fold target encoding (Micci-Barreca 2001,
+    k-fold variant): for each (market segment, hash fold) the mean
+    order value computed EXCLUDING the fold's own rows, plus the m=100
+    smoothed blend with the out-of-fold global prior — the
+    categorical-feature standard that never lets a row see its own
+    target.
+
+    Exactness: all sums are integer cents; the "everything minus my
+    fold" subtraction avoids any per-fold re-scan — ONE (segment, fold)
+    aggregate plus three tiny rollups; doubles appear only in the two
+    shared-text final ratios.  Scale: the fact join shuffles once;
+    everything after runs on |segments| x 5 rows."""
+    from .operators.similarity import hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    r = o.join(cust, o.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (hash60(F.col("o_orderkey").cast("string")) % 5).alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    sf = r.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sf"),
+        F.sum("cents").cast("long").alias("s_sf"),
+    )
+    seg = sf.groupBy("segment").agg(
+        F.sum("n_sf").cast("long").alias("n_s"),
+        F.sum("s_sf").cast("long").alias("s_s"),
+    )
+    fld = sf.groupBy("fold").agg(
+        F.sum("n_sf").cast("long").alias("n_f"),
+        F.sum("s_sf").cast("long").alias("s_f"),
+    )
+    tot = sf.agg(
+        F.sum("n_sf").cast("long").alias("n"),
+        F.sum("s_sf").cast("long").alias("s"),
+    )
+    oof = "((s_s - s_sf) / CAST(n_s - n_sf AS DOUBLE)) / 100.0"
+    smooth = (
+        "((CAST(s_s - s_sf AS DOUBLE) + 100.0 *"
+        " ((s - s_f) / CAST(n - n_f AS DOUBLE)))"
+        " / (CAST(n_s - n_sf AS DOUBLE) + 100.0)) / 100.0"
+    )
+    return (
+        sf.join(F.broadcast(seg), "segment")
+        .join(F.broadcast(fld), "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n_sf").alias("n_rows"),
+            _r6n(F.expr(oof)).alias("oof_mean"),
+            _r6n(F.expr(smooth)).alias("smoothed_mean"),
+        )
+    )
+
+
+#: the shared 6-dp quality-score SQL body (operates on norm/toks
+#: columns) — the same inline formula several oracles carry; kept here
+#: as one text so new score-consuming oracles cannot drift from it
+_QSCORE_SQL = f"""round(
+           0.3 * least(1.0, length(norm)::DOUBLE / 500.0)
+         + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * (1.0 - least(1.0,
+              abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE
+                  / len(toks)::DOUBLE - 0.4) / 0.6))
+           + 1e-9,
+         6)"""
+
+
+#: PSI per-bin term in integer NANO-units (cb/ns = source bin count and
+#: total, cp/n = pooled bin count and total; Laplace +1 smoothing over
+#: B=10 bins) — rounding each term to an integer BEFORE the cross-bin
+#: sum makes the aggregation order-independent (the DSIR trick)
+_PSI_TERM = (
+    "CAST(round((((cb + 1.0) / (ns + 10.0)) - ((cp + 1.0) / (n + 10.0)))"
+    " * ln(((cb + 1.0) * (n + 10.0)) / ((cp + 1.0) * (ns + 10.0)))"
+    " * 1e6 + 1e-3) AS BIGINT)"
+)
+# granularity is MICRO (1e6, the DSIR convention), not nano: JVM
+# Math.log and DuckDB libm log can differ by 1 ulp on the SAME
+# argument, and a 1e9 grid turned that into an off-by-one integer term
+# at sf0.01 (two sources' psi off in the 6th decimal); at 1e6 a 1-ulp
+# ln diff flips a boundary with ~1e-10 probability per term.  The
+# +1e-3 nudge additionally pins the HALF_UP-vs-binary round tie.
+
+
+@query(
+    "source_quality_psi",
+    f"""
+WITH t AS (
+  SELECT source, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks FROM documents
+),
+sc AS (SELECT source, {_QSCORE_SQL} AS score FROM t),
+h AS (SELECT source, score, count(*)::BIGINT AS c FROM sc GROUP BY 1, 2),
+hp AS (SELECT score, sum(c)::BIGINT AS c FROM h GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM hp),
+pcum AS (
+  SELECT score, sum(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_le
+  FROM hp
+),
+cuts AS (
+  SELECT d, min(CASE WHEN cum_le >= ceil(d * n / 10.0) THEN score END) AS cutoff
+  FROM pcum CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d), tot
+  GROUP BY 1
+),
+binned AS (
+  SELECT h.source, 1 + sum(CASE WHEN h.score > cuts.cutoff THEN 1 ELSE 0 END) AS bin, h.c
+  FROM h CROSS JOIN cuts
+  GROUP BY h.source, h.score, h.c
+),
+sb AS (SELECT source, bin, sum(c)::BIGINT AS cb FROM binned GROUP BY 1, 2),
+pb AS (SELECT bin, sum(cb)::BIGINT AS cp FROM sb GROUP BY 1),
+ns AS (SELECT source, sum(cb)::BIGINT AS ns FROM sb GROUP BY 1),
+grid AS (
+  SELECT ns.source, pb.bin, coalesce(sb.cb, 0)::BIGINT AS cb, pb.cp, ns.ns, tot.n
+  FROM ns CROSS JOIN pb
+  LEFT JOIN sb ON sb.source = ns.source AND sb.bin = pb.bin, tot
+)
+SELECT source, {_r6n_sql("sum(" + _PSI_TERM + ")::DOUBLE / 1e6")} AS psi
+FROM grid GROUP BY 1
+""",
+)
+def source_quality_psi(spark, sf_dir):
+    """Population Stability Index per source vs the pooled corpus
+    (the credit-scoring drift standard; PSI > 0.25 = major shift):
+    quality scores binned by the POOLED exact decile cutoffs, then
+    ``sum (p_i - q_i) ln(p_i/q_i)`` with Laplace +1 smoothing — the
+    third drift lens beside KL (density ratio, needs smoothing anyway)
+    and KS (worst CDF gap, ignores magnitude): PSI weighs the gap BY
+    the mass that moved.
+
+    Determinism: every per-bin term is rounded to integer nano-units
+    before the cross-bin sum (order-independent integers; the shared
+    ``_PSI_TERM`` text keeps both engines' double ops identical).
+    Scale: one corpus scan to the (source, score) histogram; cutoffs
+    come from the bounded pooled score histogram; everything after is
+    |sources| x 10 rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.select(
+        "source",
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("score"),
+    )
+    h = sc.groupBy("source", "score").agg(F.count(F.lit(1)).alias("c"))
+    hp = h.groupBy("score").agg(F.sum("c").alias("c"))
+    tot = hp.agg(F.sum("c").cast("long").alias("n"))
+    from .functions.distribution import global_cumsum
+
+    pcum = global_cumsum(hp, "score", "c", "cum_le")
+    dec = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    cuts = (
+        pcum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dec))
+        .groupBy("d")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_le")
+                    >= F.ceil((F.col("d") * F.col("n")) / F.lit(10.0)),
+                    F.col("score"),
+                )
+            ).alias("cutoff")
+        )
+    )
+    binned = (
+        h.crossJoin(F.broadcast(cuts))
+        .groupBy("source", "score", "c")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(F.col("score") > F.col("cutoff"), 1).otherwise(0)
+                )
+            ).alias("bin")
+        )
+    )
+    sb = binned.groupBy("source", "bin").agg(
+        F.sum("c").cast("long").alias("cb")
+    )
+    pb = sb.groupBy("bin").agg(F.sum("cb").cast("long").alias("cp"))
+    ns = sb.groupBy("source").agg(F.sum("cb").cast("long").alias("ns"))
+    grid = (
+        ns.crossJoin(F.broadcast(pb))
+        .join(sb, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
+            "cp",
+            "ns",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return grid.groupBy("source").agg(
+        _r6n(
+            F.sum(F.expr(_PSI_TERM)).cast("double") / F.lit(1e6)
+        ).alias("psi")
+    )
+
+
+@query(
+    "quality_brier_ece",
+    f"""
+WITH t AS (
+  SELECT doc_id, md5(text) AS k, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, k, {_QSCORE_SQL} AS quality,
+         ({SIM._hash60_sql("doc_id::VARCHAR")}) % 2 AS part
+  FROM t
+),
+dc AS (SELECT k, count(*) AS c FROM q GROUP BY 1),
+lab AS (
+  SELECT q.doc_id, q.part, least(9, floor(q.quality * 10))::INT AS bin,
+         CASE WHEN dc.c > 1 THEN 1 ELSE 0 END AS y
+  FROM q JOIN dc USING (k)
+),
+tr AS (
+  SELECT bin, count(*)::BIGINT AS n_tr, sum(y)::BIGINT AS d_tr
+  FROM lab WHERE part = 0 GROUP BY 1
+),
+g AS (
+  SELECT {_r6n_sql("sum(d_tr)::DOUBLE / sum(n_tr)::DOUBLE")} AS p0 FROM tr
+),
+pb AS (SELECT bin, {_r6n_sql("d_tr::DOUBLE / n_tr::DOUBLE")} AS p FROM tr),
+te AS (
+  SELECT lab.bin, lab.y, coalesce(pb.p, g.p0) AS p, g.p0,
+         count(*)::BIGINT AS n_cell
+  FROM lab LEFT JOIN pb ON pb.bin = lab.bin, g
+  WHERE lab.part = 1
+  GROUP BY 1, 2, 3, 4
+),
+agg AS (
+  SELECT sum(n_cell)::BIGINT AS n_test,
+         sum(CAST(round((p - y) * (p - y) * 1e12) AS BIGINT) * n_cell) AS bsum,
+         sum(CAST(round((p0 - y) * (p0 - y) * 1e12) AS BIGINT) * n_cell) AS b0sum
+  FROM te
+),
+eb AS (
+  SELECT bin, p, sum(n_cell)::BIGINT AS n_b, sum(y * n_cell)::BIGINT AS d_b
+  FROM te GROUP BY 1, 2
+),
+ece AS (
+  SELECT sum(CAST(round(abs(d_b::DOUBLE / n_b::DOUBLE - p) * 1e12) AS BIGINT)
+             * n_b) AS esum,
+         sum(n_b)::BIGINT AS n
+  FROM eb
+)
+SELECT agg.n_test,
+       {_r6n_sql("bsum::DOUBLE / (1e12 * agg.n_test)")} AS brier,
+       {_r6n_sql("b0sum::DOUBLE / (1e12 * agg.n_test)")} AS brier_base,
+       {_r6n_sql("esum::DOUBLE / (1e12 * ece.n)")} AS ece
+FROM agg, ece
+""",
+)
+def quality_brier_ece(spark, sf_dir):
+    """Brier score + Expected Calibration Error of the quality-score
+    duplicate predictor (Brier 1950; ECE per Naeini et al. 2015): train
+    half (hash split) learns per-decile exact-dup rates, test half is
+    scored with them — Brier measures accuracy of the probabilities,
+    ECE the calibration gap per bin, against the global-rate baseline.
+    This closes the calibration family: `quality_calibration_bins`
+    DRAWS the reliability curve, the isotonic fit SMOOTHS it, this
+    query SCORES it out-of-sample.
+
+    Determinism: predictions take <= 11 distinct 6-dp values, so test
+    docs collapse to (bin, y) cells; each cell's squared-error /
+    calibration-gap term rounds to integer PICO-units before the
+    cross-cell sum (order-independent).  Scale: one scan for score +
+    content key, one dup-count reduction on the md5 key, then
+    cell-sized arithmetic."""
+    from .operators.similarity import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("k"),
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("quality"),
+        (hash60(F.col("doc_id").cast("string")) % 2).alias("part"),
+    )
+    dc = q.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    lab = (
+        q.join(dc, "k")
+        .select(
+            "doc_id",
+            "part",
+            F.least(F.lit(9), F.floor(F.col("quality") * 10))
+            .cast("int")
+            .alias("bin"),
+            F.when(F.col("c") > 1, 1).otherwise(0).alias("y"),
+        )
+    )
+    tr = (
+        lab.where(F.col("part") == 0)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tr"),
+            F.sum("y").cast("long").alias("d_tr"),
+        )
+    )
+    g = tr.agg(
+        _r6n(
+            F.sum("d_tr").cast("double") / F.sum("n_tr").cast("double")
+        ).alias("p0")
+    )
+    pb = tr.select(
+        "bin",
+        _r6n(F.col("d_tr").cast("double") / F.col("n_tr").cast("double")).alias(
+            "p"
+        ),
+    )
+    te = (
+        lab.where(F.col("part") == 1)
+        .join(F.broadcast(pb), "bin", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "bin",
+            "y",
+            F.coalesce(F.col("p"), F.col("p0")).alias("p"),
+            "p0",
+        )
+        .groupBy("bin", "y", "p", "p0")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
+    )
+    agg = te.agg(
+        F.sum("n_cell").cast("long").alias("n_test"),
+        F.sum(
+            F.expr("CAST(round((p - y) * (p - y) * 1e12) AS BIGINT)")
+            * F.col("n_cell")
+        ).alias("bsum"),
+        F.sum(
+            F.expr("CAST(round((p0 - y) * (p0 - y) * 1e12) AS BIGINT)")
+            * F.col("n_cell")
+        ).alias("b0sum"),
+    )
+    eb = te.groupBy("bin", "p").agg(
+        F.sum("n_cell").cast("long").alias("n_b"),
+        F.sum(F.col("y") * F.col("n_cell")).cast("long").alias("d_b"),
+    )
+    ece = eb.agg(
+        F.sum(
+            F.expr(
+                "CAST(round(abs(CAST(d_b AS DOUBLE) / CAST(n_b AS DOUBLE) - p)"
+                " * 1e12) AS BIGINT)"
+            )
+            * F.col("n_b")
+        ).alias("esum"),
+        F.sum("n_b").cast("long").alias("n"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(ece))
+        .select(
+            "n_test",
+            _r6n(
+                F.col("bsum").cast("double")
+                / (F.lit(1e12) * F.col("n_test").cast("double"))
+            ).alias("brier"),
+            _r6n(
+                F.col("b0sum").cast("double")
+                / (F.lit(1e12) * F.col("n_test").cast("double"))
+            ).alias("brier_base"),
+            _r6n(
+                F.col("esum").cast("double")
+                / (F.lit(1e12) * F.col("n").cast("double"))
+            ).alias("ece"),
+        )
+    )
+
+
+#: one side's JSD half-sum term in integer nano-nats (ca/na = this
+#: side's bin count and total, cb/nb = the other side's):
+#: p_i * ln(2 p_i / (p_i + q_i)) with the ratio expressed in exact
+#: integer products; zero bins contribute 0
+_JSD_TERM = (
+    "CASE WHEN ca > 0 THEN CAST(round((ca / CAST(na AS DOUBLE))"
+    " * ln((2.0 * ca * nb) / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))"
+    " * 1e6 + 1e-3) AS BIGINT) ELSE 0 END"
+)
+# micro-nat grid + tie nudge for the same reason as _PSI_TERM: a 1-ulp
+# JVM-vs-libm ln divergence must not flip an integer term
+
+
+@query(
+    "event_type_value_jsd",
+    f"""
+WITH cells AS (
+  SELECT event_type,
+         least({_MI_NBINS - 1},
+               CAST(round(value * 100) AS BIGINT) // {_MI_BIN}) AS bin,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+n AS (SELECT event_type, sum(c)::BIGINT AS n FROM cells GROUP BY 1),
+bins AS (SELECT unnest(generate_series(0, {_MI_NBINS - 1})) AS bin),
+dense AS (
+  SELECT n.event_type, bins.bin, coalesce(cells.c, 0)::BIGINT AS c, n.n
+  FROM n CROSS JOIN bins
+  LEFT JOIN cells ON cells.event_type = n.event_type AND cells.bin = bins.bin
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+  FROM dense a JOIN dense b ON a.bin = b.bin AND a.event_type < b.event_type
+),
+s AS (
+  SELECT type_a, type_b,
+         sum({_JSD_TERM}) AS sp,
+         sum({_JSD_TERM.replace("ca", "xx").replace("cb", "ca").replace("xx", "cb").replace("na", "yy").replace("nb", "na").replace("yy", "nb")}) AS sq
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       {_r6n_sql("(sp + sq)::DOUBLE / 2e6")} AS jsd_nats,
+       {_r6n_sql("((sp + sq)::DOUBLE / 2e6) / ln(2.0)")} AS jsd_normalized
+FROM s
+""",
+)
+def event_type_value_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence between every event-type pair's value
+    distribution (Lin 1991; 16 fixed bins): the SYMMETRIC, bounded
+    ([0, ln 2]) companion to the KL drift monitor — KL explodes on
+    zero bins and is directional, JSD is finite and a metric (its
+    square root), so it's the right pairwise-distance table for
+    clustering event types by behavior.
+
+    Determinism: each bin's half-term is rounded to integer micro-nats
+    before the cross-bin sum; the ln argument is a ratio of exact
+    integer products (shared ``_JSD_TERM`` text).  Scale: one
+    contingency aggregate, a dense |types| x 16 grid, and a
+    histogram-sized pair join."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            F.least(
+                F.lit(_MI_NBINS - 1),
+                F.floor(
+                    F.round(F.col("value") * 100).cast("long") / F.lit(_MI_BIN)
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = cells.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    bins = spark.range(_MI_NBINS).select(F.col("id").cast("long").alias("bin"))
+    dense = (
+        n.crossJoin(F.broadcast(bins))
+        .join(cells, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n",
+        )
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"),
+        "bin",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"),
+        "bin",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, "bin").where(F.col("type_a") < F.col("type_b"))
+    term_q = (
+        _JSD_TERM.replace("ca", "xx")
+        .replace("cb", "ca")
+        .replace("xx", "cb")
+        .replace("na", "yy")
+        .replace("nb", "na")
+        .replace("yy", "nb")
+    )
+    s = pairs.groupBy("type_a", "type_b").agg(
+        F.sum(F.expr(_JSD_TERM)).alias("sp"),
+        F.sum(F.expr(term_q)).alias("sq"),
+    )
+    half = (F.col("sp") + F.col("sq")).cast("double") / F.lit(2e6)
+    return s.select(
+        "type_a",
+        "type_b",
+        _r6n(half).alias("jsd_nats"),
+        _r6n(half / F.expr("ln(2.0)")).alias("jsd_normalized"),
+    )
+
 
 # ---------------------------------------------------------------------------
 # driver-window rotation

@@ -182,6 +182,28 @@ BNLJ_BOUNDED: dict[str, str] = {
         "join-backs (see source_quality_ks_drift)"
     ),
     "embedding_ann_ndcg": _QUERYSET,
+    "docs_dp_noisy_counts": (
+        "3-row epsilon-grid crossJoin(broadcast) onto the |sources|-row "
+        "count relation — bounded by the epsilon grid"
+    ),
+    "segment_target_encoding": (
+        _SCALAR + " (1-row grand-total join-back onto the |segments| x "
+        "5-fold cell relation)"
+    ),
+    "source_quality_psi": (
+        "pooled-decile-cutoff (9-row) and bin-grid (10-row) broadcast "
+        "fan-outs onto the bounded (source x distinct-6dp-score) "
+        "histogram, plus 1-row corpus-total join-backs — all domain-"
+        "bounded, never data-sized"
+    ),
+    "quality_brier_ece": (
+        _SCALAR + " (1-row train-prior and ECE-total join-backs onto "
+        "the <= 11-bin prediction-cell relation)"
+    ),
+    "event_type_value_jsd": (
+        "16-row fixed-bin-grid broadcast fan-out onto the |types|-row "
+        "marginal relation, plus the histogram-sized pair join"
+    ),
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -258,6 +280,10 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "source_ks_fdr": (
         "BH rank / m-count / step-up suffix-min windows over the "
         "|sources|-row p-value relation — bounded by the source domain"
+    ),
+    "source_quality_psi": (
+        "two-phase global_cumsum offset window (<= #partitions rows) over "
+        "the pooled distinct-6dp-score histogram (decile cutoffs)"
     ),
     "embedding_alignment_uniformity": (
         "two-phase global_rank offset window (<= #partitions rows)"

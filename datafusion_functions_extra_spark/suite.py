@@ -15840,6 +15840,628 @@ def event_type_value_jsd(spark, sf_dir):
     )
 
 
+@query(
+    "source_score_wasserstein",
+    f"""
+WITH t AS (
+  SELECT source, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks FROM documents
+),
+sc AS (SELECT source, {_QSCORE_SQL} AS score FROM t),
+h AS (SELECT source, score, count(*)::BIGINT AS c FROM sc GROUP BY 1, 2),
+ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM h GROUP BY 1),
+vals AS (SELECT DISTINCT score FROM h),
+gaps AS (
+  SELECT score,
+         CAST(round((lead(score) OVER (ORDER BY score) - score) * 1e6)
+              AS BIGINT) AS gap
+  FROM vals
+),
+grid AS (
+  SELECT ns.source, vals.score, coalesce(h.c, 0) AS c, ns.n_s
+  FROM ns CROSS JOIN vals
+  LEFT JOIN h ON h.source = ns.source AND h.score = vals.score
+),
+cum AS (
+  SELECT source, score, n_s,
+         sum(c) OVER (PARTITION BY source ORDER BY score
+                      ROWS UNBOUNDED PRECEDING) AS cum_le
+  FROM grid
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.score,
+         abs(a.cum_le * b.n_s - b.cum_le * a.n_s)::HUGEINT AS cross_diff,
+         a.n_s AS n_a, b.n_s AS n_b
+  FROM cum a JOIN cum b ON a.score = b.score AND a.source < b.source
+)
+SELECT src_a, src_b,
+       {_r6n_sql("sum(cross_diff * gap)::DOUBLE / (any_value(n_a)::DOUBLE * any_value(n_b)::DOUBLE * 1e6)")} AS w1
+FROM pairs JOIN gaps USING (score)
+WHERE gaps.gap IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def source_score_wasserstein(spark, sf_dir):
+    """Pairwise 1-D Wasserstein (earth-mover) distance between source
+    quality-score distributions (Monge 1781 / Kantorovich 1942; in 1-D
+    W1 = integral |F_a - F_b|): the TRANSPORT-COST drift lens that
+    completes the divergence family — KL sees density ratios, KS the
+    worst CDF gap, PSI the mass that moved, JSD a bounded symmetric
+    mix; W1 alone weighs drift by HOW FAR the mass moved on the score
+    axis, so it's the right pairwise distance for clustering sources.
+
+    Exactness is total: the CDF integral over the 6-dp score grid is
+    ``sum |cumA*nB - cumB*nA| * gap_micro / (nA*nB*1e6)`` — integer
+    cross-products (HUGEINT/DECIMAL) times integer micro-gaps, ONE
+    double division at the end, no ln/exp anywhere.  Scale shape: one
+    corpus scan to the (source, score) histogram; the pair join runs on
+    the bounded |sources| x |distinct scores| grid."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.select(
+        "source",
+        F.round(TX.quality_score("text") + F.lit(1e-9), 6).alias("score"),
+    )
+    h = sc.groupBy("source", "score").agg(F.count(F.lit(1)).alias("c"))
+    ns = h.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    vals = h.select("score").distinct()
+    from .functions.distribution import global_cumsum
+
+    # two-phase rank over the bounded distinct-score relation, then an
+    # equi-join on rank+1 recovers each score's gap to its successor —
+    # no global lead window
+    ranked = global_cumsum(
+        vals.withColumn("one", F.lit(1)), "score", "one", "rk"
+    ).select("score", "rk")
+    nxt = ranked.select(
+        (F.col("rk") - 1).alias("rk"), F.col("score").alias("score_next")
+    )
+    gaps = ranked.join(nxt, "rk").select(
+        "score",
+        F.round((F.col("score_next") - F.col("score")) * 1e6)
+        .cast("long")
+        .alias("gap"),
+    )
+    grid = (
+        F.broadcast(ns)
+        .crossJoin(vals)
+        .join(h, ["source", "score"], "left")
+        .select(
+            "source",
+            "score",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "n_s",
+        )
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cum_le", F.sum("c").over(wcum))
+    a = cum.select(
+        F.col("source").alias("src_a"),
+        "score",
+        F.col("cum_le").alias("ca"),
+        F.col("n_s").alias("n_a"),
+    )
+    b = cum.select(
+        F.col("source").alias("src_b"),
+        "score",
+        F.col("cum_le").alias("cb"),
+        F.col("n_s").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "score")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(gaps, "score")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            (
+                F.abs(
+                    F.col("ca").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("cb").cast("decimal(38,0)") * F.col("n_a")
+                )
+                * F.col("gap")
+            ).alias("term"),
+        )
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        _r6n(
+            F.sum("term").cast("double")
+            / (
+                F.first("n_a").cast("double")
+                * F.first("n_b").cast("double")
+                * F.lit(1e6)
+            )
+        ).alias("w1")
+    )
+
+
+#: log-rank per-event-time terms in integer micro-units (d1/d = group-1
+#: and total deaths at the time, n1/n = at-risk counts)
+_LOGRANK_OE = "CAST(round((d1 - d * (n1 / CAST(n AS DOUBLE))) * 1e6) AS BIGINT)"
+_LOGRANK_V = (
+    "CASE WHEN n > 1 THEN CAST(round(d * (n1 / CAST(n AS DOUBLE))"
+    " * (1.0 - n1 / CAST(n AS DOUBLE))"
+    " * ((n - d) / (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT)"
+    " ELSE 0 END"
+)
+
+
+@query(
+    "users_logrank_test",
+    f"""
+WITH per AS (
+  SELECT user_id,
+         min((epoch_us(ts) - (epoch_us(ts) % 86400000000)) // 86400000000) AS d0,
+         max((epoch_us(ts) - (epoch_us(ts) % 86400000000)) // 86400000000) AS d1
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(d1) AS dmax FROM per),
+lab AS (
+  SELECT (d1 - d0)::BIGINT AS dur,
+         CASE WHEN d1 >= dmax - 3 THEN 1 ELSE 0 END AS cens,
+         (user_id % 2)::BIGINT AS grp
+  FROM per, mx
+),
+hist AS (
+  SELECT dur,
+         sum(CASE WHEN grp = 0 AND cens = 0 THEN 1 ELSE 0 END)::BIGINT AS d0,
+         sum(CASE WHEN grp = 1 AND cens = 0 THEN 1 ELSE 0 END)::BIGINT AS d1,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS r0,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS r1
+  FROM lab GROUP BY 1
+),
+tots AS (SELECT sum(r0)::BIGINT AS t0, sum(r1)::BIGINT AS t1 FROM hist),
+cum AS (
+  SELECT dur, d0 AS dd0, d1 AS dd1,
+         t0 - (sum(r0) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) - r0) AS n0,
+         t1 - (sum(r1) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) - r1) AS n1
+  FROM hist, tots
+),
+ev AS (
+  SELECT dd1 AS d1g, (dd0 + dd1) AS d, n1, (n0 + n1) AS n
+  FROM cum WHERE dd0 + dd1 > 0
+),
+s AS (
+  SELECT coalesce(sum({_LOGRANK_OE.replace("d1", "d1g")}), 0) AS oe_micro,
+         coalesce(sum({_LOGRANK_V}), 0) AS v_micro,
+         coalesce(sum(d1g), 0)::BIGINT AS events_grp1,
+         coalesce(sum(d - d1g), 0)::BIGINT AS events_grp0
+  FROM ev
+),
+f AS (
+  SELECT events_grp0, events_grp1,
+         oe_micro::DOUBLE / 1e6 AS oe, v_micro::DOUBLE / 1e6 AS v
+  FROM s
+),
+z AS (
+  SELECT events_grp0, events_grp1, oe, v,
+         CASE WHEN v > 0 THEN round(sqrt((oe * oe) / v) + 1e-9, 6) END AS z6
+  FROM f
+)
+SELECT (SELECT t0 FROM tots) AS n_grp0, (SELECT t1 FROM tots) AS n_grp1,
+       events_grp0, events_grp1,
+       {_r6n_sql("oe")} AS o_minus_e,
+       {_r6n_sql("v")} AS variance,
+       CASE WHEN v > 0 THEN {_r6n_sql("(oe * oe) / v")} END AS chi2,
+       CASE WHEN v > 0 THEN {_r6n_sql("least(1.0, 2.0 * " + _phi_tail_sql("z6") + ")")} END AS p_value
+FROM z
+""",
+)
+def users_logrank_test(spark, sf_dir):
+    """Two-cohort log-rank test (Mantel 1966; Peto & Peto 1972) on the
+    user-retention lifetimes behind the Kaplan-Meier curve: cohorts =
+    user_id parity, per event time the hypergeometric O-E and variance
+    terms, chi-square (1 df) through the shared A&S normal-CDF
+    polynomial — the significance companion the survival curve needs
+    (the curve SHOWS a gap, the log-rank SAYS whether it's noise).
+
+    Determinism: at-risk counts are exact integer prefix-exclusive
+    cumsums over the duration histogram; each event-time term rounds to
+    integer micro-units before the cross-time sum; z rounds to 6 dp
+    before the shared polynomial.  Scale shape: users reduce to a
+    calendar-bounded duration histogram; every window is over that
+    bounded relation (two-phase on the Spark side)."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.select("user_id", _epoch_day("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    )
+    mx = per.agg(F.max("d1").alias("dmax"))
+    lab = per.crossJoin(F.broadcast(mx)).select(
+        (F.col("d1") - F.col("d0")).cast("long").alias("dur"),
+        F.when(F.col("d1") >= F.col("dmax") - 3, 1).otherwise(0).alias("cens"),
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+    )
+    hist = lab.groupBy("dur").agg(
+        F.sum(F.when((F.col("grp") == 0) & (F.col("cens") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("dd0"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("cens") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("dd1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("r0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+    )
+    tots = hist.agg(
+        F.sum("r0").cast("long").alias("t0"),
+        F.sum("r1").cast("long").alias("t1"),
+    )
+    from .functions.distribution import global_cumsum_multi
+
+    cum = global_cumsum_multi(
+        hist, "dur", {"cr0": "r0", "cr1": "r1"}
+    ).crossJoin(F.broadcast(tots))
+    ev = (
+        cum.select(
+            "dur",
+            "dd0",
+            F.col("dd1").alias("d1g"),
+            (F.col("dd0") + F.col("dd1")).alias("d"),
+            (F.col("t0") - (F.col("cr0") - F.col("r0"))).alias("n0"),
+            (F.col("t1") - (F.col("cr1") - F.col("r1"))).alias("n1"),
+        )
+        .where(F.col("d") > 0)
+        .withColumn("n", F.col("n0") + F.col("n1"))
+    )
+    s = ev.agg(
+        F.coalesce(
+            F.sum(F.expr(_LOGRANK_OE.replace("d1", "d1g"))), F.lit(0)
+        ).alias("oe_micro"),
+        F.coalesce(F.sum(F.expr(_LOGRANK_V)), F.lit(0)).alias("v_micro"),
+        F.coalesce(F.sum("d1g"), F.lit(0)).cast("long").alias("events_grp1"),
+        F.coalesce(F.sum(F.col("d") - F.col("d1g")), F.lit(0))
+        .cast("long")
+        .alias("events_grp0"),
+    )
+    f = s.select(
+        "events_grp0",
+        "events_grp1",
+        (F.col("oe_micro").cast("double") / F.lit(1e6)).alias("oe"),
+        (F.col("v_micro").cast("double") / F.lit(1e6)).alias("v"),
+    ).withColumn(
+        "z6",
+        F.when(
+            F.col("v") > 0,
+            F.round(
+                F.sqrt((F.col("oe") * F.col("oe")) / F.col("v")) + F.lit(1e-9),
+                6,
+            ),
+        ),
+    )
+    return f.crossJoin(F.broadcast(tots)).select(
+        F.col("t0").alias("n_grp0"),
+        F.col("t1").alias("n_grp1"),
+        "events_grp0",
+        "events_grp1",
+        _r6n(F.col("oe")).alias("o_minus_e"),
+        _r6n(F.col("v")).alias("variance"),
+        F.when(
+            F.col("v") > 0, _r6n((F.col("oe") * F.col("oe")) / F.col("v"))
+        ).alias("chi2"),
+        F.when(
+            F.col("v") > 0,
+            _r6n(F.least(F.lit(1.0), F.lit(2.0) * _phi_tail_col(F.col("z6")))),
+        ).alias("p_value"),
+    )
+
+
+#: CUPED finishers over the six 128-bit sufficient statistics (cast to
+#: double): covariance/variance linear combos, theta, rho^2
+_CUPED_COVN = "(n * sxy - sx * sy)"
+_CUPED_VARXN = "(n * sxx - sx * sx)"
+_CUPED_VARYN = "(n * syy - sy * sy)"
+
+
+@query(
+    "events_cuped_adjustment",
+    f"""
+WITH d AS (
+  SELECT user_id,
+         (epoch_us(ts) - (epoch_us(ts) % 86400000000)) // 86400000000 AS day,
+         round(value * 100)::BIGINT AS cents
+  FROM events
+),
+mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+u AS (
+  SELECT user_id,
+         sum(CASE WHEN day <= mid THEN cents ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN day > mid THEN cents ELSE 0 END)::BIGINT AS y
+  FROM d, mid GROUP BY 1
+),
+s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(x::HUGEINT * x)::HUGEINT AS sxx,
+         sum(y::HUGEINT * y)::HUGEINT AS syy,
+         sum(x::HUGEINT * y)::HUGEINT AS sxy
+  FROM u
+),
+f AS (
+  SELECT n::DOUBLE AS n, sx::DOUBLE AS sx, sy::DOUBLE AS sy,
+         sxx::DOUBLE AS sxx, syy::DOUBLE AS syy, sxy::DOUBLE AS sxy
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       {_r6n_sql(f"{_CUPED_COVN} / {_CUPED_VARXN}")} AS theta,
+       {_r6n_sql(f"({_CUPED_VARYN} / (n * n)) / 1e4")} AS var_y,
+       {_r6n_sql(f"(({_CUPED_VARYN} / (n * n)) * (1.0 - ({_CUPED_COVN} * {_CUPED_COVN}) / ({_CUPED_VARXN} * {_CUPED_VARYN}))) / 1e4")} AS var_y_cuped,
+       {_r6n_sql(f"100.0 * ({_CUPED_COVN} * {_CUPED_COVN}) / ({_CUPED_VARXN} * {_CUPED_VARYN})")} AS var_reduction_pct
+FROM f
+""",
+)
+def events_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    per user, pre-period spend X (first half of the corpus calendar)
+    and post-period spend Y; theta = cov(X,Y)/var(X) and the adjusted
+    metric's variance ``var(Y)(1 - rho^2)`` — the experimentation
+    standard that shrinks A/B confidence intervals for free using
+    pre-experiment data, reported with the realized variance-reduction
+    percentage.
+
+    Exactness: the six sufficient statistics are exact 128-bit integer
+    cent sums (one aggregate); every finisher is a shared formula text
+    over their double casts — the same Gram-sum discipline as the OLS
+    family.  Scale shape: one fact scan -> per-user aggregate -> one
+    6-number reduction."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        _epoch_day("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mid = d.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    u = (
+        d.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("day") > F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    f = s.select(
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        ]
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n_users"),
+        _r6n(F.expr(f"{_CUPED_COVN} / {_CUPED_VARXN}")).alias("theta"),
+        _r6n(F.expr(f"({_CUPED_VARYN} / (n * n)) / 1e4")).alias("var_y"),
+        _r6n(
+            F.expr(
+                f"(({_CUPED_VARYN} / (n * n)) * (1.0 - ({_CUPED_COVN} *"
+                f" {_CUPED_COVN}) / ({_CUPED_VARXN} * {_CUPED_VARYN}))) / 1e4"
+            )
+        ).alias("var_y_cuped"),
+        _r6n(
+            F.expr(
+                f"100.0 * ({_CUPED_COVN} * {_CUPED_COVN}) /"
+                f" ({_CUPED_VARXN} * {_CUPED_VARYN})"
+            )
+        ).alias("var_reduction_pct"),
+    )
+
+
+#: Horvitz-Thompson per-sampled-doc terms in integer micro-units
+#: (y = the measured variable, pi = the known inclusion probability)
+_HT_EST = "CAST(round((y / pi) * 1e6) AS BIGINT)"
+_HT_VAR = "CAST(round((y * y * (1.0 - pi) / (pi * pi)) * 1e6) AS BIGINT)"
+
+
+@query(
+    "docs_ht_estimate",
+    f"""
+WITH t AS (
+  SELECT doc_id, n_chars, {_NORM_SQL} AS norm FROM documents
+),
+y AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN length(norm) = 0 THEN 0
+              ELSE len(str_split(norm, ' ')) END::BIGINT AS y
+  FROM t
+),
+tru AS (SELECT sum(y)::BIGINT AS true_total FROM y),
+samp AS (
+  SELECT y, least(1.0, n_chars::DOUBLE / 500.0) AS pi
+  FROM y WHERE {SMP.weighted_sample_sql("doc_id", "n_chars", 500.0)}
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_sampled,
+         sum({_HT_EST}) AS est_micro,
+         sum({_HT_VAR}) AS var_micro
+  FROM samp
+)
+SELECT n_sampled,
+       {_r6n_sql("est_micro::DOUBLE / 1e6")} AS ht_total_tokens,
+       (SELECT true_total FROM tru) AS true_total_tokens,
+       {_r6n_sql("abs(est_micro::DOUBLE / 1e6 - (SELECT true_total FROM tru)) / (SELECT true_total FROM tru)")} AS rel_err,
+       {_r6n_sql("var_micro::DOUBLE / 1e6")} AS var_est
+FROM s
+""",
+)
+def docs_ht_estimate(spark, sf_dir):
+    """Horvitz-Thompson estimation (Horvitz & Thompson 1952) of the
+    corpus token total from the deterministic length-weighted Bernoulli
+    sample: each sampled doc contributes y/pi (pi = its KNOWN inclusion
+    probability n_chars/500), with the Poisson-sampling HT variance
+    estimator — the design-unbiased answer to "estimate corpus-wide
+    token stats from the sample we already draw", measured against the
+    true total it rides along with.
+
+    Determinism: the sample is the house hash-Bernoulli (reproducible
+    across engines); each doc's y/pi and variance term round to integer
+    micro-units before the sums.  Scale: one filter projection + one
+    aggregate; the full-corpus truth is a second aggregate of the same
+    scan."""
+    d = load_table(spark, sf_dir, "documents")
+    y = d.select(
+        "doc_id",
+        "n_chars",
+        TX.token_count("text").cast("long").alias("y"),
+    )
+    tru = y.agg(F.sum("y").cast("long").alias("true_total"))
+    samp = SMP.weighted_sample(y, "doc_id", "n_chars", scale=500.0).select(
+        "y",
+        F.least(
+            F.lit(1.0), F.col("n_chars").cast("double") / F.lit(500.0)
+        ).alias("pi"),
+    )
+    s = samp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(F.expr(_HT_EST)).alias("est_micro"),
+        F.sum(F.expr(_HT_VAR)).alias("var_micro"),
+    )
+    return s.crossJoin(F.broadcast(tru)).select(
+        "n_sampled",
+        _r6n(F.col("est_micro").cast("double") / F.lit(1e6)).alias(
+            "ht_total_tokens"
+        ),
+        F.col("true_total").alias("true_total_tokens"),
+        _r6n(
+            F.abs(
+                F.col("est_micro").cast("double") / F.lit(1e6)
+                - F.col("true_total").cast("double")
+            )
+            / F.col("true_total").cast("double")
+        ).alias("rel_err"),
+        _r6n(F.col("var_micro").cast("double") / F.lit(1e6)).alias("var_est"),
+    )
+
+
+#: HITS fixed-point scale and pinned round count
+_HITS_SCALE = 10**6
+_HITS_ROUNDS = 3
+
+
+def _hits_oracle_sql(rounds: int = _HITS_ROUNDS, n_top: int = 10) -> str:
+    parts = [
+        f"""t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM t
+),
+a0 AS (SELECT DISTINCT term, {_HITS_SCALE}::BIGINT AS a FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""hr{r} AS (
+  SELECT e.doc_id, sum(a{r - 1}.a)::BIGINT AS h
+  FROM e JOIN a{r - 1} ON a{r - 1}.term = e.term GROUP BY 1
+),
+h{r} AS (
+  SELECT doc_id, (h * {_HITS_SCALE}::BIGINT) // (SELECT max(h) FROM hr{r}) AS h
+  FROM hr{r}
+),
+ar{r} AS (
+  SELECT e.term, sum(h{r}.h)::BIGINT AS a
+  FROM e JOIN h{r} ON h{r}.doc_id = e.doc_id GROUP BY 1
+),
+a{r} AS (
+  SELECT term, (a * {_HITS_SCALE}::BIGINT) // (SELECT max(a) FROM ar{r}) AS a
+  FROM ar{r}
+)"""
+        )
+    return f"""
+WITH {",".join(parts)}
+SELECT rank, term, auth_int,
+       round(auth_int / {float(_HITS_SCALE)!r}, 6) AS authority
+FROM (
+  SELECT row_number() OVER (ORDER BY a DESC, term ASC)::INT AS rank,
+         term, a AS auth_int
+  FROM a{rounds}
+) WHERE rank <= {n_top}
+"""
+
+
+@query("doc_term_hits", _hits_oracle_sql())
+def doc_term_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (Kleinberg 1999) on the doc-term
+    bipartite graph, integer fixed-point: a document is a good hub if
+    it contains authoritative terms, a term authoritative if good hubs
+    contain it — 3 pinned mutual-reinforcement rounds, each
+    re-normalized by the max in integer ``(x * 1e6) DIV max`` units so
+    the whole trajectory is bit-exact across engines (the same
+    no-float-drift discipline as the PageRank sibling).  Top-10
+    authorities reported; on text this surfaces the terms that
+    co-occur across the densest documents — a vocabulary-centrality
+    signal TF-IDF (pure frequency) cannot produce.
+
+    Scale shape: per round two hash joins on the distinct (doc, term)
+    edge relation + two max join-backs (1-row broadcast, annotated);
+    edges localCheckpoint-ed once; top-k via sort+limit."""
+    d = load_table(spark, sf_dir, "documents")
+    e = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = e.select("term").distinct().select(
+        "term", F.lit(_HITS_SCALE).cast("long").alias("a")
+    )
+    for _ in range(_HITS_ROUNDS):
+        hr = (
+            e.join(a, "term")
+            .groupBy("doc_id")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        mh = hr.agg(F.max("h").alias("mh"))
+        h = hr.crossJoin(F.broadcast(mh)).select(
+            "doc_id",
+            F.expr(f"(h * CAST({_HITS_SCALE} AS BIGINT)) div mh").alias("h"),
+        )
+        ar = (
+            e.join(h, "doc_id")
+            .groupBy("term")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        ma = ar.agg(F.max("a").alias("ma"))
+        a = (
+            ar.crossJoin(F.broadcast(ma))
+            .select(
+                "term",
+                F.expr(f"(a * CAST({_HITS_SCALE} AS BIGINT)) div ma").alias(
+                    "a"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    top = a.orderBy(F.col("a").desc(), F.col("term").asc()).limit(10)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("a").desc(), F.col("term").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank",
+        "term",
+        F.col("a").alias("auth_int"),
+        F.round(F.col("a") / F.lit(float(_HITS_SCALE)), 6).alias("authority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

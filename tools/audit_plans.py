@@ -204,6 +204,22 @@ BNLJ_BOUNDED: dict[str, str] = {
         "16-row fixed-bin-grid broadcast fan-out onto the |types|-row "
         "marginal relation, plus the histogram-sized pair join"
     ),
+    "source_score_wasserstein": (
+        "source-domain x distinct-6dp-score grid fan-out (|sources| "
+        "broadcast rows) — bounded by the score domain, never data-sized"
+    ),
+    "users_logrank_test": (
+        _SCALAR + " (1-row dmax / group-total join-backs onto the "
+        "calendar-bounded duration histogram)"
+    ),
+    "events_cuped_adjustment": (
+        _SCALAR + " (1-row calendar-midpoint join-back before the "
+        "per-user aggregate)"
+    ),
+    "docs_ht_estimate": (
+        _SCALAR + " (1-row true-total join-back onto the 1-row "
+        "HT-estimate aggregate)"
+    ),
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:
@@ -284,6 +300,17 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "source_quality_psi": (
         "two-phase global_cumsum offset window (<= #partitions rows) over "
         "the pooled distinct-6dp-score histogram (decile cutoffs)"
+    ),
+    "source_score_wasserstein": (
+        "two-phase global_cumsum offset windows (<= #partitions rows) over "
+        "the bounded distinct-6dp-score relation (rank for the gap join)"
+    ),
+    "users_logrank_test": (
+        "two-phase global_cumsum offset windows (<= #partitions rows) over "
+        "the calendar-bounded duration histogram (at-risk counts)"
+    ),
+    "doc_term_hits": (
+        "row_number over the sort+limit(10) authority head — 10 rows"
     ),
     "embedding_alignment_uniformity": (
         "two-phase global_rank offset window (<= #partitions rows)"

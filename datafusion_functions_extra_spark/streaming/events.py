@@ -779,3 +779,87 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_spacesaving_topk(
+    events: DataFrame,
+    m: int = 8,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+) -> DataFrame:
+    """Per-key SpaceSaving heavy hitters (Metwally, Agrawal & El Abbadi
+    2005) maintained as STREAMING state via ``applyInPandasWithState``
+    — the third custom stateful operator (after ``streaming_dedup``
+    and ``streaming_cusum``): the counter table is a SEQUENTIAL fold
+    (each arrival either increments its counter or evicts the current
+    minimum, inheriting its count as the error bound), which windowed
+    aggregation cannot express and whose state is O(m) per key — the
+    bounded-memory answer to "top users per event type" on an
+    unbounded stream.
+
+    Guarantees (checked in tests/test_streaming.py against exact batch
+    counts): est >= exact >= est - err for every emitted item, and any
+    item with true count > N/m is guaranteed present.  Each micro-batch
+    emits the key's CURRENT top table (update semantics downstream —
+    latest batch wins); rows fold in (ts, event_id) order after a
+    full-chunk concat (the ``streaming_cusum`` ordering discipline).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            items, counts, errs = state.get
+            table = {
+                i: [c, e] for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            table = {}
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for row in pdf.itertuples():
+                it = int(getattr(row, item_col))
+                if it in table:
+                    table[it][0] += 1
+                elif len(table) < m:
+                    table[it] = [1, 0]
+                else:
+                    # evict the minimum-count item (ties: smallest item
+                    # id, so the fold is deterministic), inherit count
+                    ev = min(table, key=lambda i: (table[i][0], i))
+                    cmin = table[ev][0]
+                    del table[ev]
+                    table[it] = [cmin + 1, cmin]
+            rows = [
+                (key[0], it, c, e, c - e)
+                for it, (c, e) in sorted(
+                    table.items(), key=lambda kv: (-kv[1][0], kv[0])
+                )
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[key_col, "item", "est", "err", "guaranteed"],
+            )
+        state.update(
+            (
+                list(table.keys()),
+                [c for c, _ in table.values()],
+                [e for _, e in table.values()],
+            )
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} string, item bigint, est bigint, err bigint,"
+            " guaranteed bigint"
+        ),
+        stateStructType=(
+            "items array<bigint>, counts array<bigint>, errs array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

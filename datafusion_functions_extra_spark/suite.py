@@ -16462,6 +16462,339 @@ def doc_term_hits(spark, sf_dir):
     )
 
 
+#: DTW Sakoe-Chiba band half-width (days) and the integer infinity
+_DTW_BAND = 7
+_DTW_INF = 10**15
+
+#: Spark SQL in-row banded-DTW fold over two BIGINT arrays va/vb —
+#: dp rows are arrays, the row update is a nested aggregate so cur[j-1]
+#: (the left neighbor) is available sequentially; ALL-INTEGER, so the
+#: trajectory is bit-exact against the DuckDB list_reduce mirror
+_DTW_SPARK = f"""
+element_at(
+  aggregate(
+    sequence(1, size(va)),
+    transform(sequence(0, size(vb)), j -> IF(j = 0, CAST(0 AS BIGINT), CAST({_DTW_INF} AS BIGINT))),
+    (acc, i) -> aggregate(
+      sequence(1, size(vb)),
+      array(CAST({_DTW_INF} AS BIGINT)),
+      (cur, j) -> concat(cur, array(
+        IF(abs(i - j) <= {_DTW_BAND},
+           least(CAST({_DTW_INF} AS BIGINT),
+                 abs(element_at(va, i) - element_at(vb, j))
+                 + least(element_at(acc, j),
+                         least(element_at(acc, j + 1),
+                               element_at(cur, j)))),
+           CAST({_DTW_INF} AS BIGINT))))
+    )
+  ),
+  size(vb) + 1
+)"""
+
+
+def _dtw_duck_sql(va: str, vb: str) -> str:
+    """DuckDB mirror of ``_DTW_SPARK`` via nested list_reduce with the
+    prepend-the-init trick (acc and elements share LIST(BIGINT) type)."""
+    inf = f"{_DTW_INF}::BIGINT"
+    return f"""
+list_reduce(
+  list_prepend(
+    list_transform(generate_series(0, len({vb})), j -> CASE WHEN j = 0 THEN 0::BIGINT ELSE {inf} END),
+    list_transform(generate_series(1, len({va})), i -> [i]::BIGINT[])
+  ),
+  (acc, x) -> list_reduce(
+    list_prepend([{inf}]::BIGINT[],
+                 list_transform(generate_series(1, len({vb})), j -> [j]::BIGINT[])),
+    (cur, y) -> list_append(cur,
+      CASE WHEN abs(x[1] - y[1]) <= {_DTW_BAND}
+           THEN least({inf},
+                      abs({va}[x[1]] - {vb}[y[1]])
+                      + least(acc[y[1]], least(acc[y[1] + 1], cur[y[1]])))
+           ELSE {inf} END)
+  )
+)[len({vb}) + 1]"""
+
+
+@query(
+    "event_type_dtw_distance",
+    f"""
+WITH d AS (
+  SELECT event_type,
+         (epoch_us(ts) - (epoch_us(ts) % 86400000000)) // 86400000000 AS day,
+         round(value * 100)::BIGINT AS cents
+  FROM events
+),
+span AS (SELECT min(day) AS dmin, max(day) AS dmax FROM d),
+c AS (
+  SELECT event_type, (day - dmin)::BIGINT AS idx, sum(cents)::BIGINT AS v
+  FROM d, span GROUP BY 1, 2
+),
+curves AS (
+  SELECT event_type,
+         list_transform(
+           generate_series(0, (SELECT (dmax - dmin)::INT FROM span)),
+           i -> coalesce(list_extract(map_extract(m, i::BIGINT), 1), 0::BIGINT)
+         ) AS arr
+  FROM (SELECT event_type, map(list(idx), list(v)) AS m FROM c GROUP BY 1)
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.arr AS va, b.arr AS vb
+  FROM curves a JOIN curves b ON a.event_type < b.event_type
+),
+s AS (
+  SELECT type_a, type_b, len(va)::BIGINT AS n_days,
+         ({_dtw_duck_sql('va', 'vb')})::BIGINT AS dtw_cents
+  FROM p
+)
+SELECT type_a, type_b, n_days, dtw_cents,
+       {_r6n_sql("(dtw_cents / 100.0) / (2.0 * n_days)")} AS dtw_per_step
+FROM s
+""",
+)
+def event_type_dtw_distance(spark, sf_dir):
+    """Banded dynamic-time-warping distance between every event-type
+    pair's daily revenue curve (Sakoe & Chiba 1978; band half-width 7
+    days): the elastic-alignment distance that sees two types as
+    similar when one's weekly pattern is the other's SHIFTED pattern —
+    Euclidean distance (and the JSD/Wasserstein histogram lenses)
+    cannot forgive phase shifts; DTW is the standard fix and the basis
+    for curve clustering.
+
+    The whole DP is IN-ROW and ALL-INTEGER: curves are dense
+    calendar-indexed cent arrays, the banded DP table folds as a nested
+    array aggregate (the §9.1 iterative-plan discipline — one
+    projection stage, no joins per DP cell, no Python), so the
+    trajectory is bit-exact across engines and the oracle hash
+    certifies every cell.  Scale shape: one fact scan to the (type,
+    day) rollup; the DP runs on |types|^2/2 rows x calendar^2 cells —
+    bounded by the calendar, never by event volume."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        _epoch_day("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    span = d.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    c = (
+        d.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            (F.col("day") - F.col("dmin")).cast("long").alias("idx"),
+            "cents",
+            (F.col("dmax") - F.col("dmin")).cast("int").alias("span_days"),
+        )
+        .groupBy("event_type", "span_days", "idx")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    curves = c.groupBy("event_type", "span_days").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("idx"), F.col("v")))
+        ).alias("m")
+    ).select(
+        "event_type",
+        F.expr(
+            "transform(sequence(0, span_days),"
+            " i -> coalesce(element_at(m, CAST(i AS BIGINT)),"
+            " CAST(0 AS BIGINT)))"
+        ).alias("arr"),
+    )
+    a = curves.select(
+        F.col("event_type").alias("type_a"), F.col("arr").alias("va")
+    )
+    b = curves.select(
+        F.col("event_type").alias("type_b"), F.col("arr").alias("vb")
+    )
+    p = a.crossJoin(F.broadcast(b)).where(F.col("type_a") < F.col("type_b"))
+    s = p.select(
+        "type_a",
+        "type_b",
+        F.size("va").cast("long").alias("n_days"),
+        F.expr(_DTW_SPARK).cast("long").alias("dtw_cents"),
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        "dtw_cents",
+        _r6n(
+            (F.col("dtw_cents") / F.lit(100.0))
+            / (F.lit(2.0) * F.col("n_days"))
+        ).alias("dtw_per_step"),
+    )
+
+
+#: pass@k success threshold in integer cents (value >= 50.00)
+_PASSK_CENTS = 5000
+_PASSK_KS = (1, 5, 10)
+
+
+@query(
+    "events_pass_at_k",
+    f"""
+WITH u AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN round(value * 100)::BIGINT >= {_PASSK_CENTS}
+                  THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT u.*, k FROM u
+  CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _PASSK_KS)}]) AS k)
+),
+per AS (
+  SELECT k, user_id,
+         CASE WHEN c = 0 THEN 0::BIGINT
+              WHEN n - c < k THEN 1000000::BIGINT
+              ELSE CAST(round((1.0 - list_reduce(
+                     list_prepend(1.0,
+                       list_transform(generate_series(0, k::INT - 1), i -> i::DOUBLE)),
+                     (acc, x) -> acc * ((n - c - x) / (n - x))
+                   )) * 1e6) AS BIGINT) END AS p_micro
+  FROM g
+)
+SELECT k::INT AS k, count(*)::BIGINT AS n_users,
+       {_r6n_sql("sum(p_micro)::DOUBLE / (1e6 * count(*))")} AS mean_pass_at_k
+FROM per GROUP BY 1
+""",
+)
+def events_pass_at_k(spark, sf_dir):
+    """pass@k estimation (Chen et al. 2021, the HumanEval estimator):
+    per user, n attempts (events) of which c "succeed" (value >=
+    {_PASSK_CENTS / 100:.0f}); the unbiased pass@k is
+    ``1 - C(n-c,k)/C(n,k)`` computed STABLY as the product
+    ``prod_(i<k) (n-c-i)/(n-i)`` (the combinations overflow, the
+    product never does) — the evaluation aggregate every sampled-eval
+    pipeline needs, here over the synthetic attempt streams.
+
+    Determinism: the product is a pinned left-to-right fold of <= k
+    double ratios (identical fold both engines), each user's pass@k
+    rounds to integer micro-units before the cross-user mean.  Scale:
+    one per-user aggregate, a 3-row k fan-out, one reduction."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.round(F.col("value") * 100).cast("long")
+                >= _PASSK_CENTS,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _PASSK_KS], "k long")
+    g = u.crossJoin(F.broadcast(ks))
+    prod = (
+        "aggregate(sequence(0, CAST(k AS INT) - 1), CAST(1.0 AS DOUBLE),"
+        " (acc, i) -> acc * ((n - c - CAST(i AS DOUBLE)) / (n - CAST(i AS DOUBLE))))"
+    )
+    per = g.select(
+        "k",
+        F.when(F.col("c") == 0, F.lit(0).cast("long"))
+        .when(F.col("n") - F.col("c") < F.col("k"), F.lit(10**6).cast("long"))
+        .otherwise(
+            F.expr(f"CAST(round((1.0 - {prod}) * 1e6) AS BIGINT)")
+        )
+        .alias("p_micro"),
+    )
+    return per.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        _r6n(
+            F.sum("p_micro").cast("double")
+            / (F.lit(1e6) * F.count(F.lit(1)).cast("double"))
+        ).alias("mean_pass_at_k"),
+    ).select(F.col("k").cast("int").alias("k"), "n_users", "mean_pass_at_k")
+
+
+def _lcc_oracle_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {SIM._sig_cte()}, {SIM._bands_cte()},
+prs AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE list_sum(list_transform(generate_series(1, {SIM.MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {SIM.MINHASH_K}.0 >= {threshold}
+),
+e AS MATERIALIZED (SELECT id_a, id_b FROM prs UNION SELECT id_b, id_a FROM prs),
+deg AS (SELECT id_a AS v, count(*)::BIGINT AS degree FROM e GROUP BY 1),
+tri AS (
+  SELECT p.id_a AS a, p.id_b AS b, q.id_b AS c
+  FROM prs p JOIN prs q ON q.id_a = p.id_b
+  JOIN prs r ON r.id_a = p.id_a AND r.id_b = q.id_b
+),
+tcnt AS (
+  SELECT v, count(*)::BIGINT AS triangles FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.v AS doc_id, deg.degree,
+       coalesce(tcnt.triangles, 0)::BIGINT AS triangles,
+       {_r6n_sql("2.0 * coalesce(tcnt.triangles, 0) / (deg.degree * (deg.degree - 1.0))")} AS lcc
+FROM deg LEFT JOIN tcnt ON tcnt.v = deg.v
+WHERE deg.degree >= 2
+"""
+
+
+@query("near_dup_clustering_coeff", _lcc_oracle_sql())
+def near_dup_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient of the near-dup candidate
+    graph (Watts & Strogatz 1998): triangles through each node over
+    its degree-choose-2 — the per-document sibling of the global
+    triangle census: lcc ~ 1 marks tight template cliques (keep one),
+    lcc ~ 0 marks chain-like incidental overlap (verify before
+    dropping).
+
+    Plan: ordered triangle enumeration on the LSH-pruned pair relation
+    (two hash joins, a < b < c so each triangle counts once), exploded
+    to its three corners for the per-node count, joined back to the
+    degree relation — never an all-pairs neighborhood materialization.
+    Exactness: pure integer counts; lcc is one rounded ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    prs = SIM.near_dup_pairs(d, "text", "doc_id", 0.5).select("id_a", "id_b")
+    e = prs.union(
+        prs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = e.groupBy("id_a").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    q = prs.select(F.col("id_a").alias("id_b"), F.col("id_b").alias("id_c"))
+    pq = prs.join(q, "id_b").select("id_a", "id_b", "id_c")
+    r = prs.select(F.col("id_a").alias("ra"), F.col("id_b").alias("rc"))
+    tri = pq.join(
+        r, (pq.id_a == r.ra) & (pq.id_c == r.rc)
+    ).select("id_a", "id_b", "id_c")
+    corners = (
+        tri.select(F.col("id_a").alias("v"))
+        .unionAll(tri.select(F.col("id_b").alias("v")))
+        .unionAll(tri.select(F.col("id_c").alias("v")))
+    )
+    tcnt = corners.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tcnt, deg.id_a == tcnt.v, "left")
+        .select(
+            F.col("id_a").alias("doc_id"),
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            _r6n(
+                F.lit(2.0)
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (
+                    F.col("degree")
+                    * (F.col("degree").cast("double") - F.lit(1.0))
+                )
+            ).alias("lcc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -220,6 +220,15 @@ BNLJ_BOUNDED: dict[str, str] = {
         _SCALAR + " (1-row true-total join-back onto the 1-row "
         "HT-estimate aggregate)"
     ),
+    "event_type_dtw_distance": (
+        _SCALAR + " (1-row calendar-span join-back) plus the "
+        "|types|-row curve crossJoin(broadcast) — both bounded by the "
+        "type/calendar domains"
+    ),
+    "events_pass_at_k": (
+        "3-row k-grid crossJoin(broadcast) onto the per-user attempt "
+        "relation — bounded by the k grid"
+    ),
 }
 
 #: queries allowed to contain an unpartitioned WindowExec, with the bound:

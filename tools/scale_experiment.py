@@ -158,6 +158,13 @@ PROBES = (
     "text_rake_keywords",          # phrase-run islands + word-stat join (r05f)
     "events_pettitt_changepoint",  # calendar-bounded integer rank folds (r05f)
     "customer_theil_by_nation",    # mergeable (n, X, sum x ln x) triple (r05f)
+    "docs_winnow_pairs",           # windowed fingerprint min + hub-screened join (r05l)
+    "lineitem_kendall_tau",        # dense domain-grid dominance windows (r05l)
+    "embedding_kcenter_coreset",   # k corpus passes, 1-row center updates (r05l)
+    "source_quality_psi",          # pooled-decile binning + micro-nat terms (r05m)
+    "source_score_wasserstein",    # integer CDF-integral pair grid (r05n)
+    "doc_term_hits",               # iterative bipartite fixed-point (r05n)
+    "events_kmv_distinct",         # bottom-k sketch + exact-merge certificate (r05i)
     # embedding_knn_label_eval / _outliers are EXCLUDED like
     # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
     # design and documented eval-on-sample (SURVEY §9.5)

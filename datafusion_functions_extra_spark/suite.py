@@ -14861,10 +14861,10 @@ def quality_quantile_norm_map(spark, sf_dir):
 
 
 @query(
-    "near_dup_pagerank",
+    "near_dup_pagerank_exact",
     SIM.pagerank_topn_oracle_sql(threshold=0.5, rounds=6, n_top=20),
 )
-def near_dup_pagerank(spark, sf_dir):
+def near_dup_pagerank_exact(spark, sf_dir):
     """Integer fixed-point PageRank over the near-dup candidate graph
     (operators/similarity.py pagerank_topn; Brin & Page 1998): the
     duplication-hub centrality ranking — which documents sit at the
@@ -16153,118 +16153,6 @@ def users_logrank_test(spark, sf_dir):
             F.col("v") > 0,
             _r6n(F.least(F.lit(1.0), F.lit(2.0) * _phi_tail_col(F.col("z6")))),
         ).alias("p_value"),
-    )
-
-
-#: CUPED finishers over the six 128-bit sufficient statistics (cast to
-#: double): covariance/variance linear combos, theta, rho^2
-_CUPED_COVN = "(n * sxy - sx * sy)"
-_CUPED_VARXN = "(n * sxx - sx * sx)"
-_CUPED_VARYN = "(n * syy - sy * sy)"
-
-
-@query(
-    "events_cuped_adjustment",
-    f"""
-WITH d AS (
-  SELECT user_id,
-         (epoch_us(ts) - (epoch_us(ts) % 86400000000)) // 86400000000 AS day,
-         round(value * 100)::BIGINT AS cents
-  FROM events
-),
-mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
-u AS (
-  SELECT user_id,
-         sum(CASE WHEN day <= mid THEN cents ELSE 0 END)::BIGINT AS x,
-         sum(CASE WHEN day > mid THEN cents ELSE 0 END)::BIGINT AS y
-  FROM d, mid GROUP BY 1
-),
-s AS (
-  SELECT count(*)::HUGEINT AS n,
-         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
-         sum(x::HUGEINT * x)::HUGEINT AS sxx,
-         sum(y::HUGEINT * y)::HUGEINT AS syy,
-         sum(x::HUGEINT * y)::HUGEINT AS sxy
-  FROM u
-),
-f AS (
-  SELECT n::DOUBLE AS n, sx::DOUBLE AS sx, sy::DOUBLE AS sy,
-         sxx::DOUBLE AS sxx, syy::DOUBLE AS syy, sxy::DOUBLE AS sxy
-  FROM s
-)
-SELECT CAST(n AS BIGINT) AS n_users,
-       {_r6n_sql(f"{_CUPED_COVN} / {_CUPED_VARXN}")} AS theta,
-       {_r6n_sql(f"({_CUPED_VARYN} / (n * n)) / 1e4")} AS var_y,
-       {_r6n_sql(f"(({_CUPED_VARYN} / (n * n)) * (1.0 - ({_CUPED_COVN} * {_CUPED_COVN}) / ({_CUPED_VARXN} * {_CUPED_VARYN}))) / 1e4")} AS var_y_cuped,
-       {_r6n_sql(f"100.0 * ({_CUPED_COVN} * {_CUPED_COVN}) / ({_CUPED_VARXN} * {_CUPED_VARYN})")} AS var_reduction_pct
-FROM f
-""",
-)
-def events_cuped_adjustment(spark, sf_dir):
-    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
-    per user, pre-period spend X (first half of the corpus calendar)
-    and post-period spend Y; theta = cov(X,Y)/var(X) and the adjusted
-    metric's variance ``var(Y)(1 - rho^2)`` — the experimentation
-    standard that shrinks A/B confidence intervals for free using
-    pre-experiment data, reported with the realized variance-reduction
-    percentage.
-
-    Exactness: the six sufficient statistics are exact 128-bit integer
-    cent sums (one aggregate); every finisher is a shared formula text
-    over their double casts — the same Gram-sum discipline as the OLS
-    family.  Scale shape: one fact scan -> per-user aggregate -> one
-    6-number reduction."""
-    e = load_table(spark, sf_dir, "events")
-    d = e.select(
-        "user_id",
-        _epoch_day("ts").alias("day"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    mid = d.agg(
-        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
-    )
-    u = (
-        d.crossJoin(F.broadcast(mid))
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.when(F.col("day") <= F.col("mid"), F.col("cents")).otherwise(0))
-            .cast("long")
-            .alias("x"),
-            F.sum(F.when(F.col("day") > F.col("mid"), F.col("cents")).otherwise(0))
-            .cast("long")
-            .alias("y"),
-        )
-    )
-    s = u.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
-    )
-    f = s.select(
-        *[
-            F.col(c).cast("double").alias(c)
-            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
-        ]
-    )
-    return f.select(
-        F.col("n").cast("long").alias("n_users"),
-        _r6n(F.expr(f"{_CUPED_COVN} / {_CUPED_VARXN}")).alias("theta"),
-        _r6n(F.expr(f"({_CUPED_VARYN} / (n * n)) / 1e4")).alias("var_y"),
-        _r6n(
-            F.expr(
-                f"(({_CUPED_VARYN} / (n * n)) * (1.0 - ({_CUPED_COVN} *"
-                f" {_CUPED_COVN}) / ({_CUPED_VARXN} * {_CUPED_VARYN}))) / 1e4"
-            )
-        ).alias("var_y_cuped"),
-        _r6n(
-            F.expr(
-                f"100.0 * ({_CUPED_COVN} * {_CUPED_COVN}) /"
-                f" ({_CUPED_VARXN} * {_CUPED_VARYN})"
-            )
-        ).alias("var_reduction_pct"),
     )
 
 

@@ -45,7 +45,7 @@ def test_pagerank_matches_integer_reference(spark, sf):
             for v in nodes
         }
     want = sorted(nodes, key=lambda v: (-pr[v], v))[:20]
-    got = QUERIES["near_dup_pagerank"](spark, sf).collect()
+    got = QUERIES["near_dup_pagerank_exact"](spark, sf).collect()
     assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == want
     for r in got:
         assert r.pr_int == pr[r.doc_id]

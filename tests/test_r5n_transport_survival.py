@@ -134,10 +134,9 @@ def test_cuped_matches_numpy(spark, sf):
     rho2 = cov * cov / (varx * vary)
     assert got.n_users == n
     assert got.theta == pytest.approx(cov / varx, abs=2e-6)
-    assert got.var_y == pytest.approx(vary / 1e4, rel=1e-6)
-    assert got.var_y_cuped == pytest.approx(vary * (1 - rho2) / 1e4, rel=1e-6)
+    assert got.corr_pre_post == pytest.approx(cov / math.sqrt(varx * vary), abs=2e-6)
     assert got.var_reduction_pct == pytest.approx(100 * rho2, abs=2e-4)
-    assert got.var_y_cuped <= got.var_y + 1e-9
+    assert 0.0 <= got.var_reduction_pct <= 100.0
 
 
 def test_ht_estimate_matches_replica(spark, sf):

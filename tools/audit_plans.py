@@ -299,7 +299,7 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
         "two-phase global_cumsum offset window (<= #partitions rows) over "
         "the pooled distinct-6dp-score histogram"
     ),
-    "near_dup_pagerank": (
+    "near_dup_pagerank_exact": (
         "row_number over the sort+limit(20) top-k head — 20 rows"
     ),
     "source_ks_fdr": (

@@ -138,6 +138,7 @@ PROBES = (
     "text_bm25_topk",              # inverted-index lexical retrieval
     "prefix_filter_jaccard_pairs",  # exact set-similarity join (r05)
     "near_dup_pagerank",           # iterative graph op, fixed unroll (r05)
+    "near_dup_pagerank_exact",     # integer fixed-point variant, 6 rounds + top-k head (r05l)
     "corpus_curriculum_phases",    # two-phase global cumsum + cutoffs (r05)
     "text_vocabulary",             # two-phase global ranking (r05 rewrite)
     "parts_pareto_frontier",       # grid-pruned skyline sweep (r05 rewrite)

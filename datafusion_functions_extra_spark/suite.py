@@ -63,6 +63,15 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # a duplicate registration silently SHADOWS the earlier query
+        # (dict overwrite) — caught once in round 5 when a re-implemented
+        # operator replaced its same-named sibling without anyone
+        # noticing; fail loud at import time instead
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate suite query name {name!r} (would shadow the "
+                f"earlier registration)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

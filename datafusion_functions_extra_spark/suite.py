@@ -16692,6 +16692,610 @@ def near_dup_clustering_coeff(spark, sf_dir):
     )
 
 
+#: absorbing-chain target state and pinned iteration count
+_ABSORB_TARGET = "purchase"
+_ABSORB_ROUNDS = 40
+
+
+@query(
+    "events_absorbing_steps",
+    f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS c
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+rowm AS (SELECT prev_type, sum(c)::BIGINT AS nr FROM tr GROUP BY 1),
+types AS (SELECT prev_type AS t FROM tr
+          WHERE prev_type <> '{_ABSORB_TARGET}' GROUP BY 1),
+qmat AS (
+  SELECT list(qrow ORDER BY pt) AS q, list(rv ORDER BY pt) AS r FROM (
+    SELECT t0.t AS pt,
+           list(round(coalesce(tr.c, 0)::DOUBLE / rowm.nr + 1e-9, 6)
+                ORDER BY t2.t) AS qrow,
+           any_value(round(coalesce(rp.c, 0)::DOUBLE / rowm.nr + 1e-9, 6)) AS rv
+    FROM types t0
+    CROSS JOIN types t2
+    LEFT JOIN tr ON tr.prev_type = t0.t AND tr.next_type = t2.t
+    LEFT JOIN tr rp ON rp.prev_type = t0.t
+                   AND rp.next_type = '{_ABSORB_TARGET}'
+    JOIN rowm ON rowm.prev_type = t0.t
+    GROUP BY t0.t
+  ) _
+),
+it AS (
+  SELECT 0 AS k,
+         list_transform(q, x -> 1.0::DOUBLE) AS tv,
+         r AS hv
+  FROM qmat
+  UNION ALL
+  SELECT it.k + 1,
+         list_transform(generate_series(1, len(it.tv)), i ->
+           round(1.0 + list_sum(list_transform(generate_series(1, len(it.tv)),
+                 j -> qmat.q[i][j] * it.tv[j])) + 1e-9, 6)),
+         list_transform(generate_series(1, len(it.hv)), i ->
+           round(qmat.r[i] + list_sum(list_transform(generate_series(1, len(it.hv)),
+                 j -> qmat.q[i][j] * it.hv[j])) + 1e-9, 6))
+  FROM it, qmat WHERE it.k < {_ABSORB_ROUNDS}
+),
+fin AS (SELECT tv, hv FROM it WHERE k = {_ABSORB_ROUNDS})
+SELECT t2.t AS event_type,
+       fin.tv[t2.rn] AS expected_steps,
+       fin.hv[t2.rn] AS p_absorbed
+FROM (SELECT t, row_number() OVER (ORDER BY t) AS rn FROM types) t2, fin
+""",
+)
+def events_absorbing_steps(spark, sf_dir):
+    """Absorbing-chain analysis of the event-type Markov process
+    (Kemeny & Snell 1960): with '{_ABSORB_TARGET}' as the absorbing
+    target, the expected number of steps to conversion and the
+    absorption probability from every transient type — the fundamental
+    -matrix quantities ``t = (I-Q)^(-1) 1`` and ``h = (I-Q)^(-1) R``
+    computed by the NEUMANN iteration ``t <- 1 + Q t`` / ``h <- R + Q
+    h`` ({_ABSORB_ROUNDS} pinned rounds from t=1, h=R, per-round 6-dp
+    trajectory rounding — the same determinism rule as the stationary
+    -distribution sibling), i.e. horizon-{_ABSORB_ROUNDS} expectations.
+    The funnel says WHO converts; this says HOW LONG the chain wanders
+    before converting, per entry state.
+
+    Scale shape identical to ``events_markov_stationary``: one
+    transition-count aggregate, the |types|^2 matrix collapses to ONE
+    nested-array row, all iterations are in-row list arithmetic."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(wseq).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rowm = tr.groupBy("prev_type").agg(F.sum("c").cast("long").alias("nr"))
+    types = (
+        tr.select(F.col("prev_type").alias("t"))
+        .where(F.col("t") != _ABSORB_TARGET)
+        .distinct()
+    )
+    rp = tr.where(F.col("next_type") == _ABSORB_TARGET).select(
+        F.col("prev_type").alias("t"), F.col("c").alias("rc")
+    )
+    grid = (
+        types.select(F.col("t").alias("prev_type"))
+        .crossJoin(types.select(F.col("t").alias("next_type")))
+        .join(tr, ["prev_type", "next_type"], "left")
+        .join(rowm, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            _r6n(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("nr")
+            ).alias("p"),
+        )
+    )
+    rvec = (
+        types.select(F.col("t").alias("prev_type"))
+        .join(rp, rp.t == F.col("prev_type"), "left")
+        .join(rowm, "prev_type")
+        .select(
+            "prev_type",
+            _r6n(
+                F.coalesce(F.col("rc"), F.lit(0)).cast("double") / F.col("nr")
+            ).alias("rv"),
+        )
+    )
+    mat = (
+        grid.groupBy("prev_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("next_type"), F.col("p")))
+            ).alias("qrow")
+        )
+        .join(rvec, "prev_type")
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("prev_type"), F.col("qrow"), F.col("rv"))
+                )
+            ).alias("rows")
+        )
+        .select(
+            F.expr("transform(rows, r -> r.prev_type)").alias("ts"),
+            F.expr("transform(rows, r -> transform(r.qrow, x -> x.p))").alias(
+                "q"
+            ),
+            F.expr("transform(rows, r -> r.rv)").alias("r"),
+        )
+    )
+    step_t = (
+        "transform(sequence(1, size(tv)), i ->"
+        " round(1.0 + aggregate(sequence(1, size(tv)), CAST(0.0 AS DOUBLE),"
+        " (acc, j) -> acc + element_at(element_at(q, i), j) * element_at(tv, j))"
+        " + 1e-9, 6))"
+    )
+    step_h = (
+        "transform(sequence(1, size(hv)), i ->"
+        " round(element_at(r, i) + aggregate(sequence(1, size(hv)), CAST(0.0 AS DOUBLE),"
+        " (acc, j) -> acc + element_at(element_at(q, i), j) * element_at(hv, j))"
+        " + 1e-9, 6))"
+    )
+    it = mat.select(
+        "ts", "q", "r", F.expr("transform(q, x -> 1.0)").alias("tv"), F.col("r").alias("hv")
+    )
+    for _ in range(_ABSORB_ROUNDS):
+        it = it.select(
+            "ts",
+            "q",
+            "r",
+            F.expr(step_t).alias("tv"),
+            F.expr(step_h).alias("hv"),
+        )
+    return it.select(
+        F.explode(F.arrays_zip(F.col("ts"), F.col("tv"), F.col("hv"))).alias(
+            "z"
+        )
+    ).select(
+        F.col("z.ts").alias("event_type"),
+        F.col("z.tv").alias("expected_steps"),
+        F.col("z.hv").alias("p_absorbed"),
+    )
+
+
+#: CMH per-stratum terms in integer micro-units: e1/n1 = treated errors
+#: and size, e/n = stratum totals, n0/e0 = control
+_CMH_OE = "CAST(round((e1 - n1 * (e / CAST(n AS DOUBLE))) * 1e6) AS BIGINT)"
+_CMH_V = (
+    "CASE WHEN n > 1 THEN CAST(round("
+    "(n1::DOUBLE * n0 * e * (n - e)) / (CAST(n AS DOUBLE) * n * (n - 1.0))"
+    " * 1e6) AS BIGINT) ELSE 0 END"
+)
+_CMH_ORN = "CAST(round((e1 * (n0 - e0)) / CAST(n AS DOUBLE) * 1e6) AS BIGINT)"
+_CMH_ORD = "CAST(round((e0 * (n1 - e1)) / CAST(n AS DOUBLE) * 1e6) AS BIGINT)"
+
+
+@query(
+    "events_cmh_error_test",
+    f"""
+WITH d AS (
+  SELECT (epoch_us(ts) - (epoch_us(ts) % 86400000000)) // 86400000000 AS day,
+         (user_id % 2)::BIGINT AS grp,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+),
+st AS (
+  SELECT day,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN grp = 1 THEN is_err ELSE 0 END)::BIGINT AS e1,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN grp = 0 THEN is_err ELSE 0 END)::BIGINT AS e0
+  FROM d GROUP BY 1
+),
+t AS (
+  SELECT day, n1, e1, n0, e0, (n1 + n0) AS n, (e1 + e0) AS e FROM st
+  WHERE n1 > 0 AND n0 > 0
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_strata,
+         sum({_CMH_OE}) AS oe_micro, sum({_CMH_V}) AS v_micro,
+         sum({_CMH_ORN}) AS orn_micro, sum({_CMH_ORD}) AS ord_micro
+  FROM t
+),
+f AS (
+  SELECT n_strata, oe_micro::DOUBLE / 1e6 AS oe, v_micro::DOUBLE / 1e6 AS v,
+         orn_micro::DOUBLE AS orn, ord_micro::DOUBLE AS ordn
+  FROM s
+),
+z AS (
+  SELECT *, CASE WHEN v > 0 THEN round(sqrt((oe * oe) / v) + 1e-9, 6) END AS z6
+  FROM f
+)
+SELECT n_strata,
+       {_r6n_sql("oe")} AS o_minus_e,
+       {_r6n_sql("v")} AS variance,
+       CASE WHEN v > 0 THEN {_r6n_sql("(oe * oe) / v")} END AS cmh_chi2,
+       CASE WHEN v > 0 THEN {_r6n_sql("least(1.0, 2.0 * " + _phi_tail_sql("z6") + ")")} END AS p_value,
+       CASE WHEN ordn > 0 THEN {_r6n_sql("orn / ordn")} END AS mh_odds_ratio
+FROM z
+""",
+)
+def events_cmh_error_test(spark, sf_dir):
+    """Cochran-Mantel-Haenszel stratified 2x2 test (Cochran 1954,
+    Mantel & Haenszel 1959): does the cohort (user parity) differ in
+    error rate AFTER controlling for the day? — the confounder-immune
+    sibling of the pooled two-proportion z-test (Simpson's paradox can
+    flip the pooled test; CMH can't be fooled by day mix), with the
+    Mantel-Haenszel common odds ratio alongside.
+
+    Determinism: one (day x cohort) contingency rollup
+    (calendar-bounded), per-stratum hypergeometric O-E/variance and MH
+    numerator/denominator terms each rounded to integer micro-units
+    before the cross-stratum sums; z rounds to 6 dp before the shared
+    A&S polynomial."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        _epoch_day("ts").alias("day"),
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    st = d.groupBy("day").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("is_err")).otherwise(0))
+        .cast("long")
+        .alias("e1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("is_err")).otherwise(0))
+        .cast("long")
+        .alias("e0"),
+    )
+    t = (
+        st.where((F.col("n1") > 0) & (F.col("n0") > 0))
+        .withColumn("n", F.col("n1") + F.col("n0"))
+        .withColumn("e", F.col("e1") + F.col("e0"))
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.expr(_CMH_OE)).alias("oe_micro"),
+        F.sum(F.expr(_CMH_V)).alias("v_micro"),
+        F.sum(F.expr(_CMH_ORN)).alias("orn_micro"),
+        F.sum(F.expr(_CMH_ORD)).alias("ord_micro"),
+    )
+    f = s.select(
+        "n_strata",
+        (F.col("oe_micro").cast("double") / F.lit(1e6)).alias("oe"),
+        (F.col("v_micro").cast("double") / F.lit(1e6)).alias("v"),
+        F.col("orn_micro").cast("double").alias("orn"),
+        F.col("ord_micro").cast("double").alias("ordn"),
+    ).withColumn(
+        "z6",
+        F.when(
+            F.col("v") > 0,
+            F.round(
+                F.sqrt((F.col("oe") * F.col("oe")) / F.col("v")) + F.lit(1e-9),
+                6,
+            ),
+        ),
+    )
+    return f.select(
+        "n_strata",
+        _r6n(F.col("oe")).alias("o_minus_e"),
+        _r6n(F.col("v")).alias("variance"),
+        F.when(
+            F.col("v") > 0, _r6n((F.col("oe") * F.col("oe")) / F.col("v"))
+        ).alias("cmh_chi2"),
+        F.when(
+            F.col("v") > 0,
+            _r6n(F.least(F.lit(1.0), F.lit(2.0) * _phi_tail_col(F.col("z6")))),
+        ).alias("p_value"),
+        F.when(F.col("ordn") > 0, _r6n(F.col("orn") / F.col("ordn"))).alias(
+            "mh_odds_ratio"
+        ),
+    )
+
+
+#: Dirichlet query-likelihood smoothing mass (Zhai & Lafferty 2001)
+_QL_MU = 2000
+
+
+@query(
+    "text_ql_topk",
+    f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+ctot AS (SELECT sum(tf)::BIGINT AS c FROM tf),
+nq AS (SELECT query_id, count(*)::BIGINT AS nq FROM q GROUP BY 1),
+m AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(CAST(round(ln(1.0 + (tf.tf::DOUBLE * ctot.c)
+                               / ({_QL_MU}.0 * cf.cf)) * 1e6) AS BIGINT))
+           AS match_micro
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN cf ON cf.term = q.term, ctot
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         m.match_micro
+         + nq.nq * CAST(round(ln({_QL_MU}.0 / (dl.dl + {_QL_MU}.0)) * 1e6) AS BIGINT)
+           AS score_micro
+  FROM m JOIN dl ON dl.doc_id = m.doc_id
+  JOIN nq ON nq.query_id = m.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, rank::INT AS rank,
+       round(score_micro / 1e6, 6) AS score
+FROM r WHERE rank <= 5
+""",
+)
+def text_ql_topk(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001, mu={_QL_MU}): the language-modeling scorer next to BM25 —
+    ``score = sum_t ln(1 + tf*|C|/(mu*cf_t)) + |q| ln(mu/(dl+mu))``
+    (the efficient matched-terms-only form), the second lexical leg a
+    retrieval stack A/B-tests against Okapi.
+
+    Determinism: every ln term rounds to integer micro-units, so the
+    per-doc score is an exact integer and ranking (score desc, doc id
+    asc) is integer comparison — no float ordering anywhere.  Plan
+    shape identical to BM25: ONE corpus scan feeds the (doc, term, tf)
+    aggregate; cf/dl/totals derive from it; the query side broadcasts;
+    only matched docs are scored (inverted-index probe)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    ctot = tf.agg(F.sum("tf").cast("long").alias("c"))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    nq = q.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("nq"))
+    m = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(round(ln(1.0 + (CAST(tf AS DOUBLE) * c)"
+                    f" / ({_QL_MU}.0 * cf)) * 1e6) AS BIGINT)"
+                )
+            ).alias("match_micro")
+        )
+    )
+    scored = (
+        m.join(dl, "doc_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("match_micro")
+                + F.col("nq")
+                * F.expr(
+                    f"CAST(round(ln({_QL_MU}.0 / (dl + {_QL_MU}.0)) * 1e6)"
+                    " AS BIGINT)"
+                )
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("score_micro") / F.lit(1e6), 6).alias("score"),
+        )
+    )
+
+
+#: RBO persistence parameter and evaluation depth
+_RBO_P = 0.9
+_RBO_DEPTH = 10
+
+
+@query(
+    "retrieval_rbo_bm25_ql",
+    f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+dfq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+bm_scored AS (
+  SELECT q.query_id, tf.doc_id, {_r6n_sql(f"sum({_BM25_SCORE})")} AS score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), st
+  GROUP BY 1, 2
+),
+bm_r AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm_scored
+),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+ctot AS (SELECT sum(tf)::BIGINT AS c FROM tf),
+nq AS (SELECT query_id, count(*)::BIGINT AS nq FROM q GROUP BY 1),
+ql_m AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(CAST(round(ln(1.0 + (tf.tf::DOUBLE * ctot.c)
+                               / ({_QL_MU}.0 * cf.cf)) * 1e6) AS BIGINT))
+           AS match_micro
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN cf ON cf.term = q.term, ctot
+  GROUP BY 1, 2
+),
+ql_scored AS (
+  SELECT ql_m.query_id, ql_m.doc_id,
+         ql_m.match_micro
+         + nq.nq * CAST(round(ln({_QL_MU}.0 / (dl.dl + {_QL_MU}.0)) * 1e6) AS BIGINT)
+           AS score_micro
+  FROM ql_m JOIN dl ON dl.doc_id = ql_m.doc_id
+  JOIN nq ON nq.query_id = ql_m.query_id
+),
+ql_r AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM ql_scored
+),
+la AS (SELECT query_id, list(doc_id ORDER BY rank) AS a FROM bm_r
+       WHERE rank <= {_RBO_DEPTH} GROUP BY 1),
+lb AS (SELECT query_id, list(doc_id ORDER BY rank) AS b FROM ql_r
+       WHERE rank <= {_RBO_DEPTH} GROUP BY 1),
+x AS (
+  SELECT la.query_id, a, b,
+         list_transform(generate_series(1, {_RBO_DEPTH}), d ->
+           len(list_intersect(a[1:least(d, len(a))],
+                              b[1:least(d, len(b))]))) AS xs
+  FROM la JOIN lb USING (query_id)
+)
+SELECT query_id,
+       xs[{_RBO_DEPTH}]::BIGINT AS overlap_at_10,
+       {_r6n_sql(f"(1.0 - {_RBO_P!r}) * list_sum(list_transform(generate_series(1, {_RBO_DEPTH}), d -> pow({_RBO_P!r}, d - 1) * xs[d] / d))")} AS rbo
+FROM x
+""",
+)
+def retrieval_rbo_bm25_ql(spark, sf_dir):
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010; p={_RBO_P},
+    truncated at depth {_RBO_DEPTH}) between the BM25 and
+    query-likelihood rankings for each probe query — the top-weighted
+    rank-agreement metric that tells a retrieval stack whether its two
+    lexical scorers actually disagree where it matters (Kendall/RBO on
+    full lists overweight the tail; RBO's geometric weights don't).
+
+    Both rankings come from the SAME deterministic integer-ranked
+    retrieval heads (k={_RBO_DEPTH}); overlaps are exact integers and
+    the RBO fold is an in-row list sum with Python-printed p powers —
+    both engines evaluate the identical arithmetic.  Scale: two
+    retrieval probes + an 3-row list join."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bm = TX.bm25_topk(d, "text", "doc_id", _BM25_QUERIES, k=_RBO_DEPTH)
+    ql = _ql_ranked(spark, sf_dir, k=_RBO_DEPTH)
+    la = bm.groupBy("query_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(rk, doc_id))), s -> s.doc_id)").alias("a")
+    )
+    lb = ql.groupBy("query_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(rank, doc_id))), s -> s.doc_id)").alias("b")
+    )
+    xs = (
+        "transform(sequence(1, %d), d ->"
+        " size(array_intersect(slice(a, 1, least(d, size(a))),"
+        " slice(b, 1, least(d, size(b))))))" % _RBO_DEPTH
+    )
+    rbo = (
+        f"(1.0 - {_RBO_P!r}) * aggregate(sequence(1, {_RBO_DEPTH}),"
+        f" CAST(0.0 AS DOUBLE), (acc, d) -> acc"
+        f" + pow({_RBO_P!r}, d - 1) * element_at(xs, d) / d)"
+    )
+    return (
+        la.join(lb, "query_id")
+        .withColumn("xs", F.expr(xs))
+        .select(
+            "query_id",
+            F.element_at("xs", _RBO_DEPTH).cast("long").alias("overlap_at_10"),
+            _r6n(F.expr(rbo)).alias("rbo"),
+        )
+    )
+
+
+def _ql_ranked(spark, sf_dir, k: int = 5):
+    """The query-likelihood retrieval head of ``text_ql_topk`` at an
+    arbitrary k (shared by the RBO agreement harness)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    ctot = tf.agg(F.sum("tf").cast("long").alias("c"))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    nq = q.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("nq"))
+    m = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(round(ln(1.0 + (CAST(tf AS DOUBLE) * c)"
+                    f" / ({_QL_MU}.0 * cf)) * 1e6) AS BIGINT)"
+                )
+            ).alias("match_micro")
+        )
+    )
+    scored = (
+        m.join(dl, "doc_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("match_micro")
+                + F.col("nq")
+                * F.expr(
+                    f"CAST(round(ln({_QL_MU}.0 / (dl + {_QL_MU}.0)) * 1e6)"
+                    " AS BIGINT)"
+                )
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -143,6 +143,16 @@ BNLJ_BOUNDED: dict[str, str] = {
         _SCALAR + " (1-row transition-total join-back; the matrix row is "
         "|types|^2 nested arrays)"
     ),
+    "events_absorbing_steps": (
+        "|types|^2 transient-grid crossJoin(broadcast) — bounded by the "
+        "event-type domain, never data-sized (same shape as the "
+        "stationary-distribution sibling)"
+    ),
+    "text_ql_topk": _SCALAR + " (1-row corpus-token-total join-back)",
+    "retrieval_rbo_bm25_ql": (
+        _SCALAR + " (BM25 n_docs/sum_dl row + QL corpus-token-total row, "
+        "one per retrieval head)"
+    ),
     "events_littles_law": _SCALAR + " (1-row span join-back)",
     "quality_isotonic_calibration": (
         "minimax interval joins over the <=10-row decile-bin relation "

@@ -17296,6 +17296,618 @@ def _ql_ranked(spark, sf_dir, k: int = 5):
     )
 
 
+#: windowed-funnel chain budget: the whole view->click->purchase chain
+#: must complete within this many microseconds of its anchoring view
+_FUNNEL_W_US = 7 * 86_400_000_000
+
+
+@query(
+    "events_window_funnel",
+    f"""
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+  FROM events
+),
+a AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'view' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS anchor
+  FROM s
+),
+b AS (
+  SELECT *,
+         CASE WHEN event_type = 'click' AND us - anchor <= {_FUNNEL_W_US}
+              THEN anchor END AS click_anchor
+  FROM a
+),
+c AS (
+  SELECT *,
+         max(click_anchor)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+  FROM b
+),
+u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+         max(CASE WHEN click_anchor IS NOT NULL THEN 1 ELSE 0 END) AS l2,
+         max(CASE WHEN event_type = 'purchase'
+                   AND us - best <= {_FUNNEL_W_US} THEN 1 ELSE 0 END) AS l3
+  FROM c GROUP BY 1
+)
+SELECT g.lvl AS level,
+       sum(CASE WHEN g.lvl = 1 THEN u.l1
+                WHEN g.lvl = 2 THEN u.l2 ELSE u.l3 END)::BIGINT AS n_users
+FROM u CROSS JOIN (SELECT unnest([1, 2, 3]) AS lvl) g
+GROUP BY 1
+""",
+)
+def events_window_funnel(spark, sf_dir):
+    """Windowed strict-order funnel (the windowFunnel shape popularized
+    by ClickHouse): users reaching view -> click-within-7-days-of-a-view
+    -> purchase-within-7-days-of-that-chain's-view, with the window
+    anchored at the chain's OPENING view — the existing ordered funnel
+    has no time budget, this one drops chains that wander past it.
+
+    Strict precedence is the pinned (ts, event_id) sequence (ROWS ... 1
+    PRECEDING frames).  The chain search is exact, not greedy-first: a
+    click carries the LATEST view before it as its anchor (anchors are
+    monotone in click time), and a purchase probes the max anchor over
+    qualifying clicks before it — maximizing the anchor maximizes the
+    remaining budget, so if the best chain fails every chain fails.
+
+    Scale shape: everything rides ONE user-keyed shuffle (two window
+    passes + the final per-user rollup share the partitioning); level
+    counts are a 3-row unpivot.  No per-row Python, no self-joins."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wseq = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    a = s.withColumn(
+        "anchor",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("us"))
+        ).over(wseq),
+    )
+    b = a.withColumn(
+        "click_anchor",
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("us") - F.col("anchor") <= _FUNNEL_W_US),
+            F.col("anchor"),
+        ),
+    )
+    c = b.withColumn("best", F.max("click_anchor").over(wseq))
+    u = c.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("l1"),
+        F.max(
+            F.when(F.col("click_anchor").isNotNull(), 1).otherwise(0)
+        ).alias("l2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") - F.col("best") <= _FUNNEL_W_US),
+                1,
+            ).otherwise(0)
+        ).alias("l3"),
+    )
+    lvl = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("level")
+    return (
+        u.select("l1", "l2", "l3", lvl)
+        .groupBy("level")
+        .agg(
+            F.sum(
+                F.when(F.col("level") == 1, F.col("l1"))
+                .when(F.col("level") == 2, F.col("l2"))
+                .otherwise(F.col("l3"))
+            )
+            .cast("long")
+            .alias("n_users")
+        )
+    )
+
+
+@query(
+    "near_dup_golden_records",
+    f"""
+WITH comp AS (
+  {SIM.near_dup_components_oracle_sql(0.5)}
+),
+m AS (
+  SELECT comp.component, d.doc_id, d.n_chars, d.source
+  FROM comp JOIN documents d USING (doc_id)
+),
+mx AS (SELECT component, max(n_chars) AS mc FROM m GROUP BY 1),
+can AS (
+  SELECT m.component, min(m.doc_id) AS canonical_doc
+  FROM m JOIN mx ON mx.component = m.component AND m.n_chars = mx.mc
+  GROUP BY 1
+)
+SELECT m.component, count(*)::BIGINT AS n_members,
+       sum(m.n_chars)::BIGINT AS total_chars,
+       count(DISTINCT m.source)::BIGINT AS n_sources,
+       any_value(can.canonical_doc) AS canonical_doc
+FROM m JOIN can USING (component)
+GROUP BY m.component HAVING count(*) >= 2
+""",
+)
+def near_dup_golden_records(spark, sf_dir):
+    """Golden-record survivorship over the near-dup clusters (the merge
+    step every entity-resolution pipeline runs after matching): each
+    multi-member connected component collapses to ONE canonical record —
+    the longest document wins, ties broken by the smallest doc id — plus
+    the cluster's member count, total chars, and distinct-source reach.
+
+    The canonical pick is the reference's own ``max_by`` aggregate
+    (`src/max_min_by.rs:6-114`) over the composite ordering
+    ``struct(n_chars, -doc_id)`` — the survivorship rule expressed as a
+    single reference-surface aggregate instead of a max+join-back.
+
+    Scale shape: the component labels come from the LSH-pruned iterative
+    min-label propagation (never all-pairs); the rollup is one hash
+    aggregate per cluster keyed by component id."""
+    d = load_table(spark, sf_dir, "documents")
+    comp = SIM.near_dup_components(d, "text", "doc_id", threshold=0.5)
+    m = comp.join(d.select("doc_id", "n_chars", "source"), "doc_id")
+    return (
+        m.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            max_by(
+                "doc_id",
+                F.struct(
+                    F.col("n_chars").alias("o"),
+                    (-F.col("doc_id")).alias("t"),
+                ),
+            ).alias("canonical_doc"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+
+
+#: retrieval-eval depth for MAP/MRR over the BM25 head
+_MAP_K = 10
+
+
+@query(
+    "retrieval_map_mrr",
+    f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+dfq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+bm_scored AS (
+  SELECT q.query_id, tf.doc_id, {_r6n_sql(f"sum({_BM25_SCORE})")} AS score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), st
+  GROUP BY 1, 2
+),
+bm_r AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM bm_scored
+),
+nq AS (SELECT query_id, count(*)::BIGINT AS nq FROM q GROUP BY 1),
+rel AS (
+  SELECT q.query_id, tf.doc_id
+  FROM q JOIN tf USING (term) JOIN nq USING (query_id)
+  GROUP BY 1, 2, nq.nq HAVING count(*) = nq.nq
+),
+rtot AS (SELECT query_id, count(*)::BIGINT AS n_relevant FROM rel GROUP BY 1),
+head AS (
+  SELECT bm_r.query_id, bm_r.rk,
+         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM bm_r LEFT JOIN rel
+    ON rel.query_id = bm_r.query_id AND rel.doc_id = bm_r.doc_id
+  WHERE bm_r.rk <= {_MAP_K}
+),
+cum AS (
+  SELECT query_id, rk, is_rel,
+         sum(is_rel) OVER (PARTITION BY query_id ORDER BY rk) AS cr
+  FROM head
+),
+per AS (
+  SELECT query_id,
+         min(CASE WHEN is_rel = 1 THEN rk END) AS first_rel,
+         sum(CASE WHEN is_rel = 1 THEN cr::DOUBLE / rk ELSE 0.0 END) AS psum
+  FROM cum GROUP BY 1
+)
+SELECT rtot.query_id, rtot.n_relevant,
+       per.first_rel::BIGINT AS first_rel_rank,
+       {_r6n_sql("coalesce(1.0 / per.first_rel, 0.0)")} AS rr,
+       {_r6n_sql(f"per.psum / least(rtot.n_relevant, {_MAP_K})")} AS ap_at_10
+FROM rtot JOIN per USING (query_id)
+""",
+)
+def retrieval_map_mrr(spark, sf_dir):
+    """MAP@{_MAP_K} and reciprocal rank of the BM25 retrieval head
+    against a deterministic conjunctive relevance rule (a document is
+    relevant iff it contains EVERY query term) — the standard
+    Cranfield-style effectiveness pair (mean average precision: Buckley
+    & Voorhees 2000-era TREC convention) next to the rank-agreement
+    (RBO) and gain-based (nDCG) lenses already in the eval battery.
+
+    All precision terms are small-integer rationals (cumulative-relevant
+    / rank over a 10-row head), summed in rank order on both engines;
+    AP normalizes by min(R, {_MAP_K}).
+
+    Scale shape: relevance is a broadcast-query-side conjunctive count
+    (HAVING count = |q|) on the same (doc, term, tf) relation the BM25
+    probe reads — one corpus scan serves scorer AND judge; the head is
+    {_MAP_K} rows per query, so the eval windows are query-partitioned
+    and bounded."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bm = TX.bm25_topk(d, "text", "doc_id", _BM25_QUERIES, k=_MAP_K)
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    nq = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    rel = (
+        F.broadcast(q)
+        .join(tok.distinct(), "term")
+        .join(F.broadcast(nq), "query_id")
+        .groupBy("query_id", "doc_id", "nq")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") == F.col("nq"))
+        .select("query_id", "doc_id", F.lit(1).alias("is_rel"))
+    )
+    rtot = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    head = bm.join(rel, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "rk",
+        F.coalesce(F.col("is_rel"), F.lit(0)).alias("is_rel"),
+    )
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = head.withColumn("cr", F.sum("is_rel").over(wcum))
+    per = cum.groupBy("query_id").agg(
+        F.min(F.when(F.col("is_rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum(
+            F.when(
+                F.col("is_rel") == 1,
+                F.col("cr").cast("double") / F.col("rk"),
+            ).otherwise(F.lit(0.0))
+        ).alias("psum"),
+    )
+    return per.join(rtot, "query_id").select(
+        "query_id",
+        "n_relevant",
+        F.col("first_rel").cast("long").alias("first_rel_rank"),
+        _r6n(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0))
+        ).alias("rr"),
+        _r6n(
+            F.col("psum") / F.least(F.col("n_relevant"), F.lit(_MAP_K))
+        ).alias("ap_at_10"),
+    )
+
+
+#: PACF depth: partial autocorrelations at lags 1..K via Durbin-Levinson
+_PACF_K = 7
+
+
+@query(
+    "events_pacf",
+    f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(c)::BIGINT AS s,
+         sum(c * c)::BIGINT AS q
+  FROM daily GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(1, {_PACF_K})) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, count(*) AS p,
+         sum(a.c * b.c)::BIGINT AS scc,
+         sum(a.c + b.c)::BIGINT AS sp
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+  GROUP BY 1, 2
+),
+rho_g AS (
+  SELECT s.event_type, l.lag,
+         CASE WHEN p.p IS NULL
+                OR s.n::DOUBLE * (s.n::DOUBLE * s.q - s.s::DOUBLE * s.s) = 0
+              THEN 0.0
+              ELSE round(
+                (s.n::DOUBLE * s.n * p.scc - s.n::DOUBLE * s.s * p.sp
+                 + p.p::DOUBLE * s.s * s.s)
+                / (s.n::DOUBLE * (s.n::DOUBLE * s.q - s.s::DOUBLE * s.s))
+                + 1e-9, 6) END AS r
+  FROM stats s CROSS JOIN lags l
+  LEFT JOIN pairs p ON p.event_type = s.event_type AND p.lag = l.lag
+),
+rv AS (SELECT event_type, list(r ORDER BY lag) AS rho FROM rho_g GROUP BY 1),
+it AS (
+  SELECT event_type, rho, 1 AS k,
+         [rho[1]] AS phi, [rho[1]] AS pac
+  FROM rv
+  UNION ALL
+  SELECT event_type, rho, k + 1,
+         list_append(
+           list_transform(generate_series(1, k),
+             j -> round(phi[j] - pk * phi[k + 1 - j] + 1e-9, 6)),
+           pk) AS phi,
+         list_append(pac, pk) AS pac
+  FROM (
+    SELECT *, round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END
+                    + 1e-9, 6) AS pk
+    FROM (
+      SELECT it.*,
+        rho[k + 1] - list_sum(list_transform(generate_series(1, k),
+          j -> phi[j] * rho[k + 1 - j])) AS num,
+        1.0 - list_sum(list_transform(generate_series(1, k),
+          j -> phi[j] * rho[j])) AS den
+      FROM it WHERE k < {_PACF_K}
+    ) x
+  ) y
+),
+fin AS (SELECT event_type, pac FROM it WHERE k = {_PACF_K})
+SELECT fin.event_type, g.lag::BIGINT AS lag, fin.pac[g.lag] AS pacf
+FROM fin CROSS JOIN (SELECT unnest(generate_series(1, {_PACF_K})) AS lag) g
+""",
+)
+def events_pacf(spark, sf_dir):
+    """Partial autocorrelation function of each event type's daily-count
+    series at lags 1..{_PACF_K} via the Durbin-Levinson recursion
+    (Durbin 1960; Box & Jenkins 1970) — the AR-order selection
+    diagnostic the raw ACF cannot provide (ACF of an AR(1) decays
+    forever; its PACF cuts off at lag 1).
+
+    Determinism: the lag-l autocorrelations come from the same exact
+    integer-sum algebra as ``events_acf`` (rounded 6 dp), and every
+    Durbin-Levinson level rounds both the new reflection coefficient
+    and the updated phi vector to 6 dp — a pinned per-level trajectory,
+    so both engines fold the identical doubles.
+
+    Scale shape: the corpus reduces to a (type, day) histogram in one
+    pass; the lag pairing is a fixed-fan-out hash self-join
+    (calendar-bounded); the |types| rho vectors collapse to one row per
+    type and the entire recursion is in-row array arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", _epoch_day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    a = daily.select(
+        "event_type",
+        "d",
+        F.col("c").alias("ca"),
+        F.explode(F.sequence(F.lit(1), F.lit(_PACF_K))).alias("lag"),
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.withColumn("d2", F.col("d") + F.col("lag"))
+        .join(b, ["event_type", "d2"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("p"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("scc"),
+            F.sum(F.col("ca") + F.col("cb")).cast("long").alias("sp"),
+        )
+    )
+    grid = stats.select(
+        "event_type",
+        "n",
+        "s",
+        "q",
+        F.explode(F.sequence(F.lit(1), F.lit(_PACF_K))).alias("lag"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    var_den = n.cast("double") * (
+        n.cast("double") * q - s.cast("double") * s
+    )
+    num = (
+        n.cast("double") * n * F.col("scc")
+        - n.cast("double") * s * F.col("sp")
+        + F.col("p").cast("double") * s * s
+    )
+    rho_g = grid.join(pairs, ["event_type", "lag"], "left").select(
+        "event_type",
+        "lag",
+        F.when(
+            F.col("p").isNull() | (var_den == 0), F.lit(0.0)
+        )
+        .otherwise(F.round(num / var_den + F.lit(1e-9), 6))
+        .alias("r"),
+    )
+    rv = rho_g.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(lag, r))), x -> x.r)"
+        ).alias("rho")
+    )
+    it = rv.select(
+        "event_type",
+        "rho",
+        F.expr("array(element_at(rho, 1))").alias("phi"),
+        F.expr("array(element_at(rho, 1))").alias("pac"),
+    )
+    for k in range(1, _PACF_K):
+        num_e = (
+            f"element_at(rho, {k + 1})"
+            f" - aggregate(sequence(1, {k}), CAST(0.0 AS DOUBLE),"
+            f" (acc, j) -> acc + element_at(phi, j)"
+            f" * element_at(rho, {k + 1} - j))"
+        )
+        den_e = (
+            f"1.0 - aggregate(sequence(1, {k}), CAST(0.0 AS DOUBLE),"
+            f" (acc, j) -> acc + element_at(phi, j) * element_at(rho, j))"
+        )
+        it = it.withColumn(
+            "pk",
+            F.expr(
+                f"round(CASE WHEN ({den_e}) = 0 THEN 0.0"
+                f" ELSE ({num_e}) / ({den_e}) END + 1e-9, 6)"
+            ),
+        ).select(
+            "event_type",
+            "rho",
+            F.expr(
+                f"concat(transform(slice(phi, 1, {k}),"
+                f" (x, i) -> round(x - pk * element_at(phi, {k} - i)"
+                f" + 1e-9, 6)), array(pk))"
+            ).alias("phi"),
+            F.expr("concat(pac, array(pk))").alias("pac"),
+        )
+    return it.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {_PACF_K}),"
+                " l -> struct(CAST(l AS BIGINT) AS lag,"
+                " element_at(pac, l) AS pacf))"
+            )
+        ).alias("z"),
+    ).select("event_type", F.col("z.lag").alias("lag"), F.col("z.pacf").alias("pacf"))
+
+
+#: sorted-neighborhood window size (rank distance < w pairs up)
+_SNM_W = 4
+_SNM_KEYLEN = 32
+_SNM_THRESHOLD = 0.3
+
+
+@query(
+    "docs_sorted_neighborhood_pairs",
+    f"""
+WITH t AS (SELECT doc_id AS id, {SIM._NORM_SQL} AS norm, {SIM._TOKS_SQL} AS toks
+           FROM documents),
+sh AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [norm] END AS shingles
+  FROM t
+),
+dsh AS (SELECT id, list_distinct(shingles) AS sh FROM sh),
+r AS (
+  SELECT id, substring(norm, 1, {_SNM_KEYLEN}) AS k,
+         row_number() OVER (ORDER BY substring(norm, 1, {_SNM_KEYLEN}), id)
+           AS rn
+  FROM t
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM r a
+  CROSS JOIN (SELECT unnest(generate_series(1, {_SNM_W - 1})) AS off) o
+  JOIN r b ON b.rn = a.rn + o.off
+),
+scored AS (
+  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+         {SIM.r6n_sql("len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE")} AS jaccard
+  FROM cand
+  JOIN dsh a ON a.id = cand.id_a
+  JOIN dsh b ON b.id = cand.id_b
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+        >= {_SNM_THRESHOLD}
+)
+SELECT DISTINCT id_a, id_b, jaccard FROM scored
+""",
+)
+def docs_sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood near-dup blocking (Hernandez & Stolfo 1995,
+    the merge/purge method): sort the corpus by a compact key (first
+    {_SNM_KEYLEN} chars of the normalized text), pair each record with
+    its w-1={_SNM_W - 1} successors in that order, and verify candidates
+    with exact 3-word-shingle Jaccard (threshold {_SNM_THRESHOLD}) — the
+    classic LINEAR-candidate alternative to LSH banding (O(n*w) pairs vs
+    the band-bucket joins), strongest when duplicates share prefixes.
+
+    Scale shape: the global sort position comes from the two-phase
+    ``global_rank`` primitive (range repartition + broadcast offsets —
+    never a single-partition window); the successor pairing is an exact
+    fan-out-{_SNM_W - 1} EQUI-join on the rank value; verification
+    touches candidates only."""
+    from .functions.distribution import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.substring(norm, 1, _SNM_KEYLEN).alias("k"),
+    )
+    r = global_rank(base, [F.col("k").asc(), F.col("id").asc()], "rn")
+    offs = F.explode(
+        F.sequence(F.lit(1), F.lit(_SNM_W - 1))
+    ).alias("off")
+    left = r.select(F.col("id").alias("id_a"), "rn", offs).withColumn(
+        "rn_b", F.col("rn") + F.col("off")
+    )
+    cand = left.join(
+        r.select(F.col("id").alias("id_b"), F.col("rn").alias("rn_b")),
+        "rn_b",
+    ).select("id_a", "id_b")
+    dsh = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(TX.shingles_or_whole(F.col("text"))).alias("sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(
+        F.array_distinct(F.concat(F.col("a_sh"), F.col("b_sh")))
+    )
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(
+            dsh.select(F.col("id").alias("id_a"), F.col("sh").alias("a_sh")),
+            "id_a",
+        )
+        .join(
+            dsh.select(F.col("id").alias("id_b"), F.col("sh").alias("b_sh")),
+            "id_b",
+        )
+        .where(jac >= F.lit(_SNM_THRESHOLD))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            _r6n(jac).alias("jaccard"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

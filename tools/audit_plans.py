@@ -149,6 +149,7 @@ BNLJ_BOUNDED: dict[str, str] = {
         "stationary-distribution sibling)"
     ),
     "text_ql_topk": _SCALAR + " (1-row corpus-token-total join-back)",
+    "retrieval_map_mrr": _SCALAR + " (BM25 n_docs/sum_dl corpus-stats row)",
     "retrieval_rbo_bm25_ql": (
         _SCALAR + " (BM25 n_docs/sum_dl row + QL corpus-token-total row, "
         "one per retrieval head)"
@@ -247,6 +248,9 @@ BNLJ_BOUNDED: dict[str, str] = {
 #: unbounded data relation.
 UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "corpus_zipf_slope": "rank over the sort+limit(1000) head — 1000 rows",
+    "docs_sorted_neighborhood_pairs": (
+        "two-phase global_rank offset window (<= #partitions rows)"
+    ),
     "events_session_top_paths": "rank over the sort+limit(10) head — 10 rows",
     "parts_pareto_frontier": (
         "256-row bucket cum-min + final sweep over grid-prune SURVIVORS "

@@ -17908,6 +17908,485 @@ def docs_sorted_neighborhood_pairs(spark, sf_dir):
     )
 
 
+#: Hilbert curve order (bits per dimension); dims are 8-bit buckets
+_HILBERT_BITS = 8
+_HILBERT_N = 1 << _HILBERT_BITS
+
+
+def _hilbert_sql_ctes(x0: str, y0: str) -> str:
+    """Unrolled xy2d Hilbert fold as a CTE chain (one level per CTE):
+    state (hx, hy, hd) transforms per bit level exactly as the classic
+    quadrant-rotation algorithm, all integer CASE/shift arithmetic."""
+    n1 = _HILBERT_N - 1
+    ctes = [f"h{_HILBERT_BITS} AS (SELECT event_id, {x0} AS hx, {y0} AS hy, 0::BIGINT AS hd FROM e)"]
+    for k in range(_HILBERT_BITS - 1, -1, -1):
+        s = 1 << k
+        prev = f"h{k + 1}"
+        rx = f"((hx >> {k}) & 1)"
+        ry = f"((hy >> {k}) & 1)"
+        ctes.append(
+            f"""h{k} AS (
+  SELECT event_id,
+         CASE WHEN {ry} = 0 THEN
+           CASE WHEN {rx} = 1 THEN {n1} - hy ELSE hy END
+         ELSE hx END AS hx,
+         CASE WHEN {ry} = 0 THEN
+           CASE WHEN {rx} = 1 THEN {n1} - hx ELSE hx END
+         ELSE hy END AS hy,
+         hd + {s * s}::BIGINT * xor(3 * {rx}, {ry}) AS hd
+  FROM {prev}
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+@query(
+    "events_hilbert_keys",
+    f"""
+WITH e AS (
+  SELECT event_id,
+         user_id & {_HILBERT_N - 1} AS xb,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) & {_HILBERT_N - 1} AS yb
+  FROM events
+),
+{_hilbert_sql_ctes("xb", "yb")}
+SELECT event_id, hd AS hkey FROM h0
+""",
+)
+def events_hilbert_keys(spark, sf_dir):
+    """Hilbert-curve clustering keys over (user, hour) — the
+    locality-preserving sibling of the Morton z-order layout
+    (``events_zorder_keys``): consecutive Hilbert indices are ALWAYS
+    2-D neighbors (Morton jumps at quadrant seams), so range scans on
+    either dimension touch fewer row groups at the same key width
+    (Hilbert 1891; the d2xy/xy2d quadrant-rotation form of Butz 1971).
+
+    The xy2d fold is unrolled over the {_HILBERT_BITS} bit levels as
+    pure integer CASE/shift/xor arithmetic — one codegen'd projection
+    chain per row, bit-exact against the oracle's identical CTE chain.
+    Writing is then ``df.sort('hkey').write`` like the z-order sink."""
+    e = load_table(spark, sf_dir, "events")
+    n1 = F.lit(_HILBERT_N - 1)
+    cur = e.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(n1).alias("hx"),
+        F.expr("unix_micros(ts) div 3600000000")
+        .bitwiseAND(n1)
+        .alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+    )
+    for k in range(_HILBERT_BITS - 1, -1, -1):
+        s = 1 << k
+        rx = F.shiftrightunsigned(F.col("hx"), k).bitwiseAND(F.lit(1))
+        ry = F.shiftrightunsigned(F.col("hy"), k).bitwiseAND(F.lit(1))
+        cur = cur.select(
+            "event_id",
+            F.when(
+                ry == 0,
+                F.when(rx == 1, n1 - F.col("hy")).otherwise(F.col("hy")),
+            )
+            .otherwise(F.col("hx"))
+            .alias("hx"),
+            F.when(
+                ry == 0,
+                F.when(rx == 1, n1 - F.col("hx")).otherwise(F.col("hx")),
+            )
+            .otherwise(F.col("hy"))
+            .alias("hy"),
+            (
+                F.col("hd")
+                + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+            ).alias("hd"),
+        )
+    return cur.select("event_id", F.col("hd").alias("hkey"))
+
+
+#: AMS sketch lanes (independent +/-1 hash projections)
+_AMS_LANES = 9
+
+
+@query(
+    "events_f2_sketch",
+    f"""
+WITH c AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1),
+lanes AS (SELECT unnest(generate_series(1, {_AMS_LANES})) AS lane),
+sg AS (
+  SELECT l.lane, c.c,
+         CASE WHEN substring(md5(l.lane::VARCHAR || ':' || c.user_id::VARCHAR), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS sign
+  FROM c CROSS JOIN lanes l
+),
+est AS (
+  SELECT lane, sum(sign * c)::BIGINT AS sl FROM sg GROUP BY 1
+),
+med AS (
+  SELECT list_sort(list(sl * sl))[({_AMS_LANES} + 1) // 2] AS f2_est
+  FROM est
+),
+ex AS (SELECT sum(c * c)::BIGINT AS f2_exact FROM c)
+SELECT ex.f2_exact, med.f2_est,
+       round(abs(med.f2_est - ex.f2_exact)::DOUBLE / ex.f2_exact + 1e-9, 6)
+         AS rel_err
+FROM ex, med
+""",
+)
+def events_f2_sketch(spark, sf_dir):
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996)
+    over the per-user event counts: each of {_AMS_LANES} lanes projects
+    the frequency vector onto deterministic md5-derived +/-1 signs, the
+    squared lane sum is an unbiased F2 estimate, and the median lane
+    de-noises — the streaming-friendly self-join-size / skew estimator
+    next to the CMS inner-product variant (F2 IS the self-join size).
+
+    Everything is exact integer arithmetic (signed sums, squares,
+    median of {_AMS_LANES} longs), so the estimate is bit-reproducible;
+    only the final relative error rounds.
+
+    Scale shape: one user-count aggregate, fan-out {_AMS_LANES} lane
+    explode, one lane aggregate, a {_AMS_LANES}-row median collapse —
+    no state beyond |lanes| counters, mergeable across partitions."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    sg = c.select(
+        "user_id",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.lit(_AMS_LANES))).alias("lane"),
+    ).withColumn(
+        "sign",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("lane").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ).isin("0", "2", "4", "6", "8", "a", "c", "e"),
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    est = sg.groupBy("lane").agg(
+        F.sum(F.col("sign") * F.col("c")).cast("long").alias("sl")
+    )
+    med = est.agg(
+        F.expr(
+            f"element_at(array_sort(collect_list(sl * sl)),"
+            f" CAST(({_AMS_LANES} + 1) div 2 AS INT))"
+        ).alias("f2_est")
+    )
+    ex = c.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    return ex.crossJoin(F.broadcast(med)).select(
+        "f2_exact",
+        "f2_est",
+        F.round(
+            F.abs(F.col("f2_est") - F.col("f2_exact")).cast("double")
+            / F.col("f2_exact")
+            + F.lit(1e-9),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+#: Markov-attribution conversion state and pinned iteration count
+_MATTR_CONV = "purchase"
+_MATTR_ROUNDS = 40
+
+
+@query(
+    "events_markov_attribution",
+    f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+),
+pk AS (
+  SELECT user_id, min(ROW(ts, event_id)) AS pkey
+  FROM ev WHERE event_type = '{_MATTR_CONV}' GROUP BY 1
+),
+kept AS (
+  SELECT ev.* FROM ev LEFT JOIN pk USING (user_id)
+  WHERE pk.pkey IS NULL OR ROW(ev.ts, ev.event_id) <= pk.pkey
+),
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lead(event_type) OVER w AS next_type
+  FROM kept
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+edges AS (
+  SELECT coalesce(prev_type, '__start') AS src, event_type AS dst FROM seq
+  UNION ALL
+  SELECT event_type AS src, '__end' AS dst FROM seq
+  WHERE next_type IS NULL AND event_type <> '{_MATTR_CONV}'
+),
+tr AS (SELECT src, dst, count(*) AS c FROM edges GROUP BY 1, 2),
+rowm AS (SELECT src, sum(c)::BIGINT AS nr FROM tr GROUP BY 1),
+types AS (SELECT src AS t FROM tr GROUP BY 1),
+qmat AS (
+  SELECT g.ts_ AS ts_,
+         list(qrow ORDER BY pt) AS q, list(rv ORDER BY pt) AS r
+  FROM (
+    SELECT t0.t AS pt,
+           list(round(coalesce(tr.c, 0)::DOUBLE / rowm.nr + 1e-9, 6)
+                ORDER BY t2.t) AS qrow,
+           any_value(round(coalesce(rp.c, 0)::DOUBLE / rowm.nr + 1e-9, 6))
+             AS rv
+    FROM types t0
+    CROSS JOIN types t2
+    LEFT JOIN tr ON tr.src = t0.t AND tr.dst = t2.t
+    LEFT JOIN tr rp ON rp.src = t0.t AND rp.dst = '{_MATTR_CONV}'
+    JOIN rowm ON rowm.src = t0.t
+    GROUP BY t0.t
+  ) _, (SELECT list(t ORDER BY t) AS ts_ FROM types) g
+  GROUP BY g.ts_
+),
+vars_ AS (
+  SELECT unnest(list_prepend('__full',
+           list_filter(ts_, t -> t <> '__start'))) AS v
+  FROM qmat
+),
+vmat AS (
+  SELECT v, ts_,
+         list_transform(generate_series(1, len(ts_)), i ->
+           list_transform(generate_series(1, len(ts_)), j ->
+             CASE WHEN ts_[i] = v OR ts_[j] = v THEN 0.0
+                  ELSE q[i][j] END)) AS q,
+         list_transform(generate_series(1, len(ts_)), i ->
+           CASE WHEN ts_[i] = v THEN 0.0 ELSE r[i] END) AS r
+  FROM vars_ CROSS JOIN qmat
+),
+it AS (
+  SELECT v, ts_, q, r, 0 AS k, r AS hv FROM vmat
+  UNION ALL
+  SELECT v, ts_, q, r, k + 1,
+         list_transform(generate_series(1, len(hv)), i ->
+           round(r[i] + list_sum(list_transform(generate_series(1, len(hv)),
+                 j -> q[i][j] * hv[j])) + 1e-9, 6))
+  FROM it WHERE k < {_MATTR_ROUNDS}
+),
+fin AS (
+  SELECT v, hv[list_position(ts_, '__start')] AS p
+  FROM it WHERE k = {_MATTR_ROUNDS}
+),
+pf AS (SELECT p AS p_full FROM fin WHERE v = '__full'),
+re AS (
+  SELECT fin.v AS removed_type, fin.p AS p_conv, pf.p_full,
+         CASE WHEN pf.p_full > 0
+              THEN greatest(0.0, round(1.0 - fin.p / pf.p_full + 1e-9, 6))
+              ELSE 0.0 END AS removal_effect
+  FROM fin, pf WHERE fin.v <> '__full'
+),
+tot AS (SELECT sum(removal_effect) AS sre FROM re)
+SELECT removed_type, p_conv, p_full, removal_effect,
+       CASE WHEN tot.sre > 0
+            THEN round(removal_effect / tot.sre + 1e-9, 6) END AS credit_share
+FROM re, tot
+""",
+)
+def events_markov_attribution(spark, sf_dir):
+    """Markov removal-effect channel attribution (Anderl et al. 2014):
+    model each user's pre-conversion event path as a first-order chain
+    from a synthetic '__start' through the event types to absorption in
+    '{_MATTR_CONV}' (conversion) or '__end' (null); each type's credit
+    is its REMOVAL EFFECT — how much total conversion probability
+    disappears when that state's transitions are redirected to null —
+    normalized into shares.  The principled alternative to the
+    heuristic first/last/linear credits of
+    ``events_multi_touch_attribution``.
+
+    Pinned conventions: paths truncate at the first conversion
+    (inclusive); transition probabilities round to 6 dp; absorption
+    probabilities come from the same {_MATTR_ROUNDS}-round per-round-
+    rounded Neumann iteration as the absorbing-chain sibling, run per
+    removal variant; removal effects clamp at 0.
+
+    Scale shape: ONE transition-count aggregate over a user-keyed
+    shuffle; the (|types|+1)^2 matrix collapses to one nested-array row
+    fanned out to |types|+1 variant rows; all {_MATTR_ROUNDS} iterations
+    are in-row list arithmetic; p_full and the share total are 1-row
+    broadcast join-backs."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    pk = (
+        ev.where(F.col("event_type") == _MATTR_CONV)
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("pkey"))
+    )
+    kept = ev.join(pk, "user_id", "left").where(
+        F.col("pkey").isNull()
+        | (F.struct("ts", "event_id") <= F.col("pkey"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = kept.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    edges = (
+        seq.select(
+            F.coalesce(F.col("prev_type"), F.lit("__start")).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+    ).unionAll(
+        seq.where(
+            F.col("next_type").isNull()
+            & (F.col("event_type") != _MATTR_CONV)
+        ).select(
+            F.col("event_type").alias("src"), F.lit("__end").alias("dst")
+        )
+    )
+    tr = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    rowm = tr.groupBy("src").agg(F.sum("c").cast("long").alias("nr"))
+    types = tr.select(F.col("src").alias("t")).distinct()
+    rp = tr.where(F.col("dst") == _MATTR_CONV).select(
+        F.col("src").alias("t"), F.col("c").alias("rc")
+    )
+    grid = (
+        types.select(F.col("t").alias("src"))
+        .crossJoin(types.select(F.col("t").alias("dst")))
+        .join(tr, ["src", "dst"], "left")
+        .join(rowm, "src")
+        .select(
+            "src",
+            "dst",
+            _r6n(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("nr")
+            ).alias("p"),
+        )
+    )
+    rvec = (
+        types.select(F.col("t").alias("src"))
+        .join(rp, rp.t == F.col("src"), "left")
+        .join(rowm, "src")
+        .select(
+            "src",
+            _r6n(
+                F.coalesce(F.col("rc"), F.lit(0)).cast("double")
+                / F.col("nr")
+            ).alias("rv"),
+        )
+    )
+    mat = (
+        grid.groupBy("src")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dst"), F.col("p")))
+            ).alias("qrow")
+        )
+        .join(rvec, "src")
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("src"), F.col("qrow"), F.col("rv"))
+                )
+            ).alias("rows")
+        )
+        .select(
+            F.expr("transform(rows, x -> x.src)").alias("ts_"),
+            F.expr(
+                "transform(rows, x -> transform(x.qrow, y -> y.p))"
+            ).alias("q0"),
+            F.expr("transform(rows, x -> x.rv)").alias("r0"),
+        )
+    )
+    vmat = mat.select(
+        F.explode(
+            F.expr(
+                "concat(array('__full'),"
+                " filter(ts_, t -> t != '__start'))"
+            )
+        ).alias("v"),
+        "ts_",
+        "q0",
+        "r0",
+    ).select(
+        "v",
+        "ts_",
+        F.expr(
+            "transform(sequence(1, size(ts_)), i ->"
+            " transform(sequence(1, size(ts_)), j ->"
+            " CASE WHEN element_at(ts_, i) = v OR element_at(ts_, j) = v"
+            " THEN 0.0 ELSE element_at(element_at(q0, i), j) END))"
+        ).alias("q"),
+        F.expr(
+            "transform(sequence(1, size(ts_)), i ->"
+            " CASE WHEN element_at(ts_, i) = v THEN 0.0"
+            " ELSE element_at(r0, i) END)"
+        ).alias("r"),
+    )
+    step = (
+        "transform(sequence(1, size(hv)), i ->"
+        " round(element_at(r, i)"
+        " + aggregate(sequence(1, size(hv)), CAST(0.0 AS DOUBLE),"
+        " (acc, j) -> acc + element_at(element_at(q, i), j)"
+        " * element_at(hv, j)) + 1e-9, 6))"
+    )
+    it = vmat.select("v", "ts_", "q", "r", F.col("r").alias("hv"))
+    for _ in range(_MATTR_ROUNDS):
+        it = it.select(
+            "v", "ts_", "q", "r", F.expr(step).alias("hv")
+        )
+    # |types|+1 rows consumed by THREE branches (p_full, effects, the
+    # share total) — materialize once so the whole transition pipeline
+    # and 40-round iteration run a single time
+    fin = it.select(
+        "v",
+        F.expr(
+            "element_at(hv, CAST(array_position(ts_, '__start') AS INT))"
+        ).alias("p"),
+    ).localCheckpoint(eager=True)
+    pf = fin.where(F.col("v") == "__full").select(
+        F.col("p").alias("p_full")
+    )
+    re = (
+        fin.where(F.col("v") != "__full")
+        .crossJoin(F.broadcast(pf))
+        .select(
+            F.col("v").alias("removed_type"),
+            F.col("p").alias("p_conv"),
+            "p_full",
+            F.when(
+                F.col("p_full") > 0,
+                F.greatest(
+                    F.lit(0.0),
+                    F.round(
+                        F.lit(1.0) - F.col("p") / F.col("p_full")
+                        + F.lit(1e-9),
+                        6,
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("removal_effect"),
+        )
+    )
+    tot = re.agg(F.sum("removal_effect").alias("sre"))
+    return re.crossJoin(F.broadcast(tot)).select(
+        "removed_type",
+        "p_conv",
+        "p_full",
+        "removal_effect",
+        F.when(
+            F.col("sre") > 0,
+            F.round(
+                F.col("removal_effect") / F.col("sre") + F.lit(1e-9), 6
+            ),
+        ).alias("credit_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -863,3 +863,69 @@ def streaming_spacesaving_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_window_funnel(
+    events: DataFrame,
+    window_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Per-user windowed strict-order funnel (view -> click -> purchase
+    within ``window_us`` of the chain's opening view) maintained as
+    STREAMING state via ``applyInPandasWithState`` — the fourth custom
+    stateful operator, and the streaming twin of the batch
+    ``events_window_funnel`` query (same pinned semantics: strict
+    (ts, event_id) precedence, anchor = latest view before the click,
+    purchase probes the max anchor over qualifying clicks).
+
+    The fold is prefix-decomposable, so per-user state is THREE longs
+    (latest view anchor, best qualifying-click anchor, level reached)
+    no matter how long the stream runs; each micro-batch emits the
+    user's current level (update semantics — latest wins, levels are
+    monotone).  Parity with the batch query is pinned in pytest by
+    draining the same events through an availableNow file stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            anchor, best, level = state.get
+        else:
+            anchor, best, level = -1, -1, 0
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            us_col = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for t, us in zip(pdf["event_type"], us_col):
+                us = int(us)
+                if (
+                    t == "click"
+                    and anchor >= 0
+                    and us - anchor <= window_us
+                ):
+                    level = max(level, 2)
+                    best = max(best, anchor)
+                if (
+                    t == "purchase"
+                    and best >= 0
+                    and us - best <= window_us
+                ):
+                    level = max(level, 3)
+                if t == "view":
+                    level = max(level, 1)
+                    anchor = max(anchor, us)
+            yield pd.DataFrame(
+                [(int(key[0]), int(level))],
+                columns=["user_id", "level"],
+            )
+        state.update((int(anchor), int(best), int(level)))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, level int",
+        stateStructType="anchor bigint, best bigint, level int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

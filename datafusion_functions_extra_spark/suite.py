@@ -18387,6 +18387,439 @@ def events_markov_attribution(spark, sf_dir):
     )
 
 
+#: Fellegi-Sunter u-pair derangement offset (coprime-ish shift)
+_FS_SHIFT = 7919
+_FS_LN2 = 0.6931471805599453
+
+
+@query(
+    "parts_linkage_weights",
+    f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM part),
+mp AS (
+  SELECT a.p_brand = b.p_brand AS ab, a.p_type = b.p_type AS at_,
+         a.p_size = b.p_size AS asz
+  FROM part a JOIN part b
+    ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+),
+up AS (
+  SELECT a.p_brand = b.p_brand AS ab, a.p_type = b.p_type AS at_,
+         a.p_size = b.p_size AS asz
+  FROM part a, n
+  JOIN part b ON b.p_partkey = (a.p_partkey + {_FS_SHIFT}) % n.n
+  WHERE b.p_partkey <> a.p_partkey
+),
+ms AS (
+  SELECT count(*)::BIGINT AS nm,
+         sum(CASE WHEN ab THEN 1 ELSE 0 END)::BIGINT AS mb,
+         sum(CASE WHEN at_ THEN 1 ELSE 0 END)::BIGINT AS mt,
+         sum(CASE WHEN asz THEN 1 ELSE 0 END)::BIGINT AS msz
+  FROM mp
+),
+us AS (
+  SELECT count(*)::BIGINT AS nu,
+         sum(CASE WHEN ab THEN 1 ELSE 0 END)::BIGINT AS ub,
+         sum(CASE WHEN at_ THEN 1 ELSE 0 END)::BIGINT AS ut,
+         sum(CASE WHEN asz THEN 1 ELSE 0 END)::BIGINT AS usz
+  FROM up
+),
+f AS (
+  SELECT fld, am, au, nm, nu,
+         (am + 1)::DOUBLE / (nm + 2) AS m,
+         (au + 1)::DOUBLE / (nu + 2) AS u
+  FROM (
+    SELECT 'brand' AS fld, mb AS am, ub AS au, nm, nu FROM ms, us
+    UNION ALL
+    SELECT 'type', mt, ut, nm, nu FROM ms, us
+    UNION ALL
+    SELECT 'size', msz, usz, nm, nu FROM ms, us
+  ) _
+)
+SELECT fld AS field, nm AS n_match_pairs, nu AS n_random_pairs,
+       am AS n_agree_match, au AS n_agree_random,
+       {_r6n_sql("m")} AS m_prob, {_r6n_sql("u")} AS u_prob,
+       {_r6n_sql(f"ln(m / u) / {_FS_LN2!r}")} AS w_agree,
+       {_r6n_sql(f"ln((1.0 - m) / (1.0 - u)) / {_FS_LN2!r}")} AS w_disagree
+FROM f
+""",
+)
+def parts_linkage_weights(spark, sf_dir):
+    """Fellegi-Sunter record-linkage field weights (Fellegi & Sunter
+    1969): per comparison field (brand / type / size), the
+    m-probability P(agree | match) from same-name part pairs, the
+    u-probability P(agree | random) from a deterministic derangement
+    pairing (partkey + {_FS_SHIFT} mod n), and the log2 agreement /
+    disagreement weights a linkage scorer sums per field — the
+    probabilistic-ER theory layer on top of the blocking
+    (sorted-neighborhood, LSH) and survivorship (golden records)
+    operators already in the suite.
+
+    Determinism: m/u are add-one-smoothed exact rationals (identical
+    doubles both engines), so the single ln each side evaluates is the
+    same bit pattern; weights round 6 dp via the shared helper.
+
+    Scale shape: the match side is an equi-join on the blocking key
+    (name), the random side an exact 1:1 key-shift join; both collapse
+    to ONE 1-row aggregate each and a 3-row field unpivot."""
+    p = load_table(spark, sf_dir, "part")
+    n = p.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = p.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        F.col("p_brand").alias("ba"),
+        F.col("p_type").alias("ta"),
+        F.col("p_size").alias("sa"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("bb"),
+        F.col("p_type").alias("tb"),
+        F.col("p_size").alias("sb"),
+    )
+    mp = a.join(b, (F.col("na") == F.col("nb")) & (F.col("ka") < F.col("kb")))
+    up = (
+        a.crossJoin(F.broadcast(n))
+        .withColumn("kb", (F.col("ka") + F.lit(_FS_SHIFT)) % F.col("n"))
+        .join(b.drop("nb"), "kb")
+        .where(F.col("kb") != F.col("ka"))
+    )
+
+    def _sums(df, nm_col):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(nm_col),
+            F.sum(F.when(F.col("ba") == F.col("bb"), 1).otherwise(0))
+            .cast("long")
+            .alias("ab"),
+            F.sum(F.when(F.col("ta") == F.col("tb"), 1).otherwise(0))
+            .cast("long")
+            .alias("at_"),
+            F.sum(F.when(F.col("sa") == F.col("sb"), 1).otherwise(0))
+            .cast("long")
+            .alias("asz"),
+        )
+
+    ms = _sums(mp, "nm")
+    us = _sums(up, "nu").withColumnsRenamed(
+        {"ab": "ub", "at_": "ut", "asz": "usz"}
+    )
+    j = ms.crossJoin(F.broadcast(us))
+    f = j.select(
+        F.explode(
+            F.expr(
+                "array(struct('brand' AS fld, ab AS am, ub AS au),"
+                " struct('type' AS fld, at_ AS am, ut AS au),"
+                " struct('size' AS fld, asz AS am, usz AS au))"
+            )
+        ).alias("z"),
+        "nm",
+        "nu",
+    ).select(
+        F.col("z.fld").alias("fld"),
+        F.col("z.am").alias("am"),
+        F.col("z.au").alias("au"),
+        "nm",
+        "nu",
+        (
+            (F.col("z.am") + 1).cast("double") / (F.col("nm") + 2)
+        ).alias("m"),
+        (
+            (F.col("z.au") + 1).cast("double") / (F.col("nu") + 2)
+        ).alias("u"),
+    )
+    return f.select(
+        F.col("fld").alias("field"),
+        F.col("nm").alias("n_match_pairs"),
+        F.col("nu").alias("n_random_pairs"),
+        F.col("am").alias("n_agree_match"),
+        F.col("au").alias("n_agree_random"),
+        _r6n(F.col("m")).alias("m_prob"),
+        _r6n(F.col("u")).alias("u_prob"),
+        _r6n(F.log(F.col("m") / F.col("u")) / F.lit(_FS_LN2)).alias(
+            "w_agree"
+        ),
+        _r6n(
+            F.log((F.lit(1.0) - F.col("m")) / (F.lit(1.0) - F.col("u")))
+            / F.lit(_FS_LN2)
+        ).alias("w_disagree"),
+    )
+
+
+@query(
+    "near_dup_source_modularity",
+    f"""
+WITH {SIM._sig_cte()}, {SIM._bands_cte()},
+pairs AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE list_sum(list_transform(generate_series(1, {SIM.MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {SIM.MINHASH_K}.0 >= 0.5
+),
+lab AS (
+  SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+),
+m AS (SELECT count(*)::BIGINT AS m FROM lab),
+ein AS (
+  SELECT sa AS source, count(*)::BIGINT AS e_in FROM lab
+  WHERE sa = sb GROUP BY 1
+),
+deg AS (
+  SELECT source, sum(d)::BIGINT AS d FROM (
+    SELECT sa AS source, count(*) AS d FROM lab GROUP BY 1
+    UNION ALL
+    SELECT sb AS source, count(*) AS d FROM lab GROUP BY 1
+  ) _ GROUP BY 1
+),
+per AS (
+  SELECT deg.source, coalesce(ein.e_in, 0)::BIGINT AS e_in, deg.d,
+         (4 * m.m * coalesce(ein.e_in, 0) - deg.d * deg.d) AS num, m.m
+  FROM deg LEFT JOIN ein USING (source), m
+)
+SELECT source, e_in AS n_edges_within, d AS degree,
+       {_r6n_sql("num::DOUBLE / (4.0 * m * m)")} AS contribution
+FROM per
+UNION ALL
+SELECT '__total', sum(e_in)::BIGINT, sum(d)::BIGINT,
+       {_r6n_sql("sum(num)::DOUBLE / (4.0 * any_value(m) * any_value(m))")}
+FROM per
+""",
+)
+def near_dup_source_modularity(spark, sf_dir):
+    """Newman modularity of the SOURCE partition on the near-dup
+    candidate graph (Newman & Girvan 2004): do near-duplicate edges
+    concentrate WITHIN sources (mirrors, template families — Q near the
+    degree-weighted maximum) or run across them (syndicated content a
+    per-source dedup would miss — Q near 0)?  The graph-structural
+    companion of the shingle-overlap matrix
+    (``source_overlap_jaccard``).
+
+    Each source's term e_in/m - (d/2m)^2 is computed as the exact
+    integer numerator (4*m*e_in - d^2) over 4m^2 — one double division
+    per row, rounded 6 dp; the '__total' row is Q itself.
+
+    Scale shape: edges come from the banded LSH candidate join (never
+    all-pairs); labeling is two hash joins on doc id; everything after
+    is |sources|-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = SIM.near_dup_pairs(d, "text", "doc_id", threshold=0.5)
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.select("id_a", "id_b")
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = lab.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ein = (
+        lab.where(F.col("sa") == F.col("sb"))
+        .groupBy(F.col("sa").alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    deg = (
+        lab.select(F.col("sa").alias("source"))
+        .unionAll(lab.select(F.col("sb").alias("source")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    per = (
+        deg.join(ein, "source", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            "d",
+            (
+                4 * F.col("m") * F.coalesce(F.col("e_in"), F.lit(0))
+                - F.col("d") * F.col("d")
+            ).alias("num"),
+            "m",
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = per.select(
+        "source",
+        F.col("e_in").alias("n_edges_within"),
+        F.col("d").alias("degree"),
+        _r6n(
+            F.col("num").cast("double") / (4.0 * F.col("m") * F.col("m"))
+        ).alias("contribution"),
+    )
+    tot = per.agg(
+        F.lit("__total").alias("source"),
+        F.sum("e_in").cast("long").alias("n_edges_within"),
+        F.sum("d").cast("long").alias("degree"),
+        _r6n(
+            F.sum("num").cast("double")
+            / (4.0 * F.first("m") * F.first("m"))
+        ).alias("contribution"),
+    )
+    return rows.unionAll(tot)
+
+
+@query(
+    "events_quality_monitor",
+    f"""
+WITH d AS (
+  SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+h AS (
+  SELECT CASE WHEN day <= mid THEN 'h1' ELSE 'h2' END AS half,
+         user_id, event_type, cents,
+         CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END AS noprops
+  FROM d, mid
+),
+s AS (
+  SELECT half, count(*)::BIGINT AS n_rows,
+         count(DISTINCT user_id)::BIGINT AS n_users,
+         count(DISTINCT event_type)::BIGINT AS n_types,
+         sum(noprops)::BIGINT AS n_null_props,
+         sum(cents)::BIGINT AS sc, sum(cents * cents)::BIGINT AS qc
+  FROM h GROUP BY 1
+),
+u AS (
+  SELECT half, metric, v FROM (
+    SELECT half, 'rows' AS metric, n_rows::DOUBLE AS v FROM s
+    UNION ALL SELECT half, 'distinct_users', n_users::DOUBLE FROM s
+    UNION ALL SELECT half, 'distinct_types', n_types::DOUBLE FROM s
+    UNION ALL SELECT half, 'null_props_rate',
+      round(n_null_props::DOUBLE / n_rows + 1e-9, 6) FROM s
+    UNION ALL SELECT half, 'value_mean_cents',
+      round(sc::DOUBLE / n_rows + 1e-9, 6) FROM s
+    UNION ALL SELECT half, 'value_std_cents',
+      round(sqrt((n_rows::DOUBLE * qc - sc::DOUBLE * sc)
+                 / (n_rows::DOUBLE * (n_rows - 1))) + 1e-9, 6) FROM s
+  ) _
+)
+SELECT a.metric, a.v AS first_half, b.v AS second_half,
+       CASE WHEN a.v <> 0
+            THEN {_r6n_sql("(b.v - a.v) / a.v")} END AS rel_change
+FROM u a JOIN u b ON a.metric = b.metric
+WHERE a.half = 'h1' AND b.half = 'h2'
+""",
+)
+def events_quality_monitor(spark, sf_dir):
+    """Split-half data-quality drift monitor: the ingestion-gate table a
+    pipeline checks before training — row volume, distinct users/types,
+    null-props rate, and value mean/std compared between the first and
+    second calendar halves of the stream, with relative change per
+    metric (the coarse schema/volume/distribution screen that runs
+    BEFORE the per-source statistical drift tests: PSI, KS, JSD).
+
+    Determinism: the midpoint is integer calendar math; means/stds come
+    from exact integer cent sums; every derived metric rounds 6 dp.
+
+    Scale shape: ONE pass computes per-half counts/sums (the midpoint
+    is a 1-row broadcast); the 6-metric unpivot and half-vs-half join
+    are constant-size."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        "event_type",
+        "props",
+        _epoch_day("ts").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    mid = d.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    h = d.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("day") <= F.col("mid"), "h1")
+        .otherwise("h2")
+        .alias("half"),
+        "user_id",
+        "event_type",
+        "cents",
+        F.when(
+            F.col("props").isNull() | (F.col("props") == ""), 1
+        )
+        .otherwise(0)
+        .alias("noprops"),
+    )
+    # 2-row relation consumed by 6 unpivot branches and the h1/h2 join —
+    # materialize once so the events scan runs a single time
+    s = h.groupBy("half").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum("noprops").cast("long").alias("n_null_props"),
+        F.sum("cents").cast("long").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("qc"),
+    ).localCheckpoint(eager=True)
+    n_rows = F.col("n_rows").cast("double")
+    sc = F.col("sc").cast("double")
+    qc = F.col("qc").cast("double")
+    metrics = [
+        ("rows", n_rows),
+        ("distinct_users", F.col("n_users").cast("double")),
+        ("distinct_types", F.col("n_types").cast("double")),
+        (
+            "null_props_rate",
+            F.round(
+                F.col("n_null_props").cast("double") / n_rows + F.lit(1e-9),
+                6,
+            ),
+        ),
+        ("value_mean_cents", F.round(sc / n_rows + F.lit(1e-9), 6)),
+        (
+            "value_std_cents",
+            F.round(
+                F.sqrt(
+                    (n_rows * qc - sc * sc)
+                    / (n_rows * (F.col("n_rows") - 1))
+                )
+                + F.lit(1e-9),
+                6,
+            ),
+        ),
+    ]
+    parts = [
+        s.select(
+            "half", F.lit(name).alias("metric"), expr.alias("v")
+        )
+        for name, expr in metrics
+    ]
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionAll(x)
+    a = u.where(F.col("half") == "h1").select(
+        "metric", F.col("v").alias("first_half")
+    )
+    b = u.where(F.col("half") == "h2").select(
+        "metric", F.col("v").alias("second_half")
+    )
+    return a.join(b, "metric").select(
+        "metric",
+        "first_half",
+        "second_half",
+        F.when(
+            F.col("first_half") != 0,
+            _r6n(
+                (F.col("second_half") - F.col("first_half"))
+                / F.col("first_half")
+            ),
+        ).alias("rel_change"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

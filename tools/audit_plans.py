@@ -151,6 +151,10 @@ BNLJ_BOUNDED: dict[str, str] = {
     "text_ql_topk": _SCALAR + " (1-row corpus-token-total join-back)",
     "retrieval_map_mrr": _SCALAR + " (BM25 n_docs/sum_dl corpus-stats row)",
     "events_f2_sketch": _SCALAR + " (9-row lane-median row onto the exact-F2 row)",
+    "parts_linkage_weights": (
+        _SCALAR + " (1-row part-count for the derangement shift + the "
+        "1-row match/random agreement-sum join)"
+    ),
     "events_markov_attribution": (
         "1-row p_full and share-total join-backs onto the checkpointed "
         "|types|+1-row variant relation — all build sides bounded by the "

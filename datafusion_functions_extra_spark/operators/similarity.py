@@ -2901,3 +2901,118 @@ WHERE a.id < b.id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+def ppjoin_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """PPJoin: the POSITION-enhanced prefix-filter exact-Jaccard
+    self-join (Xiao, Wang, Lin & Yu, WWW'08) — same result set as
+    :func:`prefix_filter_jaccard_pairs` (the positional filter never
+    prunes a true pair), strictly fewer candidates reaching the
+    verification join.
+
+    Two extra prunes over AllPairs, both exact integer tests:
+
+    * **length filter** on the prefix join: a qualifying pair needs
+      ``100*min(sz) >= pct*max(sz)``.
+    * **positional filter**: when prefixes share a token at (ascending
+      -rarity) positions ``pa`` / ``pb``, the overlap can be at most
+      ``1 + min(sz_a - pa, sz_b - pb)``; the pair needs overlap
+      ``alpha = ceil(pct*(sz_a+sz_b)/(100+pct))``, so occurrences with
+      a smaller upper bound are dropped BEFORE the distinct/verify.
+
+    Scale shape identical to the AllPairs sibling (rare-first two-phase
+    global token ranks, equi-join on prefix tokens, candidates-only
+    verification); the positional prune cuts the candidate set the
+    verify join must hash — the knob that matters when templated
+    corpora make prefix tokens collide."""
+    from ..functions.distribution import global_rank
+    from ..functions.text import shingles_or_whole
+    from pyspark.sql import Window
+
+    pct = int(threshold_pct)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_or_whole(text_col))).alias(
+            "token"
+        ),
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    ranked = global_rank(
+        freq, [F.col("df_t").asc(), F.col("token").asc()], "trank"
+    ).select("token", "trank")
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    wd = Window.partitionBy("id").orderBy(F.col("trank").asc())
+    prefix = (
+        tok.join(ranked, "token")
+        .withColumn("pos", F.row_number().over(wd))
+        .join(sizes, "id")
+        .where(
+            F.col("pos")
+            <= F.col("sz")
+            - F.floor((F.lit(pct) * F.col("sz") + 99) / 100)
+            + 1
+        )
+        .select("id", "token", "pos", "sz")
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"),
+        "token",
+        F.col("pos").alias("pos_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"),
+        "token",
+        F.col("pos").alias("pos_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    alpha = F.floor(
+        (
+            F.lit(pct) * (F.col("sz_a") + F.col("sz_b"))
+            + F.lit(100 + pct - 1)
+        )
+        / F.lit(100 + pct)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+    )
+    cand = (
+        a.join(b, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter (pair-level, exact integers)
+        .where(
+            (F.lit(100) * F.col("sz_b") >= F.lit(pct) * F.col("sz_a"))
+            & (F.lit(100) * F.col("sz_a") >= F.lit(pct) * F.col("sz_b"))
+        )
+        # positional filter (occurrence-level upper bound vs alpha)
+        .where(ubound >= alpha)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.lit(100) * F.col("n_inter") >= F.lit(pct) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            r6n(F.col("n_inter").cast("double") / union_sz).alias("jacc"),
+        )
+    )

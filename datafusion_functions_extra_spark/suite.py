@@ -5754,6 +5754,256 @@ FROM {wf}, sg, ray, tr
     return "WITH " + ",".join(parts) + final
 
 
+def _pca2_oracle_sql(iters: int = PCA_ITERS, dim: int = 64) -> str:
+    """Two-component extension of ``_pca_oracle_sql``: after the first
+    power-iteration chain converges, the top eigenvalue (6-dp-rounded
+    Rayleigh quotient) is DEFLATED out of the covariance
+    (C2 = C - lam1 * w1 w1^T, entries re-rounded), and an identical
+    second chain runs on C2 — the Hotelling deflation, same pinned
+    per-step 6 dp trajectory on both engines."""
+    w0 = 1.0 / dim ** 0.5
+
+    def chain(tag: str, cov_name: str) -> str:
+        parts = []
+        for t in range(1, iters + 1):
+            prev = f"{tag}{t - 1}" if t > 1 else "w0"
+            parts.append(
+                f"""
+{tag}u{t} AS MATERIALIZED (
+  SELECT {cov_name}.i, {_r6n_sql(f'sum({cov_name}.c * {prev}.v)')} AS v
+  FROM {cov_name} JOIN {prev} ON {cov_name}.j = {prev}.i
+  GROUP BY {cov_name}.i
+),
+{tag}n{t} AS (SELECT {_r6n_sql('sqrt(sum(v * v))')} AS nv FROM {tag}u{t}),
+{tag}{t} AS MATERIALIZED (
+  SELECT i, {_r6n_sql(f'{tag}u{t}.v / {tag}n{t}.nv')} AS v
+  FROM {tag}u{t}, {tag}n{t}
+)"""
+            )
+        return ",".join(parts)
+
+    head = f"""
+cd AS MATERIALIZED (
+  SELECT e.vec_id, g.i, e.embedding[g.i]::DOUBLE - m.mv AS d
+  FROM embeddings e CROSS JOIN generate_series(1, {dim}) g(i)
+  JOIN (
+    SELECT g.i, avg(e.embedding[g.i]::DOUBLE) AS mv
+    FROM embeddings e CROSS JOIN generate_series(1, {dim}) g(i)
+    GROUP BY g.i
+  ) m ON m.i = g.i
+),
+cov AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, {_r6n_sql('avg(a.d * b.d)')} AS c
+  FROM cd a JOIN cd b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+w0 AS (SELECT g.i, {w0!r}::DOUBLE AS v FROM generate_series(1, {dim}) g(i))"""
+    wf1 = f"a{iters}"
+    wf2 = f"b{iters}"
+    mid = f"""
+lam1 AS (
+  SELECT {_r6n_sql(f'sum(cov.c * wa.v * wb.v)')} AS l
+  FROM cov JOIN {wf1} wa ON cov.i = wa.i JOIN {wf1} wb ON cov.j = wb.i
+),
+cov2 AS MATERIALIZED (
+  SELECT cov.i, cov.j,
+         round(cov.c - CAST(CAST(round(lam1.l * 1e6) AS BIGINT)
+               * CAST(round(wa.v * 1e6) AS BIGINT)
+               * CAST(round(wb.v * 1e6) AS BIGINT) AS DOUBLE) / 1e18
+               + 1e-9, 6) AS c
+  FROM cov JOIN {wf1} wa ON cov.i = wa.i JOIN {wf1} wb ON cov.j = wb.i,
+       lam1
+)"""
+    tail = f"""
+tr AS (SELECT sum(c) AS t FROM cov WHERE i = j),
+sg1 AS (SELECT CASE WHEN min(CASE WHEN i = 1 THEN v END) < 0
+               THEN -1.0 ELSE 1.0 END AS s FROM {wf1}),
+sg2 AS (SELECT CASE WHEN min(CASE WHEN i = 1 THEN v END) < 0
+               THEN -1.0 ELSE 1.0 END AS s FROM {wf2}),
+ray1 AS (
+  SELECT sum(cov.c * wa.v * wb.v) AS r
+  FROM cov JOIN {wf1} wa ON cov.i = wa.i JOIN {wf1} wb ON cov.j = wb.i
+),
+ray2 AS (
+  SELECT sum(cov.c * wa.v * wb.v) AS r
+  FROM cov JOIN {wf2} wa ON cov.i = wa.i JOIN {wf2} wb ON cov.j = wb.i
+)
+SELECT 1 AS component, CAST({wf1}.i - 1 AS INT) AS pos,
+       {wf1}.v * sg1.s + 0.0 AS loading,
+       {_r6n_sql('ray1.r / tr.t')} AS explained_ratio
+FROM {wf1}, sg1, ray1, tr
+UNION ALL
+SELECT 2, CAST({wf2}.i - 1 AS INT),
+       {wf2}.v * sg2.s + 0.0,
+       {_r6n_sql('ray2.r / tr.t')}
+FROM {wf2}, sg2, ray2, tr
+"""
+    return (
+        "WITH "
+        + head
+        + ","
+        + chain("a", "cov")
+        + ","
+        + mid
+        + ","
+        + chain("b", "cov2")
+        + ","
+        + tail
+    )
+
+
+@query("embedding_pca_two_components", _pca2_oracle_sql())
+def embedding_pca_two_components(spark, sf_dir):
+    """Top TWO principal components by power iteration + Hotelling
+    deflation (Hotelling 1933): the first chain is
+    ``embedding_pca_top_component``'s; its 6-dp Rayleigh eigenvalue is
+    then deflated out (C2 = C - lam1 w1 w1^T, entries re-rounded) and an
+    identical second chain runs on C2 — the 2-D embedding-space map
+    (anisotropy plane, cluster separation) one component can't show.
+
+    Scale shape unchanged: the covariance aggregate is the only
+    corpus-sized work; BOTH 40-round chains and the deflation are in-row
+    array expressions on the single dim^2 matrix row.  Explained ratios
+    use unrounded Rayleigh products over the ORIGINAL covariance (one
+    final rounding), signs canonicalize on the first coordinate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = SIM.EMBEDDING_DIM
+    dims = e.select(
+        "vec_id",
+        F.posexplode(SIM._as_double(F.col("embedding"))).alias("i", "x"),
+    )
+    means = dims.groupBy("i").agg(F.avg("x").alias("mv"))
+    cd = dims.join(F.broadcast(means), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mv")).alias("d")
+    )
+    cd2 = cd.select(
+        F.col("vec_id"), F.col("i").alias("j"), F.col("d").alias("d2")
+    )
+    cov = (
+        cd.join(cd2, "vec_id")
+        .groupBy("i", "j")
+        .agg(_r6n(F.avg(F.col("d") * F.col("d2"))).alias("c"))
+    )
+    rows = cov.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))), lambda s: s.c
+        ).alias("rv")
+    )
+    mat = rows.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "rv"))), lambda s: s.rv
+        ).alias("m")
+    )
+
+    def matvec(m, w, rounded=True):
+        prod = lambda row: F.aggregate(  # noqa: E731
+            F.zip_with(row, w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if rounded:
+            return F.transform(m, lambda row: _r6n(prod(row)))
+        return F.transform(m, lambda row: prod(row))
+
+    def normalize(u):
+        return TX.bind_once(
+            _r6n(
+                F.sqrt(F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x))
+            ),
+            lambda nv: F.transform(u, lambda x: _r6n(x / nv)),
+        )
+
+    start = F.array_repeat(F.lit(1.0 / dim ** 0.5), dim)
+    cur = mat.select("m", start.alias("w"))
+    for _ in range(PCA_ITERS):
+        cur = cur.select(
+            "m",
+            TX.bind_once(matvec(F.col("m"), F.col("w")), normalize).alias(
+                "w"
+            ),
+        )
+    # deflate: lam1 = rounded Rayleigh on the ORIGINAL matrix, then
+    # C2 = C - lam1 * w1 w1^T with re-rounded entries
+    ray = lambda mm, wv: F.aggregate(  # noqa: E731
+        F.zip_with(wv, matvec(mm, wv, rounded=False), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cur = cur.select(
+        "m", "w", _r6n(ray(F.col("m"), F.col("w"))).alias("lam1")
+    )
+    cur = cur.select(
+        "m",
+        "w",
+        # the deflation term multiplies THREE 6-dp-rounded values: a bare
+        # double triple product can differ by one ulp across engines
+        # (fused multiply-add) and flip a rounding boundary, so the
+        # product is formed in exact integer micro-units (BIGINT, then
+        # one deterministic int->double conversion and ONE divide)
+        F.expr(
+            "transform(m, (row, i) -> transform(row, (x, j) ->"
+            " round(x - CAST(CAST(round(lam1 * 1e6) AS BIGINT)"
+            " * CAST(round(element_at(w, i + 1) * 1e6) AS BIGINT)"
+            " * CAST(round(element_at(w, j + 1) * 1e6) AS BIGINT)"
+            " AS DOUBLE) / 1e18 + 1e-9, 6)))"
+        ).alias("m2"),
+    )
+    # truncate lineage between the two chains: without this the second
+    # chain's 40 projections each re-analyze the whole first chain plus
+    # the deflation expression (one tiny nested-array row to checkpoint)
+    cur = cur.localCheckpoint(eager=True)
+    cur = cur.select("m", "w", "m2", start.alias("w2"))
+    for _ in range(PCA_ITERS):
+        cur = cur.select(
+            "m",
+            "w",
+            "m2",
+            TX.bind_once(matvec(F.col("m2"), F.col("w2")), normalize).alias(
+                "w2"
+            ),
+        )
+    # the two component output branches both read this one-row relation
+    # — materialize so the second chain runs once, not per branch
+    cur = cur.localCheckpoint(eager=True)
+    trace = F.aggregate(
+        F.transform(F.col("m"), lambda row, i: F.element_at(row, i + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def comp(wcol, cnum):
+        def finish(wv):
+            sign = F.when(F.element_at(wv, 1) < 0, F.lit(-1.0)).otherwise(
+                F.lit(1.0)
+            )
+            return TX.bind_once(
+                sign,
+                lambda s: TX.bind_once(
+                    _r6n(ray(F.col("m"), wv) / trace),
+                    lambda evr: F.transform(
+                        wv,
+                        lambda x: F.struct(
+                            (x * s + 0.0).alias("loading"),
+                            evr.alias("explained_ratio"),
+                        ),
+                    ),
+                ),
+            )
+
+        return cur.select(
+            F.posexplode(TX.bind_once(F.col(wcol), finish)).alias(
+                "pos", "st"
+            )
+        ).select(
+            F.lit(cnum).alias("component"),
+            F.col("pos").cast("int").alias("pos"),
+            F.col("st.loading").alias("loading"),
+            F.col("st.explained_ratio").alias("explained_ratio"),
+        )
+
+    return comp("w", 1).unionAll(comp("w2", 2))
+
+
 @query("embedding_pca_top_component", _pca_oracle_sql())
 def embedding_pca_top_component(spark, sf_dir):
     """Top principal component of the embedding corpus by power iteration
@@ -18094,11 +18344,10 @@ def events_f2_sketch(spark, sf_dir):
 _MATTR_CONV = "purchase"
 _MATTR_ROUNDS = 40
 
-
-@query(
-    "events_markov_attribution",
-    f"""
-WITH RECURSIVE ev AS (
+#: shared chain-construction CTEs (path truncation at first conversion,
+#: __start/__end framing, 6-dp row-normalized matrix collapse) used by
+#: the removal-effect AND Shapley attribution oracles
+_MATTR_CTE = f"""ev AS (
   SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
   FROM events
 ),
@@ -18143,72 +18392,14 @@ qmat AS (
     GROUP BY t0.t
   ) _, (SELECT list(t ORDER BY t) AS ts_ FROM types) g
   GROUP BY g.ts_
-),
-vars_ AS (
-  SELECT unnest(list_prepend('__full',
-           list_filter(ts_, t -> t <> '__start'))) AS v
-  FROM qmat
-),
-vmat AS (
-  SELECT v, ts_,
-         list_transform(generate_series(1, len(ts_)), i ->
-           list_transform(generate_series(1, len(ts_)), j ->
-             CASE WHEN ts_[i] = v OR ts_[j] = v THEN 0.0
-                  ELSE q[i][j] END)) AS q,
-         list_transform(generate_series(1, len(ts_)), i ->
-           CASE WHEN ts_[i] = v THEN 0.0 ELSE r[i] END) AS r
-  FROM vars_ CROSS JOIN qmat
-),
-it AS (
-  SELECT v, ts_, q, r, 0 AS k, r AS hv FROM vmat
-  UNION ALL
-  SELECT v, ts_, q, r, k + 1,
-         list_transform(generate_series(1, len(hv)), i ->
-           round(r[i] + list_sum(list_transform(generate_series(1, len(hv)),
-                 j -> q[i][j] * hv[j])) + 1e-9, 6))
-  FROM it WHERE k < {_MATTR_ROUNDS}
-),
-fin AS (
-  SELECT v, hv[list_position(ts_, '__start')] AS p
-  FROM it WHERE k = {_MATTR_ROUNDS}
-),
-pf AS (SELECT p AS p_full FROM fin WHERE v = '__full'),
-re AS (
-  SELECT fin.v AS removed_type, fin.p AS p_conv, pf.p_full,
-         CASE WHEN pf.p_full > 0
-              THEN greatest(0.0, round(1.0 - fin.p / pf.p_full + 1e-9, 6))
-              ELSE 0.0 END AS removal_effect
-  FROM fin, pf WHERE fin.v <> '__full'
-),
-tot AS (SELECT sum(removal_effect) AS sre FROM re)
-SELECT removed_type, p_conv, p_full, removal_effect,
-       CASE WHEN tot.sre > 0
-            THEN round(removal_effect / tot.sre + 1e-9, 6) END AS credit_share
-FROM re, tot
-""",
-)
-def events_markov_attribution(spark, sf_dir):
-    """Markov removal-effect channel attribution (Anderl et al. 2014):
-    model each user's pre-conversion event path as a first-order chain
-    from a synthetic '__start' through the event types to absorption in
-    '{_MATTR_CONV}' (conversion) or '__end' (null); each type's credit
-    is its REMOVAL EFFECT — how much total conversion probability
-    disappears when that state's transitions are redirected to null —
-    normalized into shares.  The principled alternative to the
-    heuristic first/last/linear credits of
-    ``events_multi_touch_attribution``.
+)"""
 
-    Pinned conventions: paths truncate at the first conversion
-    (inclusive); transition probabilities round to 6 dp; absorption
-    probabilities come from the same {_MATTR_ROUNDS}-round per-round-
-    rounded Neumann iteration as the absorbing-chain sibling, run per
-    removal variant; removal effects clamp at 0.
 
-    Scale shape: ONE transition-count aggregate over a user-keyed
-    shuffle; the (|types|+1)^2 matrix collapses to one nested-array row
-    fanned out to |types|+1 variant rows; all {_MATTR_ROUNDS} iterations
-    are in-row list arithmetic; p_full and the share total are 1-row
-    broadcast join-backs."""
+def _markov_transition_matrix(spark, sf_dir):
+    """ONE-row nested-array (ts_, q0, r0) transition matrix of the
+    truncated-at-first-conversion event chain with '__start'/'__end'
+    framing — the shared front half of the removal-effect and Shapley
+    attribution operators (mirrors ``_MATTR_CTE``)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -18277,7 +18468,7 @@ def events_markov_attribution(spark, sf_dir):
             ).alias("rv"),
         )
     )
-    mat = (
+    return (
         grid.groupBy("src")
         .agg(
             F.array_sort(
@@ -18301,6 +18492,78 @@ def events_markov_attribution(spark, sf_dir):
             F.expr("transform(rows, x -> x.rv)").alias("r0"),
         )
     )
+
+
+@query(
+    "events_markov_attribution",
+    f"""
+WITH RECURSIVE {_MATTR_CTE},
+vars_ AS (
+  SELECT unnest(list_prepend('__full',
+           list_filter(ts_, t -> t <> '__start'))) AS v
+  FROM qmat
+),
+vmat AS (
+  SELECT v, ts_,
+         list_transform(generate_series(1, len(ts_)), i ->
+           list_transform(generate_series(1, len(ts_)), j ->
+             CASE WHEN ts_[i] = v OR ts_[j] = v THEN 0.0
+                  ELSE q[i][j] END)) AS q,
+         list_transform(generate_series(1, len(ts_)), i ->
+           CASE WHEN ts_[i] = v THEN 0.0 ELSE r[i] END) AS r
+  FROM vars_ CROSS JOIN qmat
+),
+it AS (
+  SELECT v, ts_, q, r, 0 AS k, r AS hv FROM vmat
+  UNION ALL
+  SELECT v, ts_, q, r, k + 1,
+         list_transform(generate_series(1, len(hv)), i ->
+           round(r[i] + list_sum(list_transform(generate_series(1, len(hv)),
+                 j -> q[i][j] * hv[j])) + 1e-9, 6))
+  FROM it WHERE k < {_MATTR_ROUNDS}
+),
+fin AS (
+  SELECT v, hv[list_position(ts_, '__start')] AS p
+  FROM it WHERE k = {_MATTR_ROUNDS}
+),
+pf AS (SELECT p AS p_full FROM fin WHERE v = '__full'),
+re AS (
+  SELECT fin.v AS removed_type, fin.p AS p_conv, pf.p_full,
+         CASE WHEN pf.p_full > 0
+              THEN greatest(0.0, round(1.0 - fin.p / pf.p_full + 1e-9, 6))
+              ELSE 0.0 END AS removal_effect
+  FROM fin, pf WHERE fin.v <> '__full'
+),
+tot AS (SELECT sum(removal_effect) AS sre FROM re)
+SELECT removed_type, p_conv, p_full, removal_effect,
+       CASE WHEN tot.sre > 0
+            THEN round(removal_effect / tot.sre + 1e-9, 6) END AS credit_share
+FROM re, tot
+""",
+)
+def events_markov_attribution(spark, sf_dir):
+    """Markov removal-effect channel attribution (Anderl et al. 2014):
+    model each user's pre-conversion event path as a first-order chain
+    from a synthetic '__start' through the event types to absorption in
+    '{_MATTR_CONV}' (conversion) or '__end' (null); each type's credit
+    is its REMOVAL EFFECT — how much total conversion probability
+    disappears when that state's transitions are redirected to null —
+    normalized into shares.  The principled alternative to the
+    heuristic first/last/linear credits of
+    ``events_multi_touch_attribution``.
+
+    Pinned conventions: paths truncate at the first conversion
+    (inclusive); transition probabilities round to 6 dp; absorption
+    probabilities come from the same {_MATTR_ROUNDS}-round per-round-
+    rounded Neumann iteration as the absorbing-chain sibling, run per
+    removal variant; removal effects clamp at 0.
+
+    Scale shape: ONE transition-count aggregate over a user-keyed
+    shuffle; the (|types|+1)^2 matrix collapses to one nested-array row
+    fanned out to |types|+1 variant rows; all {_MATTR_ROUNDS} iterations
+    are in-row list arithmetic; p_full and the share total are 1-row
+    broadcast join-backs."""
+    mat = _markov_transition_matrix(spark, sf_dir)
     vmat = mat.select(
         F.explode(
             F.expr(
@@ -18817,6 +19080,509 @@ def events_quality_monitor(spark, sf_dir):
                 / F.col("first_half")
             ),
         ).alias("rel_change"),
+    )
+
+
+@query(
+    "ppjoin_jaccard_pairs",
+    SIM.prefix_filter_jaccard_oracle_sql(threshold_pct=60),
+)
+def ppjoin_jaccard_pairs(spark, sf_dir):
+    """PPJoin positional-filtered exact Jaccard >= 0.6 self-join
+    (operators/similarity.py ppjoin_jaccard_pairs; Xiao et al. WWW'08)
+    — the position-enhanced upgrade of ``prefix_filter_jaccard_pairs``:
+    length + positional prunes (both exact integer tests) cut the
+    candidate set before the verification join.  The oracle is the SAME
+    quadratic all-pairs ground truth, so the hash certifies the
+    positional filter's no-false-negative lemma — pruning changed the
+    plan, not the result."""
+    d = load_table(spark, sf_dir, "documents")
+    return SIM.ppjoin_jaccard_pairs(d, "text", "doc_id", threshold_pct=60)
+
+
+@query(
+    "events_shapley_attribution",
+    f"""
+WITH RECURSIVE {_MATTR_CTE},
+base AS (
+  SELECT ts_, q AS q0, r AS r0,
+         list_filter(ts_, t -> t <> '__start') AS chans
+  FROM qmat
+),
+vm AS (
+  SELECT ts_, chans, m.mask,
+         list_transform(generate_series(1, len(ts_)), i ->
+           list_transform(generate_series(1, len(ts_)), j ->
+             CASE WHEN (ts_[i] = '__start' OR
+                        ((mask >> (list_position(chans, ts_[i]) - 1)) & 1) = 1)
+                   AND (ts_[j] = '__start' OR
+                        ((mask >> (list_position(chans, ts_[j]) - 1)) & 1) = 1)
+                  THEN q0[i][j] ELSE 0.0 END)) AS q,
+         list_transform(generate_series(1, len(ts_)), i ->
+           CASE WHEN ts_[i] = '__start' OR
+                     ((mask >> (list_position(chans, ts_[i]) - 1)) & 1) = 1
+                THEN r0[i] ELSE 0.0 END) AS r
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(
+                  0, CAST((1 << len(chans)) - 1 AS BIGINT))) AS mask) m
+),
+it AS (
+  SELECT ts_, chans, mask, q, r, 0 AS k, r AS hv FROM vm
+  UNION ALL
+  SELECT ts_, chans, mask, q, r, k + 1,
+         list_transform(generate_series(1, len(hv)), i ->
+           round(r[i] + list_sum(list_transform(generate_series(1, len(hv)),
+                 j -> q[i][j] * hv[j])) + 1e-9, 6))
+  FROM it WHERE k < {_MATTR_ROUNDS}
+),
+fin AS (
+  SELECT chans, mask, len(chans) AS n,
+         hv[list_position(ts_, '__start')] AS v
+  FROM it WHERE k = {_MATTR_ROUNDS}
+),
+terms AS (
+  SELECT wo.chans[ci.ci] AS channel,
+         CAST(round(
+           (CASE WHEN s = 0 THEN 1.0 ELSE list_product(
+              list_transform(generate_series(1, s), x -> x::DOUBLE)) END)
+           * (CASE WHEN wo.n - 1 - s = 0 THEN 1.0 ELSE list_product(
+              list_transform(generate_series(1, wo.n - 1 - s),
+                             x -> x::DOUBLE)) END)
+           / list_product(list_transform(generate_series(1, wo.n),
+                                         x -> x::DOUBLE))
+           * (wi.v - wo.v) * 1e9) AS BIGINT) AS term_nano
+  FROM fin wo
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, wo.n)) AS ci) ci
+  JOIN fin wi ON wi.mask = wo.mask + (1 << (ci.ci - 1))
+  CROSS JOIN LATERAL (
+    SELECT CAST(list_sum(list_transform(generate_series(1, wo.n),
+             b -> (wo.mask >> (b - 1)) & 1)) AS BIGINT) AS s) sb
+  WHERE ((wo.mask >> (ci.ci - 1)) & 1) = 0
+),
+phi AS (
+  SELECT channel, sum(term_nano)::BIGINT AS phi_nano FROM terms GROUP BY 1
+),
+tot AS (SELECT sum(phi_nano)::BIGINT AS t FROM phi)
+SELECT channel,
+       round(phi_nano::DOUBLE / 1e9 + 1e-9, 6) AS shapley_credit,
+       CASE WHEN tot.t > 0
+            THEN round(phi_nano::DOUBLE / tot.t + 1e-9, 6) END
+         AS credit_share
+FROM phi, tot
+""",
+)
+def events_shapley_attribution(spark, sf_dir):
+    """EXACT Shapley-value channel attribution over the Markov journey
+    model (Shapley 1953; the coalition game of Dalessandro et al. 2012
+    with v(S) = chain conversion probability using only the channels in
+    S): every one of the 2^|channels| channel subsets is a variant of
+    the shared transition matrix (non-members redirected to null), each
+    absorbed by the pinned {_MATTR_ROUNDS}-round in-row Neumann
+    iteration, and each channel's credit is the factorial-weighted
+    average of its marginal contributions — the axiomatic gold standard
+    the removal-effect heuristic approximates with |channels|+1 probes.
+
+    Determinism: subset values round per-round like every chain sibling;
+    each weighted marginal rounds to integer NANO-units before the
+    cross-subset sum (double summation order never matters); weights
+    are exact small-integer factorial rationals.
+
+    Scale: 2^|channels| variants is the operator's honest cost — the
+    event-TYPE domain (marketing channels, content sources) is bounded
+    by design (~10), never data-sized; all variants are rows of ONE
+    nested-array relation, every iteration in-row, the corpus is read
+    once by the shared transition aggregate."""
+    mat = _markov_transition_matrix(spark, sf_dir)
+    base = mat.select(
+        "ts_",
+        "q0",
+        "r0",
+        F.expr("filter(ts_, t -> t != '__start')").alias("chans"),
+    )
+    kept_i = (
+        "(element_at(ts_, i) = '__start' OR"
+        " (shiftright(mask, CAST(array_position(chans,"
+        " element_at(ts_, i)) AS INT) - 1) & 1) = 1)"
+    )
+    kept_j = kept_i.replace("(ts_, i)", "(ts_, j)")
+    vm = base.select(
+        "ts_",
+        "chans",
+        "q0",
+        "r0",
+        F.explode(
+            F.expr("sequence(0, shiftleft(1, size(chans)) - 1)")
+        ).alias("mask"),
+    ).select(
+        "ts_",
+        "chans",
+        "mask",
+        F.expr(
+            f"transform(sequence(1, size(ts_)), i ->"
+            f" transform(sequence(1, size(ts_)), j ->"
+            f" CASE WHEN {kept_i} AND {kept_j}"
+            f" THEN element_at(element_at(q0, i), j) ELSE 0.0 END))"
+        ).alias("q"),
+        F.expr(
+            f"transform(sequence(1, size(ts_)), i ->"
+            f" CASE WHEN {kept_i} THEN element_at(r0, i)"
+            f" ELSE 0.0 END)"
+        ).alias("r"),
+    )
+    step = (
+        "transform(sequence(1, size(hv)), i ->"
+        " round(element_at(r, i)"
+        " + aggregate(sequence(1, size(hv)), CAST(0.0 AS DOUBLE),"
+        " (acc, j) -> acc + element_at(element_at(q, i), j)"
+        " * element_at(hv, j)) + 1e-9, 6))"
+    )
+    it = vm.select(
+        "ts_", "chans", "mask", "q", "r", F.col("r").alias("hv")
+    )
+    for _ in range(_MATTR_ROUNDS):
+        it = it.select(
+            "ts_", "chans", "mask", "q", "r", F.expr(step).alias("hv")
+        )
+    # 2^|channels| rows consumed by the with/without self-join —
+    # materialize once
+    fin = it.select(
+        "chans",
+        "mask",
+        F.size("chans").alias("n"),
+        F.expr(
+            "element_at(hv, CAST(array_position(ts_, '__start') AS INT))"
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+    fact = (
+        "(CASE WHEN {k} = 0 THEN CAST(1.0 AS DOUBLE)"
+        " ELSE aggregate(sequence(1, {k}), CAST(1.0 AS DOUBLE),"
+        " (acc, x) -> acc * x) END)"
+    )
+    wo = fin.select(
+        "chans",
+        "n",
+        F.col("mask").alias("mo"),
+        F.col("v").alias("vo"),
+        F.explode(F.expr("sequence(1, size(chans))")).alias("ci"),
+    ).where(F.expr("(shiftright(mo, ci - 1) & 1) = 0"))
+    wi = fin.select(F.col("mask").alias("mi"), F.col("v").alias("vi"))
+    terms = (
+        wo.withColumn("mi", F.expr("mo + shiftleft(1, ci - 1)"))
+        .join(wi, "mi")
+        .select(
+            F.expr("element_at(chans, ci)").alias("channel"),
+            F.expr(
+                "aggregate(sequence(1, n), 0,"
+                " (acc, b) -> acc + CAST(shiftright(mo, b - 1) & 1 AS INT))"
+            ).alias("s"),
+            "n",
+            (F.col("vi") - F.col("vo")).alias("delta"),
+        )
+        .select(
+            "channel",
+            F.expr(
+                "CAST(round("
+                + fact.format(k="s")
+                + " * "
+                + fact.format(k="(n - 1 - s)")
+                + " / "
+                + fact.format(k="n")
+                + " * delta * 1e9) AS BIGINT)"
+            ).alias("term_nano"),
+        )
+    )
+    phi = terms.groupBy("channel").agg(
+        F.sum("term_nano").cast("long").alias("phi_nano")
+    )
+    tot = phi.agg(F.sum("phi_nano").cast("long").alias("t"))
+    return phi.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round(
+            F.col("phi_nano").cast("double") / F.lit(1e9) + F.lit(1e-9), 6
+        ).alias("shapley_credit"),
+        F.when(
+            F.col("t") > 0,
+            F.round(
+                F.col("phi_nano").cast("double") / F.col("t")
+                + F.lit(1e-9),
+                6,
+            ),
+        ).alias("credit_share"),
+    )
+
+
+#: item-item cosine: heavy-customer cap and co-occurrence floor
+_COS_MAX_BASKET = 64
+_COS_MIN_CO = 2
+_COS_TOPK = 10
+
+
+@query(
+    "parts_basket_cosine",
+    f"""
+WITH bought AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+sz AS (SELECT cust, count(*) AS k FROM bought GROUP BY 1),
+kept AS (
+  SELECT b.cust, b.item FROM bought b JOIN sz USING (cust)
+  WHERE sz.k <= {_COS_MAX_BASKET}
+),
+ni AS (SELECT item, count(*)::BIGINT AS n FROM kept GROUP BY 1),
+co AS (
+  SELECT a.item AS p, b.item AS q, count(*)::BIGINT AS npq
+  FROM kept a JOIN kept b ON a.cust = b.cust AND a.item <> b.item
+  GROUP BY 1, 2 HAVING count(*) >= {_COS_MIN_CO}
+),
+sc AS (
+  SELECT co.p, co.q, co.npq,
+         {_r6n_sql("co.npq / sqrt(na.n::DOUBLE * nb.n::DOUBLE)")} AS cosine
+  FROM co JOIN ni na ON na.item = co.p JOIN ni nb ON nb.item = co.q
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY p
+                               ORDER BY cosine DESC, q ASC) AS rk
+  FROM sc
+)
+SELECT p AS item, q AS similar_item, npq AS n_common, rk::INT AS rk, cosine
+FROM r WHERE rk <= {_COS_TOPK}
+""",
+)
+def parts_basket_cosine(spark, sf_dir):
+    """Item-item collaborative-filtering cosine over binary
+    customer-part purchase vectors — the DIMSUM workload (Zadeh & Goel
+    2013) in its exact inverted-index form: co-occurrence counts via a
+    self-join on customer with a heavy-customer cap
+    (k <= {_COS_MAX_BASKET} distinct items; the cap is what bounds the
+    fan-out at 100 TB exactly as DIMSUM's magnitude sampling does, here
+    deterministic), cosine = n_pq / sqrt(n_p n_q) from exact integers,
+    a co-occurrence floor of {_COS_MIN_CO}, and top-{_COS_TOPK}
+    neighbors per item by a PARTITIONED rank.
+
+    Scale shape: one distinct (customer, item) reduction; the quadratic
+    risk lives only in per-customer fan-out, which the cap bounds at
+    {_COS_MAX_BASKET}^2; ranking is per-item (never a global window)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("cust")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_partkey").alias("item"),
+    )
+    bought = o.join(li, "o_orderkey").select("cust", "item").distinct()
+    sz = bought.groupBy("cust").agg(F.count(F.lit(1)).alias("k"))
+    kept = (
+        bought.join(sz, "cust")
+        .where(F.col("k") <= _COS_MAX_BASKET)
+        .select("cust", "item")
+    )
+    ni = kept.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = kept.select("cust", F.col("item").alias("p"))
+    b = kept.select("cust", F.col("item").alias("q"))
+    co = (
+        a.join(b, "cust")
+        .where(F.col("p") != F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("npq"))
+        .where(F.col("npq") >= _COS_MIN_CO)
+    )
+    sc = (
+        co.join(ni.select(F.col("item").alias("p"), F.col("n").alias("na")), "p")
+        .join(ni.select(F.col("item").alias("q"), F.col("n").alias("nb")), "q")
+        .select(
+            "p",
+            "q",
+            "npq",
+            _r6n(
+                F.col("npq")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("p").orderBy(F.col("cosine").desc(), F.col("q").asc())
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= _COS_TOPK)
+        .select(
+            F.col("p").alias("item"),
+            F.col("q").alias("similar_item"),
+            F.col("npq").alias("n_common"),
+            "rk",
+            "cosine",
+        )
+    )
+
+
+#: layout-eval: row groups and the two probe predicates (bucket ranges)
+_SKIP_GROUPS = 64
+_SKIP_USER_LO, _SKIP_USER_HI = 0, 31
+_SKIP_HOUR_LO, _SKIP_HOUR_HI = 64, 127
+
+
+@query(
+    "layout_skipping_eval",
+    f"""
+WITH e AS (
+  SELECT event_id,
+         user_id & 255 AS xb,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) & 255 AS yb
+  FROM events
+),
+{_hilbert_sql_ctes("xb", "yb")},
+hk AS (SELECT event_id, hd FROM h0),
+ez AS (
+  SELECT e.event_id, e.xb, e.yb,
+         {_zkey_sql("e.xb", "e.yb")}::BIGINT AS zkey, hk.hd AS hkey
+  FROM e JOIN hk USING (event_id)
+),
+gg AS (
+  SELECT layout, g, min(xb) AS min_u, max(xb) AS max_u,
+         min(yb) AS min_h, max(yb) AS max_h
+  FROM (
+    SELECT 'natural' AS layout,
+           ((row_number() OVER (ORDER BY event_id) - 1)
+            * {_SKIP_GROUPS}) // (SELECT count(*) FROM ez) AS g,
+           xb, yb
+    FROM ez
+    UNION ALL
+    SELECT 'morton',
+           ((row_number() OVER (ORDER BY zkey, event_id) - 1)
+            * {_SKIP_GROUPS}) // (SELECT count(*) FROM ez),
+           xb, yb
+    FROM ez
+    UNION ALL
+    SELECT 'hilbert',
+           ((row_number() OVER (ORDER BY hkey, event_id) - 1)
+            * {_SKIP_GROUPS}) // (SELECT count(*) FROM ez),
+           xb, yb
+    FROM ez
+  ) _ (layout, g, xb, yb)
+  GROUP BY layout, g
+)
+SELECT layout,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN min_u <= {_SKIP_USER_HI} AND max_u >= {_SKIP_USER_LO}
+                THEN 1 ELSE 0 END)::BIGINT AS touched_user_probe,
+       sum(CASE WHEN min_h <= {_SKIP_HOUR_HI} AND max_h >= {_SKIP_HOUR_LO}
+                THEN 1 ELSE 0 END)::BIGINT AS touched_hour_probe
+FROM gg
+GROUP BY layout
+""",
+)
+def layout_skipping_eval(spark, sf_dir):
+    """Row-group skipping effectiveness of three physical layouts —
+    natural (arrival order), Morton z-order, Hilbert — measured the way
+    a lakehouse reader actually benefits: sort by each key, cut into
+    {_SKIP_GROUPS} equal row groups, record per-group (user, hour)
+    bucket min/max "zone maps", and count how many groups a
+    user-range probe ([{_SKIP_USER_LO},{_SKIP_USER_HI}]) and an
+    hour-range probe ([{_SKIP_HOUR_LO},{_SKIP_HOUR_HI}]) must touch.
+    This is the harness that justifies ``events_zorder_keys`` /
+    ``events_hilbert_keys``: natural order touches ~every group on the
+    user probe; the space-filling curves bound BOTH probes at once.
+
+    Scale shape: the sort positions come from the two-phase
+    ``global_rank`` primitive per layout (no single-partition window);
+    everything after is {_SKIP_GROUPS}-row zone-map arithmetic."""
+    from .functions.distribution import global_rank
+
+    e = load_table(spark, sf_dir, "events")
+    n1 = F.lit(255)
+    base = e.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(n1).alias("xb"),
+        F.expr("unix_micros(ts) div 3600000000").bitwiseAND(n1).alias("yb"),
+    )
+    # reuse the two layout-key builders
+    cur = base.select(
+        "event_id", "xb", "yb",
+        F.col("xb").alias("hx"), F.col("yb").alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+    )
+    for k in range(_HILBERT_BITS - 1, -1, -1):
+        s = 1 << k
+        rx = F.shiftrightunsigned(F.col("hx"), k).bitwiseAND(F.lit(1))
+        ry = F.shiftrightunsigned(F.col("hy"), k).bitwiseAND(F.lit(1))
+        cur = cur.select(
+            "event_id", "xb", "yb",
+            F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(255) - F.col("hy")).otherwise(
+                    F.col("hy")
+                ),
+            ).otherwise(F.col("hx")).alias("hx"),
+            F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(255) - F.col("hx")).otherwise(
+                    F.col("hx")
+                ),
+            ).otherwise(F.col("hy")).alias("hy"),
+            (
+                F.col("hd")
+                + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+            ).alias("hd"),
+        )
+    keyed = cur.select(
+        "event_id", "xb", "yb",
+        _zkey_spark(F.col("xb"), F.col("yb")).alias("zkey"),
+        F.col("hd").alias("hkey"),
+    ).localCheckpoint(eager=True)
+    n = keyed.count()
+
+    def zone_maps(order_cols, layout):
+        r = global_rank(keyed, order_cols, "rn")
+        return (
+            r.withColumn(
+                "g",
+                ((F.col("rn") - 1) * _SKIP_GROUPS / F.lit(n)).cast("long"),
+            )
+            .groupBy("g")
+            .agg(
+                F.min("xb").alias("min_u"),
+                F.max("xb").alias("max_u"),
+                F.min("yb").alias("min_h"),
+                F.max("yb").alias("max_h"),
+            )
+            .select(F.lit(layout).alias("layout"), "g", "min_u", "max_u",
+                    "min_h", "max_h")
+        )
+
+    gg = (
+        zone_maps([F.col("event_id").asc()], "natural")
+        .unionAll(
+            zone_maps(
+                [F.col("zkey").asc(), F.col("event_id").asc()], "morton"
+            )
+        )
+        .unionAll(
+            zone_maps(
+                [F.col("hkey").asc(), F.col("event_id").asc()], "hilbert"
+            )
+        )
+    )
+    return gg.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            F.when(
+                (F.col("min_u") <= _SKIP_USER_HI)
+                & (F.col("max_u") >= _SKIP_USER_LO),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("touched_user_probe"),
+        F.sum(
+            F.when(
+                (F.col("min_h") <= _SKIP_HOUR_HI)
+                & (F.col("max_h") >= _SKIP_HOUR_LO),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("touched_hour_probe"),
     )
 
 

@@ -160,6 +160,10 @@ BNLJ_BOUNDED: dict[str, str] = {
         "|types|+1-row variant relation — all build sides bounded by the "
         "event-type domain"
     ),
+    "events_shapley_attribution": (
+        "1-row credit-total join-back onto the checkpointed "
+        "2^|channels|-row subset relation — bounded by the channel domain"
+    ),
     "retrieval_rbo_bm25_ql": (
         _SCALAR + " (BM25 n_docs/sum_dl row + QL corpus-token-total row, "
         "one per retrieval head)"
@@ -285,6 +289,13 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     ),
     "prefix_filter_jaccard_pairs": (
         "two-phase global_rank offset window (<= #partitions rows)"
+    ),
+    "ppjoin_jaccard_pairs": (
+        "two-phase global_rank offset window (<= #partitions rows)"
+    ),
+    "layout_skipping_eval": (
+        "three two-phase global_rank offset windows (<= #partitions rows "
+        "each), one per evaluated layout"
     ),
     "sessions_incident_overlap": (
         "gaps-and-islands over the FLAGGED error-bucket relation — "

@@ -448,3 +448,107 @@ def png_dims_sql(payload_expr: str = "payload") -> tuple[str, str]:
     w = f"('0x' || substr({h}, {(PNG_WIDTH_OFFSET - 1) * 2 + 1}, 8))::BIGINT"
     ht = f"('0x' || substr({h}, {(PNG_HEIGHT_OFFSET - 1) * 2 + 1}, 8))::BIGINT"
     return w, ht
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (dHash) over decoded pixels
+# ---------------------------------------------------------------------------
+
+DHASH_SIZE = 8  # 8x9 grayscale downsample -> 64 gradient bits
+
+
+def dhash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """(id, dhash) — 64-bit difference hash (the classic perceptual
+    image fingerprint: grayscale, downsample to 8 rows x 9 columns by
+    nearest-neighbor, one bit per horizontal gradient) computed from
+    :func:`decode_pixels` output.  The DECODE is the only Python
+    (Arrow-batched mapInPandas); the grayscale reduction, sampling grid,
+    and bit packing are pure JVM array expressions over the
+    (shape, pixels) row — the same split the rest of the multimodal
+    family uses.  Undecodable payloads yield NULL hashes (per-row
+    failure tolerance, never job abort).
+
+    dHash is translation-sensitive but robust to re-encoding, scaling,
+    and small pixel noise — the image sibling of SimHash: near-duplicate
+    images land within a few bits of Hamming distance.
+    """
+    n = DHASH_SIZE
+    px = decode_pixels(df, payload_col, id_col)
+
+    def gray(row_e: str, col_e: str) -> str:
+        # channel-mean at original-image (row, col); pixels row-major
+        return (
+            f"(aggregate(sequence(0, s.ch - 1), CAST(0.0 AS DOUBLE),"
+            f" (acc, k) -> acc + element_at(pixels,"
+            f" CAST(((({row_e}) * s.w + ({col_e})) * s.ch) + k + 1 AS INT)))"
+            f" / CAST(s.ch AS DOUBLE))"
+        )
+
+    # bit index i = r * n + c; nearest-neighbor sample grid over 8x9
+    sr = f"((i DIV {n}) * s.h DIV {n})"
+    sca = f"((i % {n}) * s.w DIV {n + 1})"
+    scb = f"(((i % {n}) + 1) * s.w DIV {n + 1})"
+    bit = f"CASE WHEN {gray(sr, sca)} > {gray(sr, scb)} THEN 1 ELSE 0 END"
+    hash_expr = (
+        f"aggregate(sequence(0, {n * n - 1}), CAST(0 AS BIGINT),"
+        f" (hacc, i) -> hacc"
+        f" + shiftleft(CAST({bit} AS BIGINT), CAST(i AS INT)))"
+    )
+    # bind the int dims once via a 1-element transform (the bind_once
+    # trick: s.h/s.w/s.ch resolve inside the lambda, pixels from the row)
+    full = (
+        "element_at(transform(array(struct("
+        "CAST(element_at(shape, 1) AS INT) AS h,"
+        "CAST(element_at(shape, 2) AS INT) AS w,"
+        "CAST(element_at(shape, 3) AS INT) AS ch)), s -> "
+        + hash_expr
+        + "), 1)"
+    )
+    return px.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("shape").isNotNull(), F.expr(full)).alias("dhash"),
+    )
+
+
+def dhash_pairs(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, hamming) image near-duplicate pairs: dHash
+    fingerprints banded into EIGHT 8-bit bands, candidates from the
+    band equi-join (any pair within Hamming <= 7 is GUARANTEED to agree
+    on at least one band — pigeonhole over 8 bands), then exact popcount
+    verify at ``max_hamming``.  The image twin of the SimHash banded
+    text pipeline: never all-pairs, candidates only."""
+    hashed = dhash64(df, payload_col, id_col).where(
+        F.col("dhash").isNotNull()
+    )
+    bands = hashed.select(
+        "id",
+        "dhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), b -> struct(b AS band,"
+                " CAST(shiftright(dhash, b * 8) & 255 AS INT) AS key))"
+            )
+        ).alias("bk"),
+    ).select("id", "dhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("dhash").alias("h_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("dhash").alias("h_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.expr("h_a ^ h_b")).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

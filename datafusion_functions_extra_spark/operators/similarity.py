@@ -337,9 +337,22 @@ def near_dup_components(
     stays O(5 rounds), not O(total rounds).
     """
     pairs = near_dup_pairs(df, text_col, id_col, threshold).select("id_a", "id_b")
+    nodes = df.select(F.col(id_col).alias("id"))
+    return components_from_pairs(nodes, pairs, max_iters).select(
+        F.col("id").alias(id_col), "component"
+    )
+
+
+def components_from_pairs(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(id, component) — connected components over an arbitrary
+    (id_a, id_b) pair relation via the min-label-propagation loop
+    described in :func:`near_dup_components` (which delegates here);
+    ``nodes`` must expose an ``id`` column covering every vertex."""
     # localCheckpoint (not just persist): every iteration references the
     # edge relation twice, and persist dedupes EXECUTION but still inlines
-    # the whole MinHash/LSH logical subtree (~6 shuffles) at each
+    # the whole candidate-generation logical subtree (~6 shuffles) at each
     # reference — the analyzed plan grew ~60 shuffle nodes per round.
     # Checkpointing collapses edges to a LogicalRDD leaf, so each round
     # adds only its own join+aggregate to the plan.
@@ -348,7 +361,7 @@ def near_dup_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    labels = nodes.select("id", F.col("id").alias("label")).persist()
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.id)
@@ -373,19 +386,29 @@ def near_dup_components(
         )
         labels.unpersist()
         labels = new_labels
+        since_ckpt = (it + 1) % 5
         if changed == 0:
             break
-        if (it + 1) % 5 == 0:
+        if since_ckpt == 0:
             # truncate the unrolled logical plan — the convergence .count()
             # above already materialized this round's labels, so the
             # checkpoint is a cheap block copy, not a recompute
             ckpt = labels.localCheckpoint(eager=True)
             labels.unpersist()
             labels = ckpt
+    # final checkpoint when MANY rounds ran past the last periodic one:
+    # each round references the label tree TWICE (neighbor_min + the
+    # join back), so uncommitted rounds double the analyzed tree per
+    # round — a graph converging at round 9 returned a 550-exchange
+    # plan.  Up to 3 uncommitted rounds (~2^3 tree copies, the ~30
+    # -exchange plans the audit always showed) analyze fine and skip the
+    # extra block copy; beyond that the copy is cheaper than analysis.
+    if since_ckpt > 3:
+        labels = labels.localCheckpoint(eager=True)
     # edges is a localCheckpoint: its blocks are released by the
     # ContextCleaner once the returned plan (whose LogicalRDD leaf pins
     # them) is garbage-collected — no unpersist handle to manage
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
+    return labels.select("id", F.col("label").alias("component"))
 
 
 def near_dup_components_oracle_sql(threshold: float = 0.5) -> str:

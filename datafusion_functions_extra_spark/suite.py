@@ -19586,6 +19586,230 @@ def layout_skipping_eval(spark, sf_dir):
     )
 
 
+#: cosine-linkage threshold for the embedding component graph: the
+#: synthetic embeddings are near-orthogonal (max in-bucket cosine ~0.36
+#: at sf0.01), so the production-style 0.9 near-dup threshold yields an
+#: EMPTY graph; 0.25 exercises the machinery on the corpus's strongest
+#: geometric affinities — the operator is threshold-agnostic
+_EMB_CC_THRESHOLD = 0.25
+
+
+@query(
+    "embedding_near_dup_components",
+    f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {SIM._bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE round({SIM._cos_sql("a.embedding", "c.embedding")}, 6) >= {_EMB_CC_THRESHOLD}
+),
+edges AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, root) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.id_b, r.root FROM reach r JOIN edges e ON e.id_a = r.id
+)
+SELECT id AS vec_id, min(root) AS component FROM reach GROUP BY id
+""",
+)
+def embedding_near_dup_components(spark, sf_dir):
+    """Connected components over the EMBEDDING cosine-linkage graph
+    (cosine >= {_EMB_CC_THRESHOLD} within hyperplane-LSH buckets; see
+    the threshold note above — production near-dup corpora run the same
+    operator at 0.9) — the semantic-cluster ids the
+    text-shingle components can't see (paraphrases, translations,
+    re-renderings share geometry, not n-grams), and the transitive
+    upgrade of SemDeDup's within-cluster pair screen.  Same min-label
+    propagation loop as the text components
+    (``operators/similarity.py components_from_pairs``, shared after the
+    r5w refactor): per round one join + one aggregate on checkpointed
+    edges; oracle = recursive CTE over the identical bucketed pair
+    relation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_pairs(
+        e, threshold=_EMB_CC_THRESHOLD
+    ).select("id_a", "id_b")
+    nodes = e.select(F.col("vec_id").alias("id"))
+    return SIM.components_from_pairs(nodes, pairs).select(
+        F.col("id").alias("vec_id"), "component"
+    )
+
+
+#: stupid-backoff discount and the train-split predicate (model counts
+#: come from even doc ids; ALL docs are scored, so odd docs exercise the
+#: backoff ladder on genuinely unseen n-grams)
+_SB_DISCOUNT = 0.4
+
+
+@query(
+    "text_trigram_logprob",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+tg AS (
+  SELECT doc_id, u.w1, u.w2, u.w3 FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 2),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1],
+                                   w3 := toks[i+2]))) AS u
+    FROM t WHERE len(toks) >= 3
+  )
+),
+tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 0),
+trg AS (
+  SELECT u.w1, u.w2, u.w3, count(*) AS c123 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1],
+                                   w3 := toks[i+2]))) AS u
+    FROM tr WHERE len(toks) >= 3
+  ) GROUP BY 1, 2, 3
+),
+bgc AS (
+  SELECT u.w1, u.w2, count(*) AS c12 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
+    FROM tr WHERE len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+unc AS (
+  SELECT term, count(*) AS c1 FROM
+    (SELECT unnest(toks) AS term FROM tr) GROUP BY 1
+),
+ntok AS (SELECT count(*)::BIGINT AS n FROM (SELECT unnest(toks) FROM tr)),
+sc AS (
+  SELECT tg.doc_id,
+         CASE
+           WHEN t3.c123 IS NOT NULL
+             THEN ln(t3.c123::DOUBLE / b12.c12)
+           WHEN b23.c12 IS NOT NULL
+             THEN ln({_SB_DISCOUNT!r} * (b23.c12::DOUBLE / u2.c1))
+           WHEN u3.c1 IS NOT NULL
+             THEN ln({_SB_DISCOUNT!r} * {_SB_DISCOUNT!r}
+                     * (u3.c1::DOUBLE / ntok.n))
+           ELSE ln({_SB_DISCOUNT!r} * {_SB_DISCOUNT!r} / ntok.n)
+         END AS lp,
+         CASE WHEN t3.c123 IS NOT NULL THEN 0 ELSE 1 END AS backed
+  FROM tg
+  LEFT JOIN trg t3 ON t3.w1 = tg.w1 AND t3.w2 = tg.w2 AND t3.w3 = tg.w3
+  LEFT JOIN bgc b12 ON b12.w1 = tg.w1 AND b12.w2 = tg.w2
+  LEFT JOIN bgc b23 ON b23.w1 = tg.w2 AND b23.w2 = tg.w3
+  LEFT JOIN unc u2 ON u2.term = tg.w2
+  LEFT JOIN unc u3 ON u3.term = tg.w3
+  CROSS JOIN ntok
+)
+SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+       {_r6n_sql('avg(lp)')} AS avg_logprob,
+       {_r6n_sql('avg(backed::DOUBLE)')} AS backoff_rate
+FROM sc GROUP BY 1
+""",
+)
+def text_trigram_logprob(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007 — the
+    web-scale counts-only smoothing): model counts come from the even
+    -doc-id half, ALL docs are scored, so held-out docs exercise the
+    real backoff ladder — p = c123/c12, else {_SB_DISCOUNT}*c23/c2,
+    else {_SB_DISCOUNT}^2*c3/N, else a {_SB_DISCOUNT}^2/N floor — with
+    the per-doc backoff rate reported beside the mean log score (the
+    filter signal: high-backoff docs are out-of-domain).
+
+    Counts are exact relational aggregates on the train half; the score
+    join is the exploded (doc, w1, w2, w3) relation against broadcast
+    -able n-gram count tables, same shape as the bigram sibling.
+
+    Note a trigram seen in training never backs off when scoring the
+    train half — that's the stupid-backoff definition, not a bug; the
+    odd half carries the unseen mass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+
+    def ngrams(df, n, cols):
+        return (
+            df.where(F.size("toks") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                        lambda i: F.struct(
+                            *[
+                                F.element_at("toks", i + k).alias(c)
+                                for k, c in enumerate(cols)
+                            ]
+                        ),
+                    )
+                ).alias("u"),
+            )
+            .select("doc_id", *[F.col(f"u.{c}") for c in cols])
+        )
+
+    tg = ngrams(toks, 3, ["w1", "w2", "w3"])
+    tr = toks.where(F.col("doc_id") % 2 == 0)
+    trg = (
+        ngrams(tr, 3, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    bgc = (
+        ngrams(tr, 2, ["w1", "w2"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    unc = (
+        tr.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    ntok = tr.select(F.explode("toks").alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    b23 = bgc.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c12").alias("c23"),
+    )
+    u2 = unc.select(F.col("term").alias("w2"), F.col("c1").alias("cu2"))
+    u3 = unc.select(F.col("term").alias("w3"), F.col("c1").alias("cu3"))
+    dsc = F.lit(_SB_DISCOUNT)
+    sc = (
+        tg.join(F.broadcast(trg), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(bgc), ["w1", "w2"], "left")
+        .join(F.broadcast(b23), ["w2", "w3"], "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .join(F.broadcast(u3), "w3", "left")
+        .crossJoin(F.broadcast(ntok))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c123").isNotNull(),
+                F.log(F.col("c123").cast("double") / F.col("c12")),
+            )
+            .when(
+                F.col("c23").isNotNull(),
+                F.log(dsc * (F.col("c23").cast("double") / F.col("cu2"))),
+            )
+            .when(
+                F.col("cu3").isNotNull(),
+                F.log(
+                    dsc * dsc * (F.col("cu3").cast("double") / F.col("n"))
+                ),
+            )
+            .otherwise(F.log(dsc * dsc / F.col("n")))
+            .alias("lp"),
+            F.when(F.col("c123").isNotNull(), 0).otherwise(1).alias(
+                "backed"
+            ),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        _r6n(F.avg("lp")).alias("avg_logprob"),
+        _r6n(F.avg(F.col("backed").cast("double"))).alias("backoff_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -160,6 +160,7 @@ BNLJ_BOUNDED: dict[str, str] = {
         "|types|+1-row variant relation — all build sides bounded by the "
         "event-type domain"
     ),
+    "text_trigram_logprob": _SCALAR + " (1-row train-token-total join-back)",
     "events_shapley_attribution": (
         "1-row credit-total join-back onto the checkpointed "
         "2^|channels|-row subset relation — bounded by the channel domain"

@@ -166,6 +166,14 @@ PROBES = (
     "source_score_wasserstein",    # integer CDF-integral pair grid (r05n)
     "doc_term_hits",               # iterative bipartite fixed-point (r05n)
     "events_kmv_distinct",         # bottom-k sketch + exact-merge certificate (r05i)
+    "events_window_funnel",        # one user-keyed shuffle, two window passes (r05q)
+    "docs_sorted_neighborhood_pairs",  # global rank + fan-out successor join (r05q)
+    "events_markov_attribution",   # one transition agg + in-row variant matrix (r05r)
+    "ppjoin_jaccard_pairs",        # positional-filtered set-similarity join (r05u)
+    "parts_basket_cosine",         # capped co-occurrence self-join (r05v)
+    "layout_skipping_eval",        # three global ranks + zone maps (r05v)
+    "retrieval_map_mrr",           # BM25 head + conjunctive relevance join (r05q)
+    "events_quality_monitor",      # one pass, checkpointed 2-row rollup (r05s)
     # embedding_knn_label_eval / _outliers are EXCLUDED like
     # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
     # design and documented eval-on-sample (SURVEY §9.5)

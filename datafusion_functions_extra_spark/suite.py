@@ -19810,6 +19810,302 @@ def text_trigram_logprob(spark, sf_dir):
     )
 
 
+#: LexRank: pinned power-iteration rounds and damping; the synthetic
+#: corpus carries no sentence punctuation, so "sentences" are fixed
+#: 10-token segments (the convention is a parameter of the operator —
+#: real corpora use the `[.!?]+ ` split the sentence-dedup family pins)
+_LEX_SEG = 10
+_LEX_ROUNDS = 6
+_LEX_DAMP = 0.85
+_LEX_TOPK = 2
+
+
+@query(
+    "docs_lexrank_summary",
+    f"""
+WITH RECURSIVE toks0 AS (
+  SELECT doc_id,
+         str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, (len(toks) + {_LEX_SEG} - 1) // {_LEX_SEG}),
+           i -> array_to_string(toks[(i - 1) * {_LEX_SEG} + 1 : i * {_LEX_SEG}], ' '))
+           AS sents
+  FROM toks0
+),
+k AS (SELECT doc_id, sents, len(sents) AS n FROM d WHERE len(sents) >= 2),
+t AS (
+  SELECT doc_id, sents, n,
+         list_transform(sents,
+           s -> list_distinct(str_split(s, ' '))) AS stoks
+  FROM k
+),
+w AS (
+  SELECT doc_id, sents, n,
+         list_transform(generate_series(1, n), i ->
+           list_transform(generate_series(1, n), j ->
+             CASE WHEN i = j THEN 0.0
+                  ELSE round(
+                    len(list_intersect(stoks[i], stoks[j]))::DOUBLE
+                    / len(list_distinct(list_concat(stoks[i], stoks[j])))
+                    + 1e-9, 6) END)) AS sim
+  FROM t
+),
+wn AS (
+  SELECT doc_id, sents, n,
+         list_transform(sim, row ->
+           list_transform(row, x ->
+             CASE WHEN list_sum(row) > 0
+                  THEN round(x / list_sum(row) + 1e-9, 6)
+                  ELSE 0.0 END)) AS wm,
+         list_transform(generate_series(1, n),
+                        i -> round(1.0 / n + 1e-9, 6)) AS pr
+  FROM w
+),
+it AS (
+  SELECT doc_id, sents, n, wm, pr, 0 AS kk FROM wn
+  UNION ALL
+  SELECT doc_id, sents, n, wm,
+         list_transform(generate_series(1, n), j ->
+           round({1 - _LEX_DAMP} / n
+                 + {_LEX_DAMP} * list_sum(list_transform(
+                     generate_series(1, n), i -> pr[i] * wm[i][j]))
+                 + 1e-9, 6)),
+         kk + 1
+  FROM it WHERE kk < {_LEX_ROUNDS}
+),
+fin AS (SELECT doc_id, sents, n, pr FROM it WHERE kk = {_LEX_ROUNDS}),
+ranked AS (
+  SELECT doc_id, sents, pr,
+         list_sort(list_transform(generate_series(1, n),
+           i -> struct_pack(ns := -pr[i], idx := i))) AS ord
+  FROM fin
+),
+topk AS (
+  SELECT doc_id, g.rk,
+         ord[g.rk].idx AS sent_idx,
+         -ord[g.rk].ns AS score,
+         sents[ord[g.rk].idx] AS sentence
+  FROM ranked
+  CROSS JOIN (SELECT unnest(generate_series(1, {_LEX_TOPK})) AS rk) g
+  WHERE g.rk <= len(ord)
+)
+SELECT doc_id, rk::INT AS rk, sent_idx::INT AS sent_idx,
+       round(score + 1e-9, 6) + 0.0 AS score, sentence
+FROM topk
+""",
+)
+def docs_lexrank_summary(spark, sf_dir):
+    """Per-document extractive summary by LexRank (Erkan & Radev 2004):
+    each doc's sentences form a Jaccard-similarity graph, a damped
+    power iteration ({_LEX_ROUNDS} pinned rounds, d={_LEX_DAMP},
+    per-round 6-dp trajectory rounding) scores sentence centrality, and
+    the top-{_LEX_TOPK} sentences are the summary — the extraction
+    pass a training pipeline runs to build document previews / dedup
+    keys that survive boilerplate better than lead sentences.
+
+    Scale shape: the quadratic term is per-DOCUMENT (sentences-per-doc
+    squared, bounded by document structure at any corpus size, never
+    corpus^2); the whole graph + iteration + ranking is in-row nested
+    -array arithmetic after ONE projection — zero joins, zero shuffles
+    beyond the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks0 = d.select("doc_id", TX.tokens("text").alias("toks"))
+    k = toks0.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1,"
+            f" CAST((size(toks) + {_LEX_SEG} - 1) DIV {_LEX_SEG} AS INT)),"
+            f" i -> array_join(slice(toks, (i - 1) * {_LEX_SEG} + 1,"
+            f" {_LEX_SEG}), ' '))"
+        ).alias("sents"),
+    ).where(F.size("sents") >= 2)
+
+    # EVERYTHING below is one bind_once chain: each stage (token sets,
+    # similarity matrix, row-normalized matrix, every pr iterate) is a
+    # lambda-BOUND value evaluated once per row.  A first cut used
+    # chained projection aliases instead — the optimizer inlines an
+    # alias into every reference site inside higher-order lambdas (no
+    # common-subexpression elimination through HOFs), so the token-set
+    # transform re-evaluated O(n^2) times per row and the full chain
+    # went combinatorial (minutes at sf0.001).  The aggregate-output
+    # arrays of the DTW/absorbing siblings never hit this because
+    # aggregate boundaries stop the inlining; pure projection pipelines
+    # need the explicit binding.
+    seq_n = lambda: F.sequence(F.lit(1), F.size(F.col("sents")))  # noqa: E731
+
+    def jac(st, i, j):
+        inter = F.size(
+            F.array_intersect(F.element_at(st, i), F.element_at(st, j))
+        )
+        union = F.size(
+            F.array_distinct(
+                F.concat(F.element_at(st, i), F.element_at(st, j))
+            )
+        )
+        return F.when(i == j, F.lit(0.0)).otherwise(
+            _r6n(inter.cast("double") / union)
+        )
+
+    def build_ord(sents_col):
+        n = F.size(sents_col)
+        nd = n.cast("double")
+        st_raw = F.transform(
+            sents_col, lambda s: F.array_distinct(F.split(s, " "))
+        )
+
+        def with_sim(st):
+            sim = F.transform(
+                seq_n(),
+                lambda i: F.transform(seq_n(), lambda j: jac(st, i, j)),
+            )
+
+            def with_wm(sm):
+                wm = F.transform(
+                    sm,
+                    lambda row: TX.bind_once(
+                        F.aggregate(
+                            row, F.lit(0.0), lambda a, y: a + y
+                        ),
+                        lambda rs: F.transform(
+                            row,
+                            lambda x: F.when(
+                                rs > 0, _r6n(x / rs)
+                            ).otherwise(F.lit(0.0)),
+                        ),
+                    ),
+                )
+
+                def with_wmv(wmv):
+                    def step(prv):
+                        return F.transform(
+                            seq_n(),
+                            lambda j: _r6n(
+                                F.lit(1 - _LEX_DAMP) / nd
+                                + F.lit(_LEX_DAMP)
+                                * F.aggregate(
+                                    seq_n(),
+                                    F.lit(0.0),
+                                    lambda acc, i: acc
+                                    + F.element_at(prv, i)
+                                    * F.element_at(
+                                        F.element_at(wmv, i), j
+                                    ),
+                                )
+                            ),
+                        )
+
+                    def iterate(prv, rounds):
+                        if rounds == 0:
+                            return F.array_sort(
+                                F.transform(
+                                    seq_n(),
+                                    lambda i: F.struct(
+                                        (-F.element_at(prv, i)).alias(
+                                            "ns"
+                                        ),
+                                        i.alias("idx"),
+                                    ),
+                                )
+                            )
+                        return TX.bind_once(
+                            step(prv), lambda nxt: iterate(nxt, rounds - 1)
+                        )
+
+                    pr0 = F.transform(
+                        seq_n(), lambda _i: _r6n(F.lit(1.0) / nd)
+                    )
+                    return TX.bind_once(
+                        pr0, lambda p0: iterate(p0, _LEX_ROUNDS)
+                    )
+
+                return TX.bind_once(wm, with_wmv)
+
+            return TX.bind_once(sim, with_wm)
+
+        return TX.bind_once(st_raw, with_sim)
+
+    ranked = k.select(
+        "doc_id", "sents", build_ord(F.col("sents")).alias("ord")
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "sents",
+            "ord",
+            F.explode(
+                F.expr(f"sequence(1, least({_LEX_TOPK}, size(ord)))")
+            ).alias("rk"),
+        )
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            F.expr("element_at(ord, rk).idx").cast("int").alias(
+                "sent_idx"
+            ),
+            (
+                F.round(
+                    -F.expr("element_at(ord, rk).ns") + F.lit(1e-9), 6
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+            F.expr(
+                "element_at(sents, element_at(ord, rk).idx)"
+            ).alias("sentence"),
+        )
+    )
+
+
+@query(
+    "docs_content_checksums",
+    """
+WITH h AS (
+  SELECT source,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       (sum(hv) % 1152921504606846976)::BIGINT AS checksum,
+       min(hv) AS min_hash, max(hv) AS max_hash
+FROM h GROUP BY source
+""",
+)
+def docs_content_checksums(spark, sf_dir):
+    """Mergeable per-source content fingerprints: each doc's md5 maps to
+    a 60-bit integer, and the per-source (count, modular hash-sum,
+    min/max hash) tuple is an order-independent, partition-mergeable
+    checksum — two corpus copies agree on every source row iff their
+    content multisets agree (up to the 2^60 sum collision bound).  The
+    lightweight tamper/drift certificate a pipeline stores per snapshot
+    to verify replication and detect silent mutation without moving the
+    corpus; any single-doc change flips the checksum.
+
+    Scale shape: one scan, one hash aggregate keyed by source — the
+    cheapest possible integrity pass, and the per-source rows merge
+    across snapshots (sums add, counts add, min/min, max/max)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("hv").cast("decimal(38,0)"))
+            % F.lit(1152921504606846976)
+        )
+        .cast("long")
+        .alias("checksum"),
+        F.min("hv").alias("min_hash"),
+        F.max("hv").alias("max_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

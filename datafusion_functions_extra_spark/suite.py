@@ -20107,6 +20107,617 @@ def docs_content_checksums(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# spatial family — grid-bucketed radius join / geohash cells / bounded NN
+# (operators/spatial.py; bucket-then-verify, all integer micro-degrees)
+# ---------------------------------------------------------------------------
+
+#: shared oracle CTE: deterministic md5-projected points for the distinct
+#: event users (mirrors operators/spatial.geo_points, WORLD_HALF = 20e6)
+_GEO_PTS_SQL = """
+ids AS (SELECT DISTINCT user_id FROM events),
+pts AS MATERIALIZED (
+  SELECT user_id AS pid,
+         (('0x' || substr(md5('glat:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          % 40000001) - 20000000 AS lat,
+         (('0x' || substr(md5('glon:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          % 40000001) - 20000000 AS lon
+  FROM ids
+)"""
+
+
+def _spatial_points(spark, sf_dir):
+    from .operators.spatial import geo_points
+
+    return geo_points(load_table(spark, sf_dir, "events"), "user_id")
+
+
+def _geo_cells_oracle() -> str:
+    from .operators.spatial import geohash4_sql
+
+    key, label = geohash4_sql("lat", "lon")
+    return f"""
+WITH {_GEO_PTS_SQL},
+cells AS (
+  SELECT {key}::BIGINT AS gh_key, {label} AS geohash FROM pts
+)
+SELECT substr(geohash, 1, 2) AS gh2,
+       count(*)::BIGINT AS n_users,
+       count(DISTINCT gh_key)::BIGINT AS n_subcells
+FROM cells GROUP BY 1
+"""
+
+
+@query("users_geo_cells", _geo_cells_oracle())
+def users_geo_cells(spark, sf_dir):
+    """User density per geohash map cell, with the prefix hierarchy that
+    makes geohash the right spatial GROUP BY key: quantize each point to
+    the 20-bit geohash Morton key (exact-integer successive-halving
+    grid), label it with the standard base32 string, and roll up at the
+    2-char prefix (coarse cell) while counting occupied 4-char subcells
+    — the drill-down a map tile server asks for, one aggregate per zoom
+    level off the SAME key.  The Morton key doubles as the data-layout
+    sort key (events_zorder_keys' geo sibling), so cell-sorted parquet
+    gives bbox queries row-group skipping for free.  One projection +
+    one cell-keyed aggregate — the cheapest possible plan shape."""
+    from .operators.spatial import geohash4
+
+    pts = _spatial_points(spark, sf_dir)
+    key, label = geohash4(F.col("lat"), F.col("lon"))
+    return (
+        pts.select(key.alias("gh_key"), label.alias("geohash"))
+        .groupBy(F.substring("geohash", 1, 2).alias("gh2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.countDistinct("gh_key").cast("long").alias("n_subcells"),
+        )
+    )
+
+
+_GEO_R_PAIRS = 1_000_000  # 1 degree
+_GEO_R_NN = 4_000_000  # 4 degrees
+
+
+@query(
+    "spatial_radius_pairs",
+    f"""
+WITH {_GEO_PTS_SQL}
+SELECT a.pid AS pa, b.pid AS pb,
+       ((a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon))::BIGINT AS d2
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE (a.lat - b.lat) * (a.lat - b.lat)
+      + (a.lon - b.lon) * (a.lon - b.lon) <= {_GEO_R_PAIRS**2}
+""",
+)
+def spatial_radius_pairs(spark, sf_dir):
+    """All point pairs within a 1-degree radius via the grid-bucketed
+    spatial join: one side exploded to its 3x3 neighbor cells (literal
+    array projection), hash-joined on the other side's home cell, exact
+    integer distance verify on candidates only.  The scalable form of
+    'find nearby records' — the oracle is the brute-force all-pairs
+    filter, so a hash match certifies the bucketing loses NO pair (cell
+    width >= radius makes the 3x3 witness complete and unique).  The
+    geo analog of the MinHash band join, with d2 the exact verify."""
+    from .operators.spatial import radius_pairs
+
+    return radius_pairs(_spatial_points(spark, sf_dir), _GEO_R_PAIRS)
+
+
+@query(
+    "spatial_nn_join",
+    f"""
+WITH {_GEO_PTS_SQL},
+pairs AS (
+  SELECT a.pid AS pa, b.pid AS pb,
+         ((a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon))::BIGINT AS d2
+  FROM pts a JOIN pts b ON a.pid != b.pid
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon) <= {_GEO_R_NN**2}
+),
+r AS (
+  SELECT pa, pb, d2,
+         row_number() OVER (PARTITION BY pa ORDER BY d2, pb) AS rn,
+         count(*) OVER (PARTITION BY pa) AS n
+  FROM pairs
+)
+SELECT pa, pb AS nn, d2 AS nn_d2, n::BIGINT AS n_in_radius
+FROM r WHERE rn = 1
+""",
+)
+def spatial_nn_join(spark, sf_dir):
+    """Bounded-radius exact nearest-neighbor join: for every user point,
+    the closest OTHER point within 4 degrees (ties to the smaller
+    neighbor id via the reference min_by composite) plus the in-radius
+    neighbor count.  Same 3x3 candidate generation as the radius join;
+    the aggregate replaces the per-point window, so the plan is one
+    cell-keyed hash join + one grouped min_by — no global sort, no
+    per-point window over unbounded neighbors.  The bounded radius IS
+    the scale contract: unbounded NN needs expanding ring searches,
+    while every real pipeline has a 'too far to matter' cutoff."""
+    from .operators.spatial import nn_within_radius
+
+    return nn_within_radius(
+        _spatial_points(spark, sf_dir), _GEO_R_NN
+    ).select(
+        "pa",
+        "nn",
+        "nn_d2",
+        F.col("n_in_radius").cast("long").alias("n_in_radius"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# integer-twiddle periodogram — dominant-cycle detection with exact DFT
+# power at candidate periods (no runtime trig: shared milli-scaled twiddle
+# literals make every power an exact integer on both engines)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_PGRAM_PERIODS = list(range(2, 15))
+
+
+def _twiddle(p: int, kind: str) -> list[int]:
+    f = _math.cos if kind == "cos" else _math.sin
+    # explicit floor(x+0.5) so the generated literal never depends on a
+    # rounding mode; the SAME integer text lands in the Spark expression
+    # and the oracle SQL, so cross-engine agreement is by construction
+    return [
+        int(_math.floor(f(2 * _math.pi * j / p) * 1000 + 0.5))
+        for j in range(p)
+    ]
+
+
+def _pgram_oracle() -> str:
+    parts = []
+    for p in _PGRAM_PERIODS:
+        cs = ", ".join(str(v) for v in _twiddle(p, "cos"))
+        sn = ", ".join(str(v) for v in _twiddle(p, "sin"))
+        parts.append(
+            f"SELECT {p} AS period,\n"
+            f"  sum(c * ([{cs}])[(t % {p}) + 1])::BIGINT AS s_c,\n"
+            f"  sum(c * ([{sn}])[(t % {p}) + 1])::BIGINT AS s_s\n"
+            f"FROM daily"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT (CAST(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS DATE)
+          - DATE '1970-01-01') AS t,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+s AS ({body}),
+pw AS (SELECT period, s_c, s_s, (s_c * s_c + s_s * s_s)::BIGINT AS power_int FROM s)
+SELECT period, s_c, s_s, power_int,
+       (power_int = max(power_int) OVER ()) AS dominant
+FROM pw
+"""
+
+
+@query("events_periodogram", _pgram_oracle())
+def events_periodogram(spark, sf_dir):
+    """Dominant-cycle detection over the daily event-count series: DFT
+    power at every candidate period 2..14 days, computed with
+    milli-scaled INTEGER twiddle factors (literal cos/sin tables shared
+    verbatim with the oracle), so S_c, S_s and the power are exact
+    integers — the transcendental never runs at query time and the
+    argmax can't flip on a libm ulp.  Phase is anchored at the epoch
+    day number, which shifts S_c/S_s per period but leaves each power
+    invariant in exact arithmetic — no min-day scan needed.
+
+    Plan shape: one day-keyed count aggregate (|days| rows), then ONE
+    global single-row aggregate evaluating all 26 twiddle sums at once
+    (map-side combine does the heavy lifting), unpacked to 13 rows by
+    an in-row explode; the dominant flag is a greatest() over the same
+    row, so there is no window and no scalar join-back.  At 100 TB the
+    only data-sized stage is the daily rollup.  Overflow bound:
+    |S| <= 1000 * total_events, so power fits a long up to ~3e9 events
+    per series — shard by series key beyond that."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("t"),
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    aggs = []
+    for p in _PGRAM_PERIODS:
+        for kind, alias in (("cos", f"sc_{p}"), ("sin", f"ss_{p}")):
+            tab = F.array(*[F.lit(v) for v in _twiddle(p, kind)])
+            aggs.append(
+                F.sum(
+                    F.col("c")
+                    * F.element_at(tab, (F.col("t") % p + 1).cast("int"))
+                )
+                .cast("long")
+                .alias(alias)
+            )
+    one = daily.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("period"),
+                F.col(f"sc_{p}").alias("s_c"),
+                F.col(f"ss_{p}").alias("s_s"),
+                (
+                    F.col(f"sc_{p}") * F.col(f"sc_{p}")
+                    + F.col(f"ss_{p}") * F.col(f"ss_{p}")
+                ).alias("power_int"),
+            )
+            for p in _PGRAM_PERIODS
+        ]
+    )
+    mx = F.greatest(
+        *[
+            F.col(f"sc_{p}") * F.col(f"sc_{p}")
+            + F.col(f"ss_{p}") * F.col(f"ss_{p}")
+            for p in _PGRAM_PERIODS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"), mx.alias("mx"))
+        .select(
+            F.col("r.period").alias("period"),
+            F.col("r.s_c").alias("s_c"),
+            F.col("r.s_s").alias("s_s"),
+            F.col("r.power_int").alias("power_int"),
+            (F.col("r.power_int") == F.col("mx")).alias("dominant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# link prediction on the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+#: Adamic-Adar wedge-center term in integer micro-units: 1e6 / ln(deg)
+#: (deg >= 2 for any wedge center, so ln > 0).  Same micro grid + tie
+#: nudge as _PSI_TERM — a 1-ulp JVM-vs-libm ln divergence must not flip
+#: the integer term.
+_AA_TERM = "CAST(round(1e6 / ln(CAST(deg.d AS DOUBLE)) + 1e-3) AS BIGINT)"
+
+
+@query(
+    "embedding_knn_link_prediction",
+    f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+           FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(vec, x -> x / sqrt(list_sum(
+                 list_transform(vec, y -> y * y)))) AS uv
+      FROM v),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, {SIM.EMBEDDING_DIM}),
+               i -> a.uv[i] * b.uv[i])), 6) AS cos
+  FROM u a JOIN u b ON b.vec_id <> a.vec_id
+),
+top3 AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 3
+),
+e AS MATERIALIZED (
+  SELECT least(vec_id, neighbor_id) AS id_a,
+         greatest(vec_id, neighbor_id) AS id_b
+  FROM top3 GROUP BY 1, 2
+),
+adj AS MATERIALIZED (
+  SELECT id_a AS v, id_b AS u FROM e
+  UNION ALL SELECT id_b AS v, id_a AS u FROM e
+),
+deg AS MATERIALIZED (SELECT v, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+wedge AS (
+  SELECT a.u AS id_a, b.u AS id_b, a.v AS ctr
+  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+),
+cand AS (
+  SELECT w.id_a, w.id_b,
+         count(*)::BIGINT AS common_neighbors,
+         sum({_AA_TERM})::BIGINT AS aa_micro
+  FROM wedge w JOIN deg ON deg.v = w.ctr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.id_a = w.id_a AND e.id_b = w.id_b
+  )
+  GROUP BY 1, 2
+),
+strong AS (SELECT * FROM cand WHERE common_neighbors >= 2)
+SELECT c.id_a, c.id_b, c.common_neighbors, c.aa_micro,
+       {_r6n_sql("c.common_neighbors::DOUBLE / (da.d + db.d - c.common_neighbors)")}
+         AS jaccard
+FROM strong c
+JOIN deg da ON da.v = c.id_a
+JOIN deg db ON db.v = c.id_b
+""",
+)
+def embedding_knn_link_prediction(spark, sf_dir):
+    """Link prediction over the mutual kNN(3) cosine graph (Liben-Nowell
+    & Kleinberg 2003): for every NON-edge pair at 2 hops with >= 2
+    shared neighbors, the three classic scores — common-neighbor count,
+    neighborhood Jaccard, and Adamic-Adar (sum of 1/ln(deg) over shared
+    neighbors, in exact integer micro-units so a libm ulp can't flip
+    the hash).  In a semantic-dedup pipeline these are the
+    'almost-linked' pairs: two vectors sharing several nearest
+    neighbors but no direct edge are the first candidates for a looser
+    second verification pass.  The kNN graph is the right substrate —
+    the MinHash LSH graph on this corpus is a perfect matching (its
+    synthetic dups are pairwise, zero open wedges), while kNN edges
+    always form wedges.
+
+    Plan: the kNN edges reuse the shared half-pair scoring relation
+    (_knn_scored_sym — the eval-harness leg; at 100 TB the edge list
+    comes from the ANN probe family instead, same downstream shape),
+    then symmetrize, self-join on the wedge center, anti-join the edge
+    set, one grouped aggregate and two degree lookups.  Never
+    materializes neighborhoods as arrays; everything is counting on
+    shuffled keys."""
+    from pyspark.sql import Window
+
+    scored = _knn_scored_sym(spark, sf_dir)
+    w3 = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    top3 = (
+        scored.select("vec_id", "neighbor_id", "cos")
+        .withColumn("rk", F.row_number().over(w3))
+        .where(F.col("rk") <= 3)
+    )
+    e = persist_tracked(
+        top3.select(
+            F.least("vec_id", "neighbor_id").alias("id_a"),
+            F.greatest("vec_id", "neighbor_id").alias("id_b"),
+        ).distinct()
+    )
+    adj = e.select(F.col("id_a").alias("v"), F.col("id_b").alias("u")).unionAll(
+        e.select(F.col("id_b").alias("v"), F.col("id_a").alias("u"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = adj.select(F.col("v").alias("ctr"), F.col("u").alias("id_a"))
+    b = adj.select(F.col("v").alias("ctr"), F.col("u").alias("id_b"))
+    wedge = a.join(b, "ctr").where(F.col("id_a") < F.col("id_b"))
+    aa = F.round(
+        F.lit(1e6) / F.log(F.col("d").cast("double")) + F.lit(1e-3)
+    ).cast("long")
+    cand = (
+        wedge.join(deg.select(F.col("v").alias("ctr"), "d"), "ctr")
+        .join(e, ["id_a", "id_b"], "left_anti")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(aa).cast("long").alias("aa_micro"),
+        )
+        .where(F.col("common_neighbors") >= 2)
+    )
+    da = deg.select(F.col("v").alias("id_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("id_b"), F.col("d").alias("db"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            "aa_micro",
+            _r6n(
+                F.col("common_neighbors").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weight-of-evidence / information-value feature screen
+# ---------------------------------------------------------------------------
+
+#: Laplace-smoothed WoE in integer micro-nats over exact integer odds:
+#: ln( ((2g+1)/(2G+2)) / ((2b+1)/(2B+2)) ) with the ratio folded into one
+#: all-integer ln argument; micro grid + tie nudge per _PSI_TERM.
+_WOE_TERM = (
+    "CAST(round(ln(((2 * g + 1) * (2.0 * bb + 2)) /"
+    " ((2.0 * gg + 2) * (2 * b + 1))) * 1e6"
+    " + CASE WHEN (2 * g + 1) * (2.0 * bb + 2) >="
+    " (2.0 * gg + 2) * (2 * b + 1) THEN 1e-3 ELSE -1e-3 END) AS BIGINT)"
+)
+
+
+@query(
+    "segment_woe_iv",
+    f"""
+WITH t AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS good
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+    ON o.o_custkey = c.c_custkey
+),
+seg AS (
+  SELECT segment, sum(good)::BIGINT AS g,
+         (count(*) - sum(good))::BIGINT AS b
+  FROM t GROUP BY 1
+),
+tot AS (SELECT sum(g)::BIGINT AS gg, sum(b)::BIGINT AS bb FROM seg),
+w AS (
+  SELECT segment, g, b, gg, bb, {_WOE_TERM} AS woe_micro
+  FROM seg, tot
+)
+SELECT segment, g AS n_with_orders, b AS n_without,
+       woe_micro,
+       ((2 * g + 1) * (2 * bb + 2) - (2 * b + 1) * (2 * gg + 2))::BIGINT
+         * woe_micro AS iv_contrib_scaled
+FROM w
+""",
+)
+def segment_woe_iv(spark, sf_dir):
+    """Weight-of-evidence / information-value feature screen: does
+    market segment predict whether a customer ever orders?  Per-segment
+    Laplace-smoothed WoE = ln(good-share / bad-share) in integer
+    micro-nats (the ln argument is one exact integer-product ratio —
+    the credit-scoring encoding, Siddiqi 2006), and the per-segment IV
+    contribution (share-delta x WoE) as an EXACT integer on the common
+    denominator (2G+2)(2B+2) — divide the column sum by that * 1e6 to
+    read IV in nats; no double is ever rounded.  The target join is a distinct-key
+    left-semi shape, the stats side is |segments| rows, and the WoE
+    table is exactly what the target-encoding operator consumes — this
+    is its screening companion.
+
+    Scale: one distinct reduction over orders, one broadcast-sized
+    grouped aggregate; the 1-row totals join-back is a scalar
+    broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    t = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("good"),
+    )
+    seg = t.groupBy("segment").agg(
+        F.sum("good").cast("long").alias("g"),
+        (F.count(F.lit(1)) - F.sum("good")).cast("long").alias("b"),
+    )
+    tot = seg.agg(
+        F.sum("g").cast("long").alias("gg"), F.sum("b").cast("long").alias("bb")
+    )
+    w = seg.crossJoin(F.broadcast(tot))
+    num = (2 * F.col("g") + 1) * (2.0 * F.col("bb") + 2)
+    den = (2.0 * F.col("gg") + 2) * (2 * F.col("b") + 1)
+    woe = F.round(
+        F.log(num / den) * 1e6
+        + F.when(num >= den, F.lit(1e-3)).otherwise(F.lit(-1e-3))
+    ).cast("long")
+    share_delta = (
+        (2 * F.col("g") + 1) * (2 * F.col("bb") + 2)
+        - (2 * F.col("b") + 1) * (2 * F.col("gg") + 2)
+    ).cast("long")
+    return w.select(
+        "segment",
+        F.col("g").alias("n_with_orders"),
+        F.col("b").alias("n_without"),
+        woe.alias("woe_micro"),
+        (share_delta * woe).alias("iv_contrib_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio family — WAV encode -> header-parse -> PCM-decode round trip with
+# exact integer signal stats (functions/audio.py; oracle is the closed-form
+# waveform, so a hash match certifies the byte round trip)
+# ---------------------------------------------------------------------------
+
+
+def _audio_oracle() -> str:
+    from .functions import audio as AUD
+
+    s = AUD.sample_expr("doc_id", "k")
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN {AUD.RATE_CHOICES[0]}
+                         WHEN 1 THEN {AUD.RATE_CHOICES[1]}
+                         ELSE {AUD.RATE_CHOICES[2]} END AS sample_rate,
+         (doc_id % {AUD.N_MOD} + {AUD.N_BASE})::BIGINT AS n_samples,
+         list_transform(generate_series(0, doc_id % {AUD.N_MOD} + {AUD.N_BASE} - 1),
+                        k -> {s}) AS smp
+  FROM documents
+)
+SELECT doc_id, 1::BIGINT AS n_channels, sample_rate::BIGINT AS sample_rate,
+       16::BIGINT AS bits_per_sample, n_samples,
+       (2 * n_samples)::BIGINT AS data_bytes,
+       list_max(list_transform(smp, x -> abs(x)))::BIGINT AS peak_abs,
+       list_sum(list_transform(smp, x -> x * x))::BIGINT AS energy,
+       list_sum(list_transform(generate_series(2, n_samples),
+                i -> CASE WHEN (smp[CAST(i - 1 AS INTEGER)] >= 0)
+                          <> (smp[CAST(i AS INTEGER)] >= 0)
+                     THEN 1 ELSE 0 END))::BIGINT AS zero_crossings
+FROM w
+"""
+
+
+@query("audio_wav_stats", _audio_oracle())
+def audio_wav_stats(spark, sf_dir):
+    """WAV round-trip audio statistics: each doc's deterministic int16
+    waveform is packed into a byte-exact 44-byte-header PCM WAV
+    (functions/audio.py synth_wav — real little-endian RIFF/fmt/data
+    fields), then the header fields are parsed BACK from the bytes and
+    the PCM body decoded BACK to samples, and the per-clip quality
+    stats (peak amplitude, integer energy = sum of squares,
+    zero-crossing count) are folded in-row.  The oracle recomputes the
+    stats from the closed-form waveform WITHOUT touching bytes, so the
+    hash match certifies the entire encode -> parse -> decode pipeline;
+    pytest additionally pins the container against Python's stdlib
+    `wave` reader.  The audio analog of the text quality score — the
+    cheap first-pass filter (silence, clipping, DC offset) a multimodal
+    pipeline runs before any expensive model scoring.
+
+    Plan: ONE projection over the documents scan — zero shuffles, zero
+    joins, zero Python; every clip's encode+decode+stats is row-local
+    JVM hex/integer arithmetic (clips are <= 250 samples here; real
+    corpora hand long clips to the mapInPandas decode plumbing)."""
+    from .functions import audio as AUD
+    from .functions.text import bind_once
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def stats(h):
+        meta = AUD.wav_meta(h)
+        n = F.shiftrightunsigned(meta["data_bytes"], 1)
+
+        def fold(smp):
+            heads = F.slice(smp, 1, (n - 1).cast("int"))
+            tails = F.slice(smp, 2, (n - 1).cast("int"))
+            return F.struct(
+                F.array_max(F.transform(smp, F.abs)).alias("peak_abs"),
+                F.aggregate(
+                    smp,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x,
+                ).alias("energy"),
+                F.aggregate(
+                    F.zip_with(
+                        heads,
+                        tails,
+                        lambda a, b: F.when(
+                            (a >= 0) != (b >= 0), F.lit(1)
+                        ).otherwise(F.lit(0)),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("zero_crossings"),
+            )
+
+        return F.struct(
+            meta["n_channels"].alias("n_channels"),
+            meta["sample_rate"].alias("sample_rate"),
+            meta["bits_per_sample"].alias("bits_per_sample"),
+            n.alias("n_samples"),
+            meta["data_bytes"].alias("data_bytes"),
+            bind_once(AUD.wav_samples(h, n), fold).alias("st"),
+        )
+
+    return d.select(
+        "doc_id",
+        bind_once(F.hex(AUD.synth_wav(F.col("doc_id"))), stats).alias("m"),
+    ).select(
+        "doc_id",
+        F.col("m.n_channels").alias("n_channels"),
+        F.col("m.sample_rate").alias("sample_rate"),
+        F.col("m.bits_per_sample").alias("bits_per_sample"),
+        F.col("m.n_samples").alias("n_samples"),
+        F.col("m.data_bytes").alias("data_bytes"),
+        F.col("m.st.peak_abs").alias("peak_abs"),
+        F.col("m.st.energy").alias("energy"),
+        F.col("m.st.zero_crossings").alias("zero_crossings"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

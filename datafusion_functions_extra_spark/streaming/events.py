@@ -390,6 +390,40 @@ def streaming_enrich(
     return events.join(F.broadcast(dim), on, "left")
 
 
+def streaming_scd2_enrich(
+    events: DataFrame, scd2: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static TEMPORAL enrichment: attach the dimension attribute
+    that was valid AT each event's EVENT time, against an SCD2 interval
+    table (key, attr, valid_from_us, valid_to_us NULL = current) — the
+    streaming consumer of the ``events_scd2_intervals`` historization
+    output, and the pattern behind "join the live feed to the customer
+    tier they HAD when the event happened" (a plain latest-snapshot
+    join silently rewrites history).
+
+    The join keeps the KEY equality as the hash-join key with the
+    interval bounds as a residual filter, so the static side broadcasts
+    and the stream is never shuffled; SCD2 intervals are disjoint per
+    key by construction, so each event matches at most one version
+    (left join: events before the first version pass through with NULL
+    attrs).  Stateless per micro-batch — no watermark or state store
+    involved; re-reading the static side each batch is what picks up
+    dimension updates between batches."""
+    ev = events.withColumn("_ts_us", F.unix_micros(F.col("ts")))
+    cond = (
+        (F.col(key) == F.col("_scd_key"))
+        & (F.col("_ts_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("_ts_us") < F.col("valid_to_us"))
+        )
+    )
+    dim = F.broadcast(
+        scd2.withColumnRenamed(key, "_scd_key")
+    )
+    return ev.join(dim, cond, "left").drop("_ts_us", "_scd_key")
+
+
 def streaming_dedup(
     docs: DataFrame,
     key_col: str,

@@ -20718,6 +20718,331 @@ def audio_wav_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# recommender evaluation — leave-last-out hit-rate of the item-item CF
+# ---------------------------------------------------------------------------
+
+#: integer micro-cosine for CF scoring: npq/sqrt(na*nb) is bit-identical
+#: cross-engine (exact-integer operands, correctly-rounded sqrt/div), the
+#: micro grid + positive nudge keeps the rounding off .5 boundaries, and
+#: summed SCORES are then exact integers — rank ties can't flip.
+_CF_COS_MICRO = (
+    "CAST(round(npq * 1e6 / sqrt(na.n::DOUBLE * nb.n::DOUBLE) + 1e-3) AS BIGINT)"
+)
+
+
+@query(
+    "basket_rec_hitrate",
+    f"""
+WITH bought AS MATERIALIZED (
+  SELECT o.o_custkey AS cust, p.p_brand AS item,
+         max(struct_pack(dt := o.o_orderdate, ok := o.o_orderkey)) AS last_seen
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+held AS MATERIALIZED (
+  SELECT cust, max(struct_pack(dt := last_seen.dt, ok := last_seen.ok,
+                               item := item)).item AS held_item
+  FROM bought GROUP BY 1
+),
+train AS MATERIALIZED (
+  SELECT b.cust, b.item FROM bought b JOIN held h USING (cust)
+  WHERE b.item <> h.held_item
+),
+sz AS (SELECT cust, count(*) AS k FROM train GROUP BY 1),
+kept AS MATERIALIZED (
+  SELECT t.cust, t.item FROM train t JOIN sz USING (cust)
+  WHERE sz.k <= {_COS_MAX_BASKET}
+),
+ni AS (SELECT item, count(*)::BIGINT AS n FROM kept GROUP BY 1),
+co AS (
+  SELECT a.item AS p, b.item AS q, count(*)::BIGINT AS npq
+  FROM kept a JOIN kept b ON a.cust = b.cust AND a.item <> b.item
+  GROUP BY 1, 2 HAVING count(*) >= {_COS_MIN_CO}
+),
+sim AS MATERIALIZED (
+  SELECT p, q, cos_micro FROM (
+    SELECT co.p, co.q, {_CF_COS_MICRO} AS cos_micro,
+           row_number() OVER (PARTITION BY co.p
+                              ORDER BY {_CF_COS_MICRO} DESC, co.q ASC) AS rk
+    FROM co JOIN ni na ON na.item = co.p JOIN ni nb ON nb.item = co.q
+  ) WHERE rk <= {_COS_TOPK}
+),
+scores AS (
+  SELECT k.cust, s.q AS cand, sum(s.cos_micro)::BIGINT AS score
+  FROM kept k JOIN sim s ON s.p = k.item
+  WHERE NOT EXISTS (
+    SELECT 1 FROM kept t WHERE t.cust = k.cust AND t.item = s.q
+  )
+  GROUP BY 1, 2
+),
+top3 AS (
+  SELECT cust, cand, rk FROM (
+    SELECT cust, cand,
+           row_number() OVER (PARTITION BY cust
+                              ORDER BY score DESC, cand ASC) AS rk
+    FROM scores
+  ) WHERE rk <= 3
+),
+hits AS (
+  SELECT h.cust,
+         max(CASE WHEN t.cand = h.held_item THEN t.rk END) AS hit_rank
+  FROM held h
+  JOIN kept k ON k.cust = h.cust
+  LEFT JOIN top3 t ON t.cust = h.cust
+  GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_eval,
+       sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       {_r6n_sql("sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)")}
+         AS hit_rate,
+       coalesce(sum(1000000 // hit_rank), 0)::BIGINT AS mrr3_micro_sum
+FROM hits
+""",
+)
+def basket_rec_hitrate(spark, sf_dir):
+    """Leave-last-out hit-rate@3 / MRR@3 of the item-item CF
+    recommender — the end-to-end offline eval a recsys pipeline runs
+    before shipping a similarity table: per customer, hold out the most
+    recently purchased item (max_by on the (order date, order key,
+    item) composite — the reference aggregate as eval plumbing), train
+    the capped/floored co-occurrence cosine on the REMAINING baskets
+    (the production parts_basket_cosine shape), score candidates as the
+    integer micro-cosine SUM over the customer's train items (exact
+    integers end-to-end: npq/sqrt(na*nb) is bit-identical cross-engine,
+    so summed scores can't tie-flip), exclude already-owned items, and
+    check whether the held-out item lands in the per-customer top 3.
+
+    Plan: every join is an equi-join; rankings are partitioned by item
+    or customer (never global); the per-customer candidate fan-out is
+    bounded by |train items| x top-{_COS_TOPK} neighbor lists, and the
+    heavy-customer cap bounds the co-occurrence fan-out exactly as in
+    the production similarity query."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("dt"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("item")
+    )
+    bought = (
+        o.join(li, "o_orderkey")
+        .join(pt, "l_partkey")
+        .groupBy("cust", "item")
+        .agg(F.max(F.struct(F.col("dt"), F.col("o_orderkey").alias("ok"))).alias("last_seen"))
+    )
+    # ONE window pass over the (cust, item, last_seen) reduction derives
+    # holdout AND train AND the cap in place of three groupBy+join-back
+    # rounds: rank 1 on the last-seen composite IS the held-out item,
+    # ranks 2..k are the train basket, and the per-customer count caps
+    # it.  The split relation is then eagerly pinned ONCE — it feeds 5
+    # downstream branches inside one job, and a lazily-cached subtree
+    # can be recomputed CONCURRENTLY by racing stages before the cache
+    # populates (measured 28s -> ~8s at sf0.01).  At 100 TB this pin is
+    # the stage table written to parquet between pipeline phases.
+    from pyspark.sql import Window as _W
+
+    wcust = _W.partitionBy("cust").orderBy(
+        F.col("last_seen.dt").desc(),
+        F.col("last_seen.ok").desc(),
+        F.col("item").desc(),
+    )
+    split = (
+        bought.select(
+            "cust",
+            "item",
+            F.row_number().over(wcust).alias("rn"),
+            F.count(F.lit(1)).over(_W.partitionBy("cust")).alias("nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    held = split.where(F.col("rn") == 1).select(
+        "cust", F.col("item").alias("held_item")
+    )
+    kept = split.where(
+        (F.col("rn") > 1) & (F.col("nb") - 1 <= _COS_MAX_BASKET)
+    ).select("cust", "item")
+    ni = kept.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = kept.select("cust", F.col("item").alias("p"))
+    b = kept.select("cust", F.col("item").alias("q"))
+    co = (
+        a.join(b, "cust")
+        .where(F.col("p") != F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("npq"))
+        .where(F.col("npq") >= _COS_MIN_CO)
+    )
+    cos_micro = F.round(
+        F.col("npq") * 1e6
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        + F.lit(1e-3)
+    ).cast("long")
+    scored = (
+        co.join(ni.select(F.col("item").alias("p"), F.col("n").alias("na")), "p")
+        .join(ni.select(F.col("item").alias("q"), F.col("n").alias("nb")), "q")
+        .select("p", "q", cos_micro.alias("cos_micro"))
+    )
+    wp = Window.partitionBy("p").orderBy(
+        F.col("cos_micro").desc(), F.col("q").asc()
+    )
+    sim = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= _COS_TOPK)
+        .select("p", "q", "cos_micro")
+    )
+    scores = (
+        kept.join(sim, kept.item == sim.p)
+        .select("cust", F.col("q").alias("cand"), "cos_micro")
+        .join(
+            kept.select("cust", F.col("item").alias("cand")),
+            ["cust", "cand"],
+            "left_anti",
+        )
+        .groupBy("cust", "cand")
+        .agg(F.sum("cos_micro").cast("long").alias("score"))
+    )
+    wc = Window.partitionBy("cust").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    top3 = (
+        scores.withColumn("rk", F.row_number().over(wc))
+        .where(F.col("rk") <= 3)
+        .select("cust", "cand", "rk")
+    )
+    eval_custs = held.join(kept.select("cust").distinct(), "cust")
+    hits = (
+        eval_custs.join(top3, "cust", "left")
+        .groupBy("cust")
+        .agg(
+            F.max(
+                F.when(F.col("cand") == F.col("held_item"), F.col("rk"))
+            ).alias("hit_rank")
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        _r6n(
+            F.sum(F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("hit_rate"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("hit_rank").isNotNull(),
+                    (F.lit(1000000) / F.col("hit_rank")).cast("long"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("mrr3_micro_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_value_brown_forsythe",
+    """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+m AS (
+  SELECT event_type, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS m2
+  FROM c GROUP BY 1
+),
+z AS (
+  SELECT c.event_type, abs(2 * c.v - m.m2)::BIGINT AS z
+  FROM c JOIN m USING (event_type)
+),
+s AS (
+  SELECT event_type, count(*) AS n, sum(z)::BIGINT AS s1,
+         sum(z::HUGEINT * z) AS s2
+  FROM z GROUP BY 1
+),
+t AS (
+  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+         sum(s1)::BIGINT AS s1, sum(s2) AS s2,
+         sum(s1::HUGEINT * s1 / n) AS fit
+  FROM s
+)
+SELECT k AS n_groups, n AS n_rows,
+       round((fit::DOUBLE - s1::DOUBLE * s1 / n) / 40000.0 + 1e-9, 6)
+         AS ss_between,
+       round((s2::DOUBLE - fit::DOUBLE) / 40000.0 + 1e-9, 6) AS ss_within,
+       round(((fit::DOUBLE - s1::DOUBLE * s1 / n) / (k - 1))
+             / ((s2::DOUBLE - fit::DOUBLE) / (n - k)) + 1e-9, 6) AS f_stat
+FROM t
+""",
+)
+def event_value_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test across event types
+    (Brown & Forsythe 1974): one-way ANOVA on the absolute deviations
+    from each group's MEDIAN — the robust Levene variant, and the gate
+    that decides whether the pooled-variance ANOVA's equal-variance
+    assumption holds at all (run this BEFORE event_value_anova; if F is
+    large here, trust only the Welch family).
+
+    Exactness: spreads are computed as integer |2*cents - 2*median|
+    (doubling makes the interpolated median integral, the midrank
+    trick), power sums in 128-bit integers, doubles only in the final
+    F/SS expressions — the ANOVA finisher reused verbatim, with the SS
+    unit scale /40000 (the x2 doubling squared).  Plan: two per-type
+    percentile passes (the MAD discipline) + one map-side-combined
+    moment aggregate + a |types|-row reduction."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    c = e.select("event_type", v.alias("v"))
+    m = c.groupBy("event_type").agg(
+        (F.expr("percentile(v, 0.5)") * 2).cast("long").alias("m2")
+    )
+    z = c.join(F.broadcast(m), "event_type").select(
+        "event_type", F.abs(2 * F.col("v") - F.col("m2")).alias("z")
+    )
+    s = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").cast("long").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("s2"),
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1"),
+        F.sum("s2").cast("long").alias("s2"),
+        F.sum(
+            F.col("s1").cast("decimal(38,0)") * F.col("s1") / F.col("n")
+        ).alias("fit"),
+    )
+    k, n = F.col("k"), F.col("n")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    fit = F.col("fit").cast("double")
+    ssb = fit - s1 * F.col("s1") / n
+    ssw = s2 - fit
+    return t.select(
+        k.alias("n_groups"),
+        n.alias("n_rows"),
+        _r6n(ssb / 40000.0).alias("ss_between"),
+        _r6n(ssw / 40000.0).alias("ss_within"),
+        _r6n((ssb / (k - 1)) / (ssw / (n - k))).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

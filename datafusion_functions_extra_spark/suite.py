@@ -20376,6 +20376,34 @@ def events_periodogram(spark, sf_dir):
 # link prediction on the near-dup candidate graph
 # ---------------------------------------------------------------------------
 
+def _knn3_edges(spark, sf_dir):
+    """Undirected mutual-kNN(3) cosine edge list (id_a < id_b), eagerly
+    pinned: the shared graph substrate for link prediction and label
+    propagation.  Edges reuse the half-pair exact scoring relation
+    (_knn_scored_sym, the eval-harness leg); at 100 TB the edge list
+    comes from the ANN probe family instead — downstream shapes are
+    unchanged."""
+    from pyspark.sql import Window
+
+    scored = _knn_scored_sym(spark, sf_dir)
+    w3 = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    top3 = (
+        scored.select("vec_id", "neighbor_id", "cos")
+        .withColumn("rk", F.row_number().over(w3))
+        .where(F.col("rk") <= 3)
+    )
+    return (
+        top3.select(
+            F.least("vec_id", "neighbor_id").alias("id_a"),
+            F.greatest("vec_id", "neighbor_id").alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 #: Adamic-Adar wedge-center term in integer micro-units: 1e6 / ln(deg)
 #: (deg >= 2 for any wedge center, so ln > 0).  Same micro grid + tie
 #: nudge as _PSI_TERM — a 1-ulp JVM-vs-libm ln divergence must not flip
@@ -20383,10 +20411,10 @@ def events_periodogram(spark, sf_dir):
 _AA_TERM = "CAST(round(1e6 / ln(CAST(deg.d AS DOUBLE)) + 1e-3) AS BIGINT)"
 
 
-@query(
-    "embedding_knn_link_prediction",
-    f"""
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+#: shared oracle text: the mutual-kNN(3) cosine edge list over the
+#: embeddings table (id_a < id_b) — consumed by link prediction and
+#: label propagation
+_KNN3_EDGES_SQL = f"""v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
            FROM embeddings),
 u AS (SELECT vec_id,
              list_transform(vec, x -> x / sqrt(list_sum(
@@ -20409,7 +20437,13 @@ e AS MATERIALIZED (
   SELECT least(vec_id, neighbor_id) AS id_a,
          greatest(vec_id, neighbor_id) AS id_b
   FROM top3 GROUP BY 1, 2
-),
+)"""
+
+
+@query(
+    "embedding_knn_link_prediction",
+    f"""
+WITH {_KNN3_EDGES_SQL},
 adj AS MATERIALIZED (
   SELECT id_a AS v, id_b AS u FROM e
   UNION ALL SELECT id_b AS v, id_a AS u FROM e
@@ -20459,23 +20493,7 @@ def embedding_knn_link_prediction(spark, sf_dir):
     set, one grouped aggregate and two degree lookups.  Never
     materializes neighborhoods as arrays; everything is counting on
     shuffled keys."""
-    from pyspark.sql import Window
-
-    scored = _knn_scored_sym(spark, sf_dir)
-    w3 = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    top3 = (
-        scored.select("vec_id", "neighbor_id", "cos")
-        .withColumn("rk", F.row_number().over(w3))
-        .where(F.col("rk") <= 3)
-    )
-    e = persist_tracked(
-        top3.select(
-            F.least("vec_id", "neighbor_id").alias("id_a"),
-            F.greatest("vec_id", "neighbor_id").alias("id_b"),
-        ).distinct()
-    )
+    e = _knn3_edges(spark, sf_dir)
     adj = e.select(F.col("id_a").alias("v"), F.col("id_b").alias("u")).unionAll(
         e.select(F.col("id_b").alias("v"), F.col("id_a").alias("u"))
     )
@@ -20511,6 +20529,100 @@ def embedding_knn_link_prediction(spark, sf_dir):
                 / (F.col("da") + F.col("db") - F.col("common_neighbors"))
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities on the kNN graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""r{r} AS MATERIALIZED (
+  SELECT n.v, coalesce(b.lbl, n.v) AS lbl
+  FROM nodes n LEFT JOIN (
+    SELECT v, lbl FROM (
+      SELECT a.v, l.lbl, count(*) AS cnt,
+             row_number() OVER (PARTITION BY a.v
+                                ORDER BY count(*) DESC, l.lbl ASC) AS rn
+      FROM adj a JOIN {prev} l ON l.v = a.u
+      GROUP BY 1, 2
+    ) WHERE rn = 1
+  ) b ON b.v = n.v
+)"""
+        )
+        prev = f"r{r}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH {_KNN3_EDGES_SQL},
+adj AS MATERIALIZED (
+  SELECT id_a AS v, id_b AS u FROM e
+  UNION ALL SELECT id_b AS v, id_a AS u FROM e
+),
+nodes AS MATERIALIZED (SELECT vec_id AS v FROM embeddings),
+l0 AS (SELECT v, v AS lbl FROM nodes),
+{body}
+SELECT lbl AS community, count(*)::BIGINT AS n_members,
+       min(v) AS min_member, max(v) AS max_member
+FROM {prev} GROUP BY 1
+"""
+
+
+@query("embedding_label_propagation", _lpa_oracle())
+def embedding_label_propagation(spark, sf_dir):
+    """Label-propagation communities (Raghavan, Albert & Kumara 2007) on
+    the mutual kNN(3) cosine graph: every node starts as its own label;
+    each synchronous round adopts the MODE of its neighbors' labels
+    (ties to the smallest label — the two-stage count+argmax plan, i.e.
+    the reference mode aggregate applied per neighborhood), fixed
+    {_LPA_ROUNDS} rounds, isolated nodes keep their own label.  The
+    near-linear community detector that complements the exact
+    connected-components operator: CC answers "reachable at all", LPA
+    finds DENSE semantic blocks inside a connected sweep — the
+    cluster-then-verify granularity SemDeDup-style semantic dedup wants.
+
+    Plan: per round ONE label-lookup equi-join on the symmetrized edge
+    list + one (node, label) count + one per-node argmax — all keyed
+    shuffles, no global window; each round's label table is a node-sized
+    relation eagerly checkpointed (the §9.1 lineage discipline).  Fixed
+    round count keeps the plan static and the oracle expressible as
+    unrolled CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("v"))
+    e = _knn3_edges(spark, sf_dir)
+    adj = e.select(F.col("id_a").alias("v"), F.col("id_b").alias("u")).unionAll(
+        e.select(F.col("id_b").alias("v"), F.col("id_a").alias("u"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select("v", F.col("v").alias("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        nb = adj.join(
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        counts = nb.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        best = counts.groupBy("v").agg(
+            (
+                -F.max(
+                    F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))
+                )["nl"]
+            ).alias("new_lbl")
+        )
+        labels = (
+            nodes.join(best, "v", "left")
+            .select(
+                "v", F.coalesce(F.col("new_lbl"), F.col("v")).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("v").alias("min_member"),
+        F.max("v").alias("max_member"),
     )
 
 
@@ -21039,6 +21151,148 @@ def event_value_brown_forsythe(spark, sf_dir):
         _r6n(ssb / 40000.0).alias("ss_between"),
         _r6n(ssw / 40000.0).alias("ss_within"),
         _r6n((ssb / (k - 1)) / (ssw / (n - k))).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback (query expansion) retrieval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_rocchio_expansion",
+    f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS MATERIALIZED (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS MATERIALIZED (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+dfq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+base AS MATERIALIZED (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM (
+    SELECT q.query_id, tf.doc_id, {_r6n_sql(f"sum({_BM25_SCORE})")} AS score
+    FROM tf JOIN q USING (term) JOIN dfq USING (term)
+    JOIN dl USING (doc_id), st
+    GROUP BY 1, 2
+  )
+),
+fb AS (SELECT query_id, doc_id FROM base WHERE rk <= 3),
+exp AS MATERIALIZED (
+  SELECT query_id, term FROM (
+    SELECT f.query_id, tf.term, sum(tf.tf) AS w,
+           row_number() OVER (PARTITION BY f.query_id
+                              ORDER BY sum(tf.tf) DESC, tf.term ASC) AS rn
+    FROM tf JOIN fb f USING (doc_id)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM q WHERE q.query_id = f.query_id AND q.term = tf.term
+    )
+    GROUP BY 1, 2
+  ) WHERE rn <= 2
+),
+q2 AS MATERIALIZED (
+  SELECT query_id, term FROM q UNION SELECT query_id, term FROM exp
+),
+labels AS (
+  SELECT query_id, string_agg(term, ',' ORDER BY term) AS exp_terms
+  FROM exp GROUP BY 1
+),
+dfq2 AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q2) GROUP BY 1
+),
+second AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM (
+    SELECT q2.query_id, tf.doc_id, {_r6n_sql(f"sum({_BM25_SCORE.replace('dfq.', 'dfq2.').replace('q.', 'q2.')})")} AS score
+    FROM tf JOIN q2 USING (term) JOIN dfq2 USING (term)
+    JOIN dl USING (doc_id), st
+    GROUP BY 1, 2
+  )
+)
+SELECT s.query_id, l.exp_terms, s.doc_id, s.score, CAST(s.rk AS INT) AS rk,
+       (b.doc_id IS NOT NULL) AS in_base
+FROM second s
+LEFT JOIN labels l ON l.query_id = s.query_id
+LEFT JOIN (SELECT query_id, doc_id FROM base WHERE rk <= 5) b
+  ON b.query_id = s.query_id AND b.doc_id = s.doc_id
+WHERE s.rk <= 5
+""",
+)
+def text_rocchio_expansion(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback (Rocchio 1971): run BM25,
+    treat each query's top 3 documents as relevant, harvest the 2
+    heaviest non-query terms from them (total tf across the feedback
+    docs — exact integers, rank ties to the lexicographically smaller
+    term), expand the query, and re-retrieve — reporting the expanded
+    top 5 per query with the expansion terms and an in_base flag
+    showing how much the feedback round reshuffled the head.  The
+    classic recall lever for keyword corpus probes (leakage hunts,
+    topical slicing) when the seed terms under-specify the topic.
+
+    Plan: the (doc, term, tf) postings relation is computed ONCE and
+    eagerly pinned — both retrieval passes and the term harvest read
+    the stage (the staged-signature discipline applied to the inverted
+    index); query relations stay broadcast-sized throughout, and both
+    rankings are per-query windows over matched docs only."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = TX.term_frequencies(d, "text", "doc_id").localCheckpoint(eager=True)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        schema="query_id string, term string",
+    )
+    base = TX.bm25_topk_from_postings(tf, "doc_id", q, k=5).localCheckpoint(
+        eager=True
+    )
+    fb = base.where(F.col("rk") <= 3).select("query_id", "doc_id")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    exp = (
+        tf.join(fb, "doc_id")
+        .join(q, ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("w"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 2)
+        .select("query_id", "term")
+        .localCheckpoint(eager=True)
+    )
+    q2 = q.unionByName(exp).distinct()
+    labels = exp.groupBy("query_id").agg(
+        F.array_join(F.array_sort(F.collect_list("term")), ",").alias(
+            "exp_terms"
+        )
+    )
+    second = TX.bm25_topk_from_postings(tf, "doc_id", q2, k=5)
+    return (
+        second.join(F.broadcast(labels), "query_id", "left")
+        .join(
+            F.broadcast(
+                base.where(F.col("rk") <= 5)
+                .select("query_id", "doc_id")
+                .withColumn("in_base", F.lit(True))
+            ),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "exp_terms",
+            "doc_id",
+            "score",
+            F.col("rk").cast("int").alias("rk"),
+            F.coalesce(F.col("in_base"), F.lit(False)).alias("in_base"),
+        )
     )
 
 

@@ -125,6 +125,11 @@ BNLJ_BOUNDED: dict[str, str] = {
         "100 TB the edges come from the ANN probe family instead)"
     ),
     "segment_woe_iv": _SCALAR + " (1-row good/bad totals join-back)",
+    "embedding_label_propagation": (
+        "same _knn_scored_sym eval harness as embedding_knn_label_eval "
+        "for the kNN(3) edge list (all-pairs exact ground truth; at "
+        "100 TB the edges come from the ANN probe family instead)"
+    ),
     "events_neyman_allocation": _SCALAR + " (1-row total-weight join-back)",
     "customer_theil_by_nation": _SCALAR + " (1-row corpus-totals join-back)",
     "users_growth_accounting": _SCALAR + " (1-row max-week join-back)",

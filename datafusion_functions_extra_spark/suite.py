@@ -21297,6 +21297,340 @@ def text_rocchio_expansion(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# kNN label-noise screen (confident-learning-lite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_label_noise_screen",
+    f"""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS vec
+           FROM embeddings),
+u AS (SELECT vec_id, label,
+             list_transform(vec, x -> x / sqrt(list_sum(
+                 list_transform(vec, y -> y * y)))) AS uv
+      FROM v),
+scored AS (
+  SELECT a.vec_id, a.label AS true_label, b.label AS n_label,
+         round(list_sum(list_transform(generate_series(1, {SIM.EMBEDDING_DIM}),
+               i -> a.uv[i] * b.uv[i])), 6) AS cos,
+         b.vec_id AS neighbor_id
+  FROM u a JOIN u b ON b.vec_id <> a.vec_id
+),
+top5 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+votes AS (
+  SELECT vec_id, true_label, n_label, count(*) AS cnt
+  FROM top5 GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, true_label, n_label AS majority_label, cnt AS n_majority
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cnt DESC, n_label ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+),
+agree AS (
+  SELECT vec_id, sum(CASE WHEN n_label = true_label THEN cnt ELSE 0 END)
+                   ::BIGINT AS n_agree
+  FROM votes GROUP BY 1
+)
+SELECT p.vec_id, p.true_label, p.majority_label,
+       p.n_majority::BIGINT AS n_majority, a.n_agree
+FROM pred p JOIN agree a USING (vec_id)
+WHERE a.n_agree <= 1 AND p.majority_label <> p.true_label
+""",
+)
+def embedding_label_noise_screen(spark, sf_dir):
+    """kNN label-noise screen (confident-learning-lite, Northcutt et
+    al. 2021's intuition without the calibration matrix): flag vectors
+    whose 5 nearest cosine neighbors almost unanimously carry a
+    DIFFERENT label (<= 1 agreeing neighbor AND a disagreeing majority)
+    — the shortlist a labeling pipeline sends back for re-annotation,
+    and the complement of the kNN accuracy eval: that query scores the
+    SPACE, this one indicts individual rows.
+
+    Plan: the same shared half-pair scoring relation and per-vector
+    top-5 window as embedding_knn_label_eval (eval-on-sample at scale,
+    ANN probes in production); votes/majority/agreement are three
+    bounded aggregates on (vector, label) keys."""
+    from pyspark.sql import Window
+
+    scored = _knn_scored_sym(spark, sf_dir)
+    w5 = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = (
+        scored.withColumn("rk", F.row_number().over(w5))
+        .where(F.col("rk") <= 5)
+        .select("vec_id", "true_label", "n_label")
+    )
+    votes = top5.groupBy("vec_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cnt").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("n_label").alias("majority_label"),
+            F.col("cnt").cast("long").alias("n_majority"),
+        )
+    )
+    agree = votes.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("n_label") == F.col("true_label"), F.col("cnt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_agree")
+    )
+    return (
+        pred.join(agree, "vec_id")
+        .where(
+            (F.col("n_agree") <= 1)
+            & (F.col("majority_label") != F.col("true_label"))
+        )
+        .select(
+            "vec_id", "true_label", "majority_label", "n_majority", "n_agree"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC/XYZ inventory classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "brand_abc_xyz",
+    """
+WITH rev AS (
+  SELECT p.p_brand AS brand,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::HUGEINT
+           AS rev_u,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+tot AS (SELECT sum(rev_u) AS t FROM rev),
+cum AS (
+  SELECT brand, rev_u, n_lines,
+         sum(rev_u) OVER (ORDER BY rev_u DESC, brand ASC
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM rev
+),
+abc AS (
+  SELECT brand, rev_u, n_lines,
+         CASE WHEN c * 5 <= t * 4 THEN 'A'
+              WHEN c * 20 <= t * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum, tot
+),
+mq AS (
+  SELECT p.p_brand AS brand,
+         time_bucket(INTERVAL '1 month', CAST(o.o_orderdate AS TIMESTAMP)) AS m,
+         sum(CAST(round(l.l_quantity) AS BIGINT))::BIGINT AS q
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+xyz AS (
+  SELECT brand, count(*)::BIGINT AS n_months,
+         sum(q)::BIGINT AS s, sum(q * q)::HUGEINT AS s2
+  FROM mq GROUP BY 1
+),
+cls AS (
+  SELECT brand, n_months,
+         CASE WHEN n_months * s2 * 4 <= 5 * s::HUGEINT * s THEN 'X'
+              WHEN n_months * s2 <= 2 * s::HUGEINT * s THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         round(sqrt((n_months * s2 - s::HUGEINT * s)::DOUBLE)
+               / s::DOUBLE + 1e-9, 6) AS demand_cv
+  FROM xyz
+)
+SELECT a.brand, a.abc_class, c.xyz_class,
+       round(a.rev_u::DOUBLE / 1e4, 2) AS revenue,
+       a.n_lines, c.demand_cv
+FROM abc a JOIN cls c USING (brand)
+""",
+)
+def brand_abc_xyz(spark, sf_dir):
+    """ABC/XYZ inventory classification per brand — the planner's 2-D
+    segmentation: ABC from the cumulative revenue share (A = first 80%,
+    B = to 95%, C = tail) and XYZ from monthly-demand variability
+    (coefficient of variation thresholds 0.5 / 1.0).  EVERY class
+    boundary is decided by integer cross-multiplication (revenue in
+    exact 1e-4-dollar units, cum*5 <= tot*4; cv^2 compared as
+    n*s2*4 <= 5*s^2 in 128-bit integers), so a boundary brand can't
+    flip class on a float ulp; the displayed cv rounds at 6 dp for
+    reporting only.
+
+    Plan: two brand-keyed aggregates off one lineitem-part join (the
+    month rollup adds the orders date lookup); the cumulative-share
+    window runs over the BRAND DOMAIN (~25 rows — bounded by the
+    catalog, never by data volume)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    j = li.join(pt, "l_partkey")
+    rev_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = j.groupBy("brand").agg(
+        F.sum(rev_u.cast("decimal(38,0)")).alias("rev_u"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    tot = rev.agg(F.sum("rev_u").alias("t"))
+    wc = Window.orderBy(F.col("rev_u").desc(), F.col("brand").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("c", F.sum("rev_u").over(wc)).crossJoin(
+        F.broadcast(tot)
+    )
+    abc = cum.select(
+        "brand",
+        "rev_u",
+        "n_lines",
+        F.when(F.col("c") * 5 <= F.col("t") * 4, "A")
+        .when(F.col("c") * 20 <= F.col("t") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    mq = (
+        j.join(o, "l_orderkey")
+        .groupBy(
+            "brand", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+        )
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"))
+    )
+    xyz = mq.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("s2"),
+    )
+    s_d = F.col("s").cast("decimal(38,0)")
+    cls = xyz.select(
+        "brand",
+        "n_months",
+        F.when(F.col("n_months") * F.col("s2") * 4 <= 5 * s_d * F.col("s"), "X")
+        .when(F.col("n_months") * F.col("s2") <= 2 * s_d * F.col("s"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        _r6n(
+            F.sqrt(
+                (F.col("n_months") * F.col("s2") - s_d * F.col("s")).cast(
+                    "double"
+                )
+            )
+            / F.col("s").cast("double")
+        ).alias("demand_cv"),
+    )
+    return (
+        abc.join(cls, "brand")
+        .select(
+            "brand",
+            "abc_class",
+            "xyz_class",
+            F.round(F.col("rev_u").cast("double") / 1e4, 2).alias("revenue"),
+            "n_lines",
+            "demand_cv",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / rolling-28-day MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_dau_mau_stickiness",
+    """
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT CAST(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         user_id
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+banded AS (
+  SELECT (du.d + INTERVAL (o.off) DAY)::DATE AS anchor, du.user_id
+  FROM du CROSS JOIN (SELECT unnest(generate_series(0, 27)) AS off) o
+),
+mau AS (
+  SELECT b.anchor AS d, count(DISTINCT b.user_id)::BIGINT AS mau
+  FROM banded b JOIN days ON days.d = b.anchor
+  GROUP BY 1
+)
+SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, mau.mau,
+       round(dau.dau::DOUBLE / mau.mau + 1e-9, 6) AS stickiness
+FROM dau JOIN mau USING (d)
+""",
+)
+def events_dau_mau_stickiness(spark, sf_dir):
+    """DAU / rolling-28-day MAU stickiness curve — the growth-team
+    engagement staple (how much of the monthly audience shows up each
+    day).  The rolling distinct is the exploded-offset band equi-join
+    (the events_rolling_distinct_users pattern at 28 days): each
+    (day, user) row fans out to exactly 28 anchor days, a hash join
+    against the observed-day grid prunes the tail, and ONE distinct
+    aggregate per anchor does the counting — never a count(DISTINCT)
+    over an expanding window of raw events, never a theta join.
+
+    Scale: |days| x |users| bounded rows before the fan-out; the 28x
+    explode is the exact, skew-free price of the banded distinct."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    banded = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off"), "d", "user_id"
+    ).select(F.date_add(F.col("d"), F.col("off")).alias("anchor"), "user_id")
+    mau = (
+        banded.join(days.select(F.col("d").alias("anchor")), "anchor")
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+        .withColumnRenamed("anchor", "d")
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "mau",
+            _r6n(F.col("dau").cast("double") / F.col("mau")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -125,6 +125,8 @@ BNLJ_BOUNDED: dict[str, str] = {
         "100 TB the edges come from the ANN probe family instead)"
     ),
     "segment_woe_iv": _SCALAR + " (1-row good/bad totals join-back)",
+    "text_rocchio_expansion": _SCALAR
+    + " (the BM25 1-row (N, avgdl) stats join-back, x2 retrieval passes)",
     "embedding_label_propagation": (
         "same _knn_scored_sym eval harness as embedding_knn_label_eval "
         "for the kNN(3) edge list (all-pairs exact ground truth; at "

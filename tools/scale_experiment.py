@@ -174,6 +174,12 @@ PROBES = (
     "layout_skipping_eval",        # three global ranks + zone maps (r05v)
     "retrieval_map_mrr",           # BM25 head + conjunctive relevance join (r05q)
     "events_quality_monitor",      # one pass, checkpointed 2-row rollup (r05s)
+    "spatial_radius_pairs",        # grid-bucketed spatial join, 3x3 cells (r05w)
+    "audio_wav_stats",             # pure-projection WAV round trip (r05w)
+    "events_periodogram",          # day rollup + 1-row 26-sum twiddle agg (r05w)
+    "basket_rec_hitrate",          # windowed holdout split + CF scoring (r05x)
+    "text_rocchio_expansion",      # two BM25 passes over one pinned stage (r05y)
+    "users_geo_cells",             # geohash projection + cell rollup (r05w)
     # embedding_knn_label_eval / _outliers are EXCLUDED like
     # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
     # design and documented eval-on-sample (SURVEY §9.5)

@@ -21631,6 +21631,360 @@ def events_dau_mau_stickiness(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# three-way snapshot merge classification (diverged-replica reconciliation)
+# ---------------------------------------------------------------------------
+
+_3W_COLS = ["text", "lang", "source", "n_chars"]
+
+
+@query(
+    "docs_three_way_merge",
+    f"""
+WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+ours AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text,
+         lang, source, n_chars
+  FROM base WHERE doc_id % 17 <> 0
+),
+theirs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' revB' ELSE text END AS text,
+         lang, source, n_chars
+  FROM base WHERE doc_id % 23 <> 0
+),
+b AS (SELECT doc_id, {DIFF.row_hash_sql(_3W_COLS)} AS hb FROM base),
+o AS (SELECT doc_id, {DIFF.row_hash_sql(_3W_COLS)} AS ho FROM ours),
+t AS (SELECT doc_id, {DIFF.row_hash_sql(_3W_COLS)} AS ht FROM theirs),
+j AS (
+  SELECT b.doc_id, hb, ho, ht,
+         (ho IS NOT DISTINCT FROM hb) AS eq_ob,
+         (ht IS NOT DISTINCT FROM hb) AS eq_tb,
+         (ho IS NOT DISTINCT FROM ht) AS eq_ot
+  FROM b LEFT JOIN o USING (doc_id) LEFT JOIN t USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN NOT eq_ob AND eq_tb THEN 'take_ours'
+            WHEN eq_ob AND NOT eq_tb THEN 'take_theirs'
+            WHEN NOT eq_ob AND NOT eq_tb AND eq_ot THEN 'converged'
+            ELSE 'conflict' END AS resolution,
+       (ho IS NULL) AS ours_deleted, (ht IS NULL) AS theirs_deleted
+FROM j
+WHERE NOT (eq_ob AND eq_tb)
+""",
+)
+def docs_three_way_merge(spark, sf_dir):
+    """Three-way snapshot merge classification — reconciling two
+    replicas that diverged from a common base (the git merge decision
+    table applied to data): per key, compare ours-vs-base,
+    theirs-vs-base and ours-vs-theirs ROW HASHES (null-safe, so a
+    deletion is just a null hash) and classify take_ours / take_theirs
+    / converged (both made the identical edit) / conflict (divergent
+    edits, incl. delete-vs-modify).  Unchanged keys are dropped, so the
+    output is delta-sized; the conflict rows are exactly the keys a
+    human (or a latest-wins policy) must adjudicate.  Deterministic
+    replica mutations mirror docs_snapshot_diff's device.
+
+    Plan: three (key, 32-byte hash) reductions + two left equi-joins —
+    row width never crosses the shuffle, same as table_diff."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", *_3W_COLS)
+    ours = base.where(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    theirs = base.where(F.col("doc_id") % 23 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" revB"))
+        ).otherwise(F.col("text")),
+    )
+    b = base.select("doc_id", DIFF.row_hash(_3W_COLS).alias("hb"))
+    o = ours.select("doc_id", DIFF.row_hash(_3W_COLS).alias("ho"))
+    t = theirs.select("doc_id", DIFF.row_hash(_3W_COLS).alias("ht"))
+    j = (
+        b.join(o, "doc_id", "left")
+        .join(t, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ho",
+            "ht",
+            F.col("ho").eqNullSafe(F.col("hb")).alias("eq_ob"),
+            F.col("ht").eqNullSafe(F.col("hb")).alias("eq_tb"),
+            F.col("ho").eqNullSafe(F.col("ht")).alias("eq_ot"),
+        )
+    )
+    res = (
+        F.when(~F.col("eq_ob") & F.col("eq_tb"), "take_ours")
+        .when(F.col("eq_ob") & ~F.col("eq_tb"), "take_theirs")
+        .when(~F.col("eq_ob") & ~F.col("eq_tb") & F.col("eq_ot"), "converged")
+        .otherwise("conflict")
+    )
+    return (
+        j.where(~(F.col("eq_ob") & F.col("eq_tb")))
+        .select(
+            "doc_id",
+            res.alias("resolution"),
+            F.col("ho").isNull().alias("ours_deleted"),
+            F.col("ht").isNull().alias("theirs_deleted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "docs_k_anon_ladder",
+    f"""
+WITH keyed AS (
+  SELECT lvl,
+         CASE lvl
+           WHEN 0 THEN lang || '|' || source || '|' || CAST(n_chars // 100 AS VARCHAR)
+           WHEN 1 THEN lang || '|' || source || '|' || CAST(n_chars // 1000 AS VARCHAR)
+           WHEN 2 THEN lang || '|' || source
+           ELSE lang
+         END AS qid
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lvl) l
+),
+g AS (SELECT lvl, qid, count(*)::BIGINT AS n FROM keyed GROUP BY 1, 2)
+SELECT lvl AS level,
+       count(*)::BIGINT AS n_groups,
+       min(n) AS min_group_size,
+       sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END)::BIGINT AS n_under_k,
+       sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)::BIGINT AS suppressed_docs,
+       (sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) = 0) AS meets_k
+FROM g GROUP BY 1
+""",
+)
+def docs_k_anon_ladder(spark, sf_dir):
+    """k-anonymity generalization ladder: evaluate FOUR quasi-identifier
+    generalization levels in one pass (exact size bucket -> coarse
+    bucket -> drop size -> lang only) and report, per level, the group
+    count, minimum group size, number of under-k groups and how many
+    docs suppression would cost — the table a release process reads to
+    pick the MINIMAL generalization meeting k={_KANON_K} (Sweeney 2002:
+    generalize as little as possible, suppress the rest).  Extends the
+    single-level docs_k_anonymity audit to the decision procedure.
+
+    Plan: one 4x explode of the QID projection (columns only, never
+    text) + one (level, qid) count + a 4-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    lvl = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lvl")
+    keyed = d.select("lang", "source", "n_chars", lvl).select(
+        "lvl",
+        F.when(
+            F.col("lvl") == 0,
+            F.concat_ws(
+                "|",
+                "lang",
+                "source",
+                F.floor(F.col("n_chars") / 100).cast("long").cast("string"),
+            ),
+        )
+        .when(
+            F.col("lvl") == 1,
+            F.concat_ws(
+                "|",
+                "lang",
+                "source",
+                F.floor(F.col("n_chars") / 1000).cast("long").cast("string"),
+            ),
+        )
+        .when(F.col("lvl") == 2, F.concat_ws("|", "lang", "source"))
+        .otherwise(F.col("lang"))
+        .alias("qid"),
+    )
+    g = keyed.groupBy("lvl", "qid").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return g.groupBy(F.col("lvl").cast("long").alias("level")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").alias("min_group_size"),
+        F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_under_k"),
+        F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("suppressed_docs"),
+        (
+            F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0)) == 0
+        ).alias("meets_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-scaling learning curve (unigram LM vs training-fraction)
+# ---------------------------------------------------------------------------
+
+#: train-prefix sizes in 1/8 buckets (bucket 7 is the held-out split)
+_LC_LEVELS = (1, 2, 4, 7)
+
+#: add-one-smoothed unigram log-prob contribution in integer micro-nats:
+#: cnt_h * ln((c+1) / (n + v)) — always negative, so the tie nudge is a
+#: consistent -1e-3 on both engines (the _PSI_TERM discipline)
+_LC_TERM = (
+    "CAST(round(ln((coalesce(lc.c, 0) + 1.0) * 1.0 / (s.n + s.v)) * 1e6"
+    " - 1e-3) AS BIGINT) * h.ch"
+)
+
+
+@query(
+    "corpus_learning_curve",
+    f"""
+WITH bdoc AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5('lc:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+           AS bucket
+  FROM documents
+),
+tok AS (
+  SELECT bucket, doc_id,
+         unnest(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+  FROM bdoc
+),
+train_cells AS MATERIALIZED (
+  SELECT term, bucket, count(*)::BIGINT AS c FROM tok WHERE bucket < 7
+  GROUP BY 1, 2
+),
+held AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS ch FROM tok WHERE bucket = 7 GROUP BY 1
+),
+lv(lvl) AS (VALUES (1), (2), (4), (7)),
+lvl_counts AS (
+  SELECT lv.lvl, t.term, sum(t.c)::BIGINT AS c
+  FROM train_cells t JOIN lv ON t.bucket < lv.lvl
+  GROUP BY 1, 2
+),
+lvl_stats AS (
+  SELECT lvl, sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM lvl_counts
+  GROUP BY 1
+),
+ndocs AS (
+  SELECT lv.lvl, count(*)::BIGINT AS n_train_docs
+  FROM bdoc JOIN lv ON bdoc.bucket < lv.lvl AND bdoc.bucket < 7
+  GROUP BY 1
+),
+scored AS (
+  SELECT s.lvl,
+         sum({_LC_TERM})::BIGINT AS lp_micro,
+         sum(ch)::BIGINT AS n_held_tokens
+  FROM held h
+  CROSS JOIN lvl_stats s
+  LEFT JOIN lvl_counts lc ON lc.lvl = s.lvl AND lc.term = h.term
+  GROUP BY 1
+)
+SELECT s.lvl AS train_eighths, d.n_train_docs, st.v AS vocab,
+       st.n AS n_train_tokens, s.n_held_tokens, s.lp_micro,
+       {_r6n_sql("s.lp_micro / (1e6 * s.n_held_tokens)")} AS mean_logprob
+FROM scored s JOIN lvl_stats st USING (lvl) JOIN ndocs d USING (lvl)
+""",
+)
+def corpus_learning_curve(spark, sf_dir):
+    """Data-scaling learning curve: train an add-one-smoothed unigram LM
+    on 1/8, 2/8, 4/8 and 7/8 of the corpus (deterministic md5 buckets;
+    bucket 7 is ALWAYS the held-out split) and score the SAME held-out
+    tokens under each — the scaling-law probe (Kaplan et al. 2020's
+    data axis in miniature) a pipeline runs to decide whether more of a
+    source still buys anything.  Mean held-out log-prob must improve
+    monotonically-ish with training fraction; a flat curve says the
+    source is saturated (or template-dominated).
+
+    Exactness: every ln argument is an exact integer ratio
+    ((c+1)/(n+v)), each term lands on the integer micro-nat grid with a
+    consistent negative nudge, and the per-level sums are exact
+    integers.  Plan: ONE (term, bucket) aggregate feeds all four
+    levels (prefix sums over the 7-bucket cells — the corpus is
+    tokenized ONCE); the held-out side joins at vocab granularity."""
+    d = load_table(spark, sf_dir, "documents")
+    from .operators.similarity import hash60
+
+    bdoc = d.select(
+        "doc_id",
+        "text",
+        (hash60(F.concat(F.lit("lc:"), F.col("doc_id").cast("string"))) % 8).alias(
+            "bucket"
+        ),
+    ).localCheckpoint(eager=True)
+    tok = bdoc.select("bucket", F.explode(TX.tokens("text")).alias("term"))
+    train_cells = (
+        tok.where(F.col("bucket") < 7)
+        .groupBy("term", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    held = (
+        tok.where(F.col("bucket") == 7)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("ch"))
+        .localCheckpoint(eager=True)
+    )
+    lv = spark.createDataFrame([(l,) for l in _LC_LEVELS], "lvl int")
+    lvl_counts = (
+        train_cells.join(F.broadcast(lv), F.col("bucket") < F.col("lvl"))
+        .groupBy("lvl", "term")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    lvl_stats = lvl_counts.groupBy("lvl").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ndocs = (
+        bdoc.where(F.col("bucket") < 7)
+        .join(F.broadcast(lv), F.col("bucket") < F.col("lvl"))
+        .groupBy("lvl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train_docs"))
+    )
+    term = (
+        F.round(
+            F.log(
+                (F.col("c") + 1.0)
+                / (F.col("n") + F.col("v")).cast("double")
+            )
+            * 1e6
+            - F.lit(1e-3)
+        ).cast("long")
+        * F.col("ch")
+    )
+    scored = (
+        held.crossJoin(F.broadcast(lvl_stats))
+        .join(lvl_counts, ["lvl", "term"], "left")
+        .select(
+            "lvl",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "n",
+            "v",
+            "ch",
+        )
+        .groupBy("lvl")
+        .agg(
+            F.sum(term).cast("long").alias("lp_micro"),
+            F.sum("ch").cast("long").alias("n_held_tokens"),
+        )
+    )
+    return (
+        scored.join(lvl_stats, "lvl")
+        .join(ndocs, "lvl")
+        .select(
+            F.col("lvl").cast("int").alias("train_eighths"),
+            "n_train_docs",
+            F.col("v").alias("vocab"),
+            F.col("n").alias("n_train_tokens"),
+            "n_held_tokens",
+            "lp_micro",
+            _r6n(
+                F.col("lp_micro") / (1e6 * F.col("n_held_tokens"))
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

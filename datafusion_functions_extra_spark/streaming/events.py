@@ -379,6 +379,57 @@ def streaming_interval_join(
     )
 
 
+def streaming_interval_join_outer(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    :func:`streaming_interval_join`, but every left event is emitted
+    even when NO right event lands in its window — the unconverted
+    rows, which is what funnel/abandonment analytics actually consumes
+    (the inner join only tells you about successes).
+
+    Outer semantics on two streams require the engine to PROVE a left
+    row can no longer match before emitting its null row: the watermark
+    plus the two-sided time bound define that horizon, so null rows
+    appear only once the right-side watermark passes
+    ``left_ts + within``.  Same state-retention contract as the inner
+    join; a drained availableNow replay therefore matches the batch
+    left join exactly (pinned in tests/test_r6c_outer_join.py)."""
+    left = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    cond = F.expr(
+        "l_user = r_user AND right_ts >= left_ts "
+        f"AND right_ts <= left_ts + INTERVAL {int(within_minutes)} MINUTES"
+    )
+    return left.join(right, cond, "leftOuter").select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        F.unix_micros("left_ts").alias("left_ts_us"),
+        F.unix_micros("right_ts").alias("right_ts_us"),
+    )
+
+
 def streaming_enrich(
     events: DataFrame, dim: DataFrame, on: str = "event_type"
 ) -> DataFrame:

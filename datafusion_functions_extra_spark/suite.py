@@ -21985,6 +21985,204 @@ def corpus_learning_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# degree assortativity of the kNN graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_graph_assortativity",
+    f"""
+WITH {_KNN3_EDGES_SQL},
+adj AS (
+  SELECT id_a AS v, id_b AS u FROM e
+  UNION ALL SELECT id_b AS v, id_a AS u FROM e
+),
+deg AS (SELECT v, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM adj JOIN deg da ON da.v = adj.v JOIN deg db ON db.v = adj.u
+),
+s AS (
+  SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx,
+         sum(y * y)::HUGEINT AS syy
+  FROM pairs
+)
+SELECT (m // 2)::BIGINT AS n_edges,
+       {_r6n_sql("(m * sxy - sx::HUGEINT * sy)::DOUBLE / (sqrt((m * sxx - sx::HUGEINT * sx)::DOUBLE) * sqrt((m * syy - sy::HUGEINT * sy)::DOUBLE))")}
+         AS assortativity
+FROM s
+""",
+)
+def embedding_graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the mutual kNN(3) cosine
+    graph: the Pearson correlation of endpoint degrees over every
+    directed edge — positive means hubs link to hubs (a core-periphery
+    dedup graph where one boilerplate family chains together), negative
+    means hubs link to leaves (star-shaped template contamination).
+    Run on the kNN graph because the LSH graph here is a perfect
+    matching (constant degree — assortativity undefined), which the
+    degree histogram already shows.
+
+    Plan: symmetrize, one degree count, two degree lookups, ONE
+    integer-moment row (128-bit cross sums; doubles only in the final
+    correlation) — the cheapest whole-graph structure scalar."""
+    e = _knn3_edges(spark, sf_dir)
+    adj = e.select(F.col("id_a").alias("v"), F.col("id_b").alias("u")).unionAll(
+        e.select(F.col("id_b").alias("v"), F.col("id_a").alias("u"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    pairs = (
+        adj.join(deg.select(F.col("v"), F.col("d").alias("x")), "v")
+        .join(
+            deg.select(F.col("v").alias("u"), F.col("d").alias("y")), "u"
+        )
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    num = (dec("m") * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((dec("m") * F.col("sxx") - dec("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((dec("m") * F.col("syy") - dec("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        _r6n(num / (dx * dy)).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "brand_price_indices",
+    """
+WITH pm AS (
+  SELECT brand, m, qty,
+         CAST(round(spend_c * 1e4 / qty + 1e-3) AS BIGINT) AS p_micro
+  FROM (
+    SELECT p.p_brand AS brand,
+           time_bucket(INTERVAL '1 month', CAST(o.o_orderdate AS TIMESTAMP)) AS m,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS spend_c,
+           sum(CAST(round(l.l_quantity) AS BIGINT))::BIGINT AS qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+  )
+),
+base AS (SELECT min(m) AS m0 FROM pm),
+b AS (
+  SELECT brand, p_micro AS p0, qty AS qty0 FROM pm, base
+  WHERE pm.m = base.m0
+),
+j AS (
+  SELECT pm.m, pm.brand, pm.p_micro, pm.qty, b.p0, b.qty0
+  FROM pm JOIN b USING (brand)
+),
+s AS (
+  SELECT m,
+         count(*)::BIGINT AS n_brands,
+         sum(p_micro::HUGEINT * qty0)::HUGEINT AS l_num,
+         sum(p0::HUGEINT * qty0)::HUGEINT      AS l_den,
+         sum(p_micro::HUGEINT * qty)::HUGEINT  AS p_num,
+         sum(p0::HUGEINT * qty)::HUGEINT       AS p_den
+  FROM j GROUP BY 1
+)
+SELECT CAST(m AS VARCHAR) AS month, n_brands,
+       round(l_num::DOUBLE / l_den + 1e-9, 6) AS laspeyres,
+       round(p_num::DOUBLE / p_den + 1e-9, 6) AS paasche,
+       round(sqrt((l_num::DOUBLE / l_den) * (p_num::DOUBLE / p_den))
+             + 1e-9, 6) AS fisher
+FROM s
+""",
+)
+def brand_price_indices(spark, sf_dir):
+    """Laspeyres / Paasche / Fisher monthly price indices over the brand
+    basket (base period = first month): the (brand, month) unit price
+    is snapped to an integer micro-dollar grid (round(spend*1e4/qty),
+    positive nudge — the snap is part of the metric definition, so both
+    engines agree by construction), and every index numerator and
+    denominator is then an exact 128-bit integer sum of p*q products;
+    division happens only in the final three ratios (Fisher = geometric
+    mean of the other two).  The econ-style deflator a revenue
+    dashboard needs to split growth into price vs volume effects.
+
+    Plan: one (brand, month) aggregate, a broadcast 1-row base-month
+    lookup, a brand-keyed base join, and a month rollup — every stage
+    domain-sized after the first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    pm = (
+        li.join(pt, "l_partkey")
+        .join(o, "l_orderkey")
+        .groupBy(
+            "brand", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_c"),
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("qty"),
+        )
+        .select(
+            "brand",
+            "m",
+            "qty",
+            F.round(
+                F.col("spend_c") * 1e4 / F.col("qty") + F.lit(1e-3)
+            )
+            .cast("long")
+            .alias("p_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = pm.agg(F.min("m").alias("m0"))
+    b = (
+        pm.crossJoin(F.broadcast(base))
+        .where(F.col("m") == F.col("m0"))
+        .select(
+            "brand",
+            F.col("p_micro").alias("p0"),
+            F.col("qty").alias("qty0"),
+        )
+    )
+    j = pm.join(F.broadcast(b), "brand")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum(d38("p_micro") * F.col("qty0")).alias("l_num"),
+        F.sum(d38("p0") * F.col("qty0")).alias("l_den"),
+        F.sum(d38("p_micro") * F.col("qty")).alias("p_num"),
+        F.sum(d38("p0") * F.col("qty")).alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return s.select(
+        F.col("m").cast("string").alias("month"),
+        "n_brands",
+        _r6n(lasp).alias("laspeyres"),
+        _r6n(paas).alias("paasche"),
+        _r6n(F.sqrt(lasp * paas)).alias("fisher"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -132,6 +132,16 @@ BNLJ_BOUNDED: dict[str, str] = {
         "for the kNN(3) edge list (all-pairs exact ground truth; at "
         "100 TB the edges come from the ANN probe family instead)"
     ),
+    "embedding_graph_assortativity": (
+        "same _knn_scored_sym eval harness as embedding_knn_label_eval "
+        "for the kNN(3) edge list (all-pairs exact ground truth; at "
+        "100 TB the edges come from the ANN probe family instead)"
+    ),
+    "embedding_label_noise_screen": (
+        "same _knn_scored_sym eval harness as embedding_knn_label_eval "
+        "(all-pairs exact ground truth, eval-on-sample at scale)"
+    ),
+    "brand_price_indices": _SCALAR + " (1-row base-month lookup)",
     "events_neyman_allocation": _SCALAR + " (1-row total-weight join-back)",
     "customer_theil_by_nation": _SCALAR + " (1-row corpus-totals join-back)",
     "users_growth_accounting": _SCALAR + " (1-row max-week join-back)",

@@ -22183,6 +22183,316 @@ def brand_price_indices(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+#: interpolated KN bigram probability with absolute discount D = 3/4,
+#: cleared to ONE exact integer ratio (multiply through by 4):
+#: P = (max(4*c12 - 3, 0) * ntypes + 3 * n1p_v * ncont_w) / (4 * cv * ntypes)
+_KN_TERM = (
+    "CAST(round(ln(((CASE WHEN 4 * cb.c12 - 3 > 0 THEN 4 * cb.c12 - 3 ELSE 0 END)"
+    " * tot.ntypes + 3 * nv.n1p * nw.ncont) * 1.0"
+    " / (4.0 * c1.cw1 * tot.ntypes)) * 1e6 - 1e-3) AS BIGINT) * d.cd"
+)
+
+
+@query(
+    "text_kneser_ney_logprob",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, u.w1, u.w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
+    FROM t WHERE len(toks) >= 2
+  )
+),
+d AS MATERIALIZED (SELECT doc_id, w1, w2, count(*)::BIGINT AS cd FROM bg GROUP BY 1, 2, 3),
+cb AS MATERIALIZED (SELECT w1, w2, sum(cd)::BIGINT AS c12 FROM d GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS cw1 FROM cb GROUP BY 1),
+nv AS (SELECT w1, count(*)::BIGINT AS n1p FROM cb GROUP BY 1),
+nw AS (SELECT w2, count(*)::BIGINT AS ncont FROM cb GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS ntypes FROM cb),
+sc AS (
+  SELECT d.doc_id, sum({_KN_TERM})::BIGINT AS lp_micro,
+         sum(d.cd)::BIGINT AS n_bigrams
+  FROM d
+  JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
+  JOIN c1 ON c1.w1 = d.w1
+  JOIN nv ON nv.w1 = d.w1
+  JOIN nw ON nw.w2 = d.w2
+  CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams, lp_micro,
+       {_r6n_sql("lp_micro / (1e6 * n_bigrams)")} AS avg_logprob
+FROM sc
+""",
+)
+def text_kneser_ney_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995) — the
+    smoothing that made n-gram LMs competitive, one step above the
+    MLE-interpolated text_bigram_logprob: absolute discount D = 0.75 on
+    the bigram count, with the freed mass backing off to the
+    CONTINUATION probability (how many distinct contexts a word
+    follows, not how often it occurs — 'francisco' is frequent but
+    follows only 'san', so KN correctly distrusts it in new contexts).
+
+    Exactness: D = 3/4 clears to one all-integer ratio (multiply
+    through by 4): (max(4c12-3,0)*T + 3*N1+(v.)*N1+(.w)) / (4*cv*T),
+    both sides < 2^53 so the double division is correctly rounded and
+    identical cross-engine; per-term micro-nat grid with the negative
+    nudge, exact integer per-doc sums.
+
+    Plan: one (doc, v, w) aggregate feeds the corpus bigram table and
+    all three KN count relations (the corpus is tokenized once); the
+    scoring join runs at (doc, bigram-type) granularity, never raw
+    tokens; ntypes is a 1-row scalar join-back."""
+    d0 = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    bg = (
+        d0.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+    )
+    d = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cd"))
+        .localCheckpoint(eager=True)
+    )
+    cb = (
+        d.groupBy("w1", "w2")
+        .agg(F.sum("cd").cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = cb.groupBy("w1").agg(F.sum("c12").cast("long").alias("cw1"))
+    nv = cb.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n1p"))
+    nw = cb.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("ncont"))
+    tot = cb.agg(F.count(F.lit(1)).cast("long").alias("ntypes"))
+    disc = F.greatest(4 * F.col("c12") - 3, F.lit(0))
+    term = (
+        F.round(
+            F.log(
+                (disc * F.col("ntypes") + 3 * F.col("n1p") * F.col("ncont"))
+                / (4.0 * F.col("cw1") * F.col("ntypes"))
+            )
+            * 1e6
+            - F.lit(1e-3)
+        ).cast("long")
+        * F.col("cd")
+    )
+    sc = (
+        d.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(nv, "w1")
+        .join(nw, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term).cast("long").alias("lp_micro"),
+            F.sum("cd").cast("long").alias("n_bigrams"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        "n_bigrams",
+        "lp_micro",
+        _r6n(F.col("lp_micro") / (1e6 * F.col("n_bigrams"))).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# uplift-by-score Qini curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_uplift_qini",
+    """
+WITH users AS MATERIALIZED (
+  SELECT user_id,
+         (('0x' || substr(md5('qini:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          % 2 = 0) AS treated,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y,
+         sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)::BIGINT AS score
+  FROM events GROUP BY 1
+),
+cuts AS (
+  SELECT list_transform(
+           quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round(x, 6)) AS qs
+  FROM users
+),
+d AS (
+  SELECT user_id, treated, y,
+         1 + list_sum(list_transform(qs, q -> CASE WHEN score > q
+                                                   THEN 1 ELSE 0 END)) AS decile
+  FROM users, cuts
+),
+g AS (
+  SELECT decile::INT AS decile,
+         sum(CASE WHEN treated THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         sum(CASE WHEN treated THEN 0 ELSE 1 END)::BIGINT AS n_c,
+         sum(CASE WHEN treated THEN y ELSE 0 END)::BIGINT AS resp_t,
+         sum(CASE WHEN treated THEN 0 ELSE y END)::BIGINT AS resp_c
+  FROM d GROUP BY 1
+),
+c AS (
+  SELECT decile, n_t, n_c, resp_t, resp_c,
+         sum(n_t) OVER w AS cnt, sum(n_c) OVER w AS cnc,
+         sum(resp_t) OVER w AS crt, sum(resp_c) OVER w AS crc
+  FROM g
+  WINDOW w AS (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT decile, n_t, n_c, resp_t, resp_c,
+       CASE WHEN n_t > 0 AND n_c > 0
+            THEN round(resp_t::DOUBLE / n_t - resp_c::DOUBLE / n_c + 1e-9, 6)
+       END AS uplift,
+       CASE WHEN cnc > 0
+            THEN round(crt - crc::DOUBLE * cnt / cnc + 1e-9, 6)
+       END AS qini_cum
+FROM c
+""",
+)
+def events_uplift_qini(spark, sf_dir):
+    """Qini uplift curve (Radcliffe 2007): users split into a
+    deterministic hash treatment/control, outcome = converted
+    (purchased), targeting score = activity volume; per score-decile
+    the incremental response rate (uplift), and the Qini statistic
+    cumulated from the best decile down — Y_T - Y_C * N_T/N_C, the
+    number of conversions the treatment ADDED among everyone targeted
+    so far.  The offline readout that decides how deep to target a
+    campaign; a Qini curve that flattens early says the bottom deciles
+    are wasted spend.
+
+    Plan: one user reduction, the broadcast decile-cutoff device
+    (customer_balance_deciles' pattern — scores snapped at 6 dp on
+    both engines), a |deciles|-row rollup and a 10-row cumulative
+    window (domain-bounded)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+            F.sum(
+                F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("score"),
+        )
+        .select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("qini:"),
+                                F.col("user_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0
+            ).alias("treated"),
+            "y",
+            "score",
+        )
+        .localCheckpoint(eager=True)
+    )
+    cuts = users.agg(
+        F.transform(
+            F.expr(
+                "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("qs")
+    )
+    d = users.crossJoin(F.broadcast(cuts)).select(
+        "treated",
+        "y",
+        (
+            1
+            + F.aggregate(
+                F.col("qs"),
+                F.lit(0),
+                lambda acc, q: acc
+                + F.when(F.col("score") > q, 1).otherwise(0),
+            )
+        ).alias("decile"),
+    )
+    g = d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(1)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("resp_t"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(F.col("y")))
+        .cast("long")
+        .alias("resp_c"),
+    )
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "resp_t",
+        "resp_c",
+        F.sum("n_t").over(w).alias("cnt"),
+        F.sum("n_c").over(w).alias("cnc"),
+        F.sum("resp_t").over(w).alias("crt"),
+        F.sum("resp_c").over(w).alias("crc"),
+    )
+    return c.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "resp_t",
+        "resp_c",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            _r6n(
+                F.col("resp_t") / F.col("n_t")
+                - F.col("resp_c") / F.col("n_c")
+            ),
+        ).alias("uplift"),
+        F.when(
+            F.col("cnc") > 0,
+            _r6n(
+                F.col("crt")
+                - F.col("crc").cast("double") * F.col("cnt") / F.col("cnc")
+            ),
+        ).alias("qini_cum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -142,6 +142,17 @@ BNLJ_BOUNDED: dict[str, str] = {
         "(all-pairs exact ground truth, eval-on-sample at scale)"
     ),
     "brand_price_indices": _SCALAR + " (1-row base-month lookup)",
+    "text_kneser_ney_logprob": _SCALAR + " (1-row ntypes join-back)",
+    "events_uplift_qini": _SCALAR + " (decile-cutoff broadcast)",
+    "brand_abc_xyz": _SCALAR + " (1-row revenue total join-back)",
+    "corpus_learning_curve": (
+        "build sides are the 4-row level grid and |levels|-row stats "
+        "relation — bounded by the ladder, never data-sized"
+    ),
+    "docs_k_anon_ladder": _SCALAR + " (4-row level grid explode)",
+    "events_dau_mau_stickiness": (
+        "build side is the observed-day grid (calendar-bounded)"
+    ),
     "events_neyman_allocation": _SCALAR + " (1-row total-weight join-back)",
     "customer_theil_by_nation": _SCALAR + " (1-row corpus-totals join-back)",
     "users_growth_accounting": _SCALAR + " (1-row max-week join-back)",
@@ -285,6 +296,13 @@ BNLJ_BOUNDED: dict[str, str] = {
 #: partition-count relation, or a calendar-sized rollup — never an
 #: unbounded data relation.
 UNPART_WINDOW_BOUNDED: dict[str, str] = {
+    "events_uplift_qini": (
+        "cumulative Qini over the 10-row decile rollup — domain-bounded"
+    ),
+    "brand_abc_xyz": (
+        "cumulative revenue share over the ~25-row brand DOMAIN — "
+        "catalog-bounded, never data-sized"
+    ),
     "corpus_zipf_slope": "rank over the sort+limit(1000) head — 1000 rows",
     "docs_sorted_neighborhood_pairs": (
         "two-phase global_rank offset window (<= #partitions rows)"

@@ -22493,6 +22493,165 @@ def events_uplift_qini(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup cascade audit — marginal removal per stage
+# ---------------------------------------------------------------------------
+
+
+def _cascade_oracle() -> str:
+    from .operators.clustering import semdedup_oracle_sql
+
+    kept = f"""WITH keyed AS (SELECT doc_id, md5({_NORM_SQL}) AS k FROM documents),
+keep AS (SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY 1)
+SELECT keep.doc_id FROM keep"""
+    return f"""
+WITH ex AS MATERIALIZED (SELECT doc_id FROM ({kept}) q),
+mh AS MATERIALIZED (SELECT doc_id, keep_id FROM ({SIM.near_dup_clusters_oracle_sql(0.5)}) q),
+sh AS MATERIALIZED (SELECT id_b FROM ({SIM.simhash_pairs_oracle_sql(3)}) q GROUP BY 1),
+sd AS MATERIALIZED (SELECT vec_id, kept FROM ({semdedup_oracle_sql()}) q),
+flags AS MATERIALIZED (
+  SELECT d.doc_id,
+         (ex.doc_id IS NULL) AS f1,
+         (mh.keep_id <> d.doc_id) AS f2,
+         (sh.id_b IS NOT NULL) AS f3,
+         NOT coalesce(sd.kept, TRUE) AS f4
+  FROM documents d
+  LEFT JOIN ex ON ex.doc_id = d.doc_id
+  JOIN mh ON mh.doc_id = d.doc_id
+  LEFT JOIN sh ON sh.id_b = d.doc_id
+  LEFT JOIN sd ON sd.vec_id = d.doc_id
+)
+SELECT 1 AS stage_order, 'exact' AS stage,
+       sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped_alone,
+       sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS n_marginal,
+       (count(*) - sum(CASE WHEN f1 THEN 1 ELSE 0 END))::BIGINT AS survivors
+FROM flags
+UNION ALL
+SELECT 2, 'minhash',
+       sum(CASE WHEN f2 THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN f2 AND NOT f1 THEN 1 ELSE 0 END)::BIGINT,
+       (count(*) - sum(CASE WHEN f1 OR f2 THEN 1 ELSE 0 END))::BIGINT
+FROM flags
+UNION ALL
+SELECT 3, 'simhash',
+       sum(CASE WHEN f3 THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN f3 AND NOT (f1 OR f2) THEN 1 ELSE 0 END)::BIGINT,
+       (count(*) - sum(CASE WHEN f1 OR f2 OR f3 THEN 1 ELSE 0 END))::BIGINT
+FROM flags
+UNION ALL
+SELECT 4, 'semantic',
+       sum(CASE WHEN f4 THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN f4 AND NOT (f1 OR f2 OR f3) THEN 1 ELSE 0 END)::BIGINT,
+       (count(*) - sum(CASE WHEN f1 OR f2 OR f3 OR f4 THEN 1 ELSE 0 END))::BIGINT
+FROM flags
+"""
+
+
+@query("corpus_dedup_cascade", _cascade_oracle())
+def corpus_dedup_cascade(spark, sf_dir):
+    """Dedup cascade audit: run all four dedup families — exact
+    content-hash, MinHash-LSH near-dup (one-step min-id keep), SimHash
+    banded-Hamming, and SemDeDup semantic — as FLAGS over the same
+    corpus and report, per stage in pipeline order, (a) how many docs
+    the stage would drop ALONE, (b) its MARGINAL drops (docs no earlier
+    stage caught — the stage's actual contribution), and (c) cumulative
+    survivors.  The table that justifies each stage's existence in the
+    curation pipeline: a stage whose marginal column goes to ~0 is pure
+    compute waste, which is invisible if you only ever run stages
+    in sequence on shrinking inputs.
+
+    Plan: each flag is the production operator unchanged (bucketed pair
+    joins / cluster blocks — nothing all-pairs); the flag relation is
+    one row per doc, eagerly pinned, and the 4 stage rows are four
+    aggregates over it."""
+    from .operators.clustering import semdedup
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = DD.exact_dedup(d, "text", "doc_id").select("doc_id").withColumn(
+        "kept_ex", F.lit(True)
+    )
+    mh = SIM.near_dup_clusters(d, "text", "doc_id", threshold=0.5)
+    sh = (
+        SIM.simhash_pairs(d, "text", "doc_id", max_hamming=3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("sh_dropped", F.lit(True))
+    )
+    sd = semdedup(emb).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("sd_kept")
+    )
+    flags = (
+        d.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(mh, "doc_id")
+        .join(sh, "doc_id", "left")
+        .join(sd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("kept_ex").isNull().alias("f1"),
+            (F.col("keep_id") != F.col("doc_id")).alias("f2"),
+            F.col("sh_dropped").isNotNull().alias("f3"),
+            (~F.coalesce(F.col("sd_kept"), F.lit(True))).alias("f4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def n(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    one = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        n(F.col("f1")).alias("a1"),
+        n(F.col("f2")).alias("a2"),
+        n(F.col("f3")).alias("a3"),
+        n(F.col("f4")).alias("a4"),
+        n(F.col("f2") & ~F.col("f1")).alias("m2"),
+        n(F.col("f3") & ~(F.col("f1") | F.col("f2"))).alias("m3"),
+        n(F.col("f4") & ~(F.col("f1") | F.col("f2") | F.col("f3"))).alias("m4"),
+        n(F.col("f1") | F.col("f2")).alias("u2"),
+        n(F.col("f1") | F.col("f2") | F.col("f3")).alias("u3"),
+        n(F.col("f1") | F.col("f2") | F.col("f3") | F.col("f4")).alias("u4"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("stage_order"),
+            F.lit("exact").alias("stage"),
+            F.col("a1").alias("n_dropped_alone"),
+            F.col("a1").alias("n_marginal"),
+            (F.col("total") - F.col("a1")).alias("survivors"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage_order"),
+            F.lit("minhash").alias("stage"),
+            F.col("a2").alias("n_dropped_alone"),
+            F.col("m2").alias("n_marginal"),
+            (F.col("total") - F.col("u2")).alias("survivors"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage_order"),
+            F.lit("simhash").alias("stage"),
+            F.col("a3").alias("n_dropped_alone"),
+            F.col("m3").alias("n_marginal"),
+            (F.col("total") - F.col("u3")).alias("survivors"),
+        ),
+        F.struct(
+            F.lit(4).alias("stage_order"),
+            F.lit("semantic").alias("stage"),
+            F.col("a4").alias("n_dropped_alone"),
+            F.col("m4").alias("n_marginal"),
+            (F.col("total") - F.col("u4")).alias("survivors"),
+        ),
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        F.col("r.stage_order").alias("stage_order"),
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_dropped_alone").alias("n_dropped_alone"),
+        F.col("r.n_marginal").alias("n_marginal"),
+        F.col("r.survivors").alias("survivors"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -22652,6 +22652,144 @@ def corpus_dedup_cascade(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# customer segment migration matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_segment_migration",
+    """
+WITH mid AS (
+  SELECT quantile_cont(epoch_us(CAST(o_orderdate AS TIMESTAMP)), 0.5) AS m
+  FROM orders
+),
+spend AS MATERIALIZED (
+  SELECT o_custkey AS cust,
+         (epoch_us(CAST(o_orderdate AS TIMESTAMP)) <= mid.m) AS h1,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders, mid GROUP BY 1, 2
+),
+cuts AS (
+  SELECT h1,
+         list_transform(quantile_cont(cents, [0.3333333333333333, 0.6666666666666666]),
+                        x -> round(x, 6)) AS qs
+  FROM spend GROUP BY 1
+),
+seg AS (
+  SELECT s.cust, s.h1,
+         CASE 1 + list_sum(list_transform(c.qs,
+                q -> CASE WHEN s.cents > q THEN 1 ELSE 0 END))
+           WHEN 1 THEN 'low' WHEN 2 THEN 'mid' ELSE 'high' END AS seg
+  FROM spend s JOIN cuts c USING (h1)
+),
+grid AS (
+  SELECT c.c_custkey AS cust,
+         coalesce(s1.seg, 'none') AS seg_h1,
+         coalesce(s2.seg, 'none') AS seg_h2
+  FROM customer c
+  LEFT JOIN (SELECT cust, seg FROM seg WHERE h1) s1 ON s1.cust = c.c_custkey
+  LEFT JOIN (SELECT cust, seg FROM seg WHERE NOT h1) s2 ON s2.cust = c.c_custkey
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM grid)
+SELECT seg_h1, seg_h2, count(*)::BIGINT AS n_customers,
+       round(count(*)::DOUBLE / tot.n + 1e-9, 6) AS share
+FROM grid, tot GROUP BY 1, 2, tot.n
+""",
+)
+def customer_segment_migration(spark, sf_dir):
+    """Customer value-segment migration matrix: split the order
+    timeline at the median order date, segment each customer's spend
+    within each half into low/mid/high terciles (cutoffs computed
+    within the half's ACTIVE customers — 'none' = inactive), and count
+    every (H1 segment -> H2 segment) cell.  The lifecycle dashboard
+    behind churn/upsell targeting: the off-diagonal mass IS the
+    business motion (high->none = churned whales, none->high = new
+    whales), which no single-period RFM snapshot shows.
+
+    Exactness: spend in exact cents; tercile cutoffs through the
+    6-dp-snapped broadcast device (customer_balance_deciles' pattern);
+    the matrix is a pure integer count grid with r6n shares.  Plan: one
+    (customer, half) aggregate, a 2-row cutoff broadcast, two keyed
+    segment lookups off the same relation, one 16-cell rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    mid = o.agg(
+        F.expr("percentile(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 0.5)").alias("m")
+    )
+    spend = (
+        o.crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) <= F.col("m")).alias("h1"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cuts = spend.groupBy("h1").agg(
+        F.transform(
+            F.expr("percentile(cents, array(0.3333333333333333, 0.6666666666666666))"),
+            lambda x: F.round(x, 6),
+        ).alias("qs")
+    )
+    seg = spend.join(F.broadcast(cuts), "h1").select(
+        "cust",
+        "h1",
+        F.when(
+            1
+            + F.aggregate(
+                F.col("qs"),
+                F.lit(0),
+                lambda acc, q: acc + F.when(F.col("cents") > q, 1).otherwise(0),
+            )
+            == 1,
+            "low",
+        )
+        .when(
+            1
+            + F.aggregate(
+                F.col("qs"),
+                F.lit(0),
+                lambda acc, q: acc + F.when(F.col("cents") > q, 1).otherwise(0),
+            )
+            == 2,
+            "mid",
+        )
+        .otherwise("high")
+        .alias("seg"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust")
+    )
+    s1 = seg.where(F.col("h1")).select("cust", F.col("seg").alias("seg_h1"))
+    s2 = seg.where(~F.col("h1")).select("cust", F.col("seg").alias("seg_h2"))
+    grid = (
+        c.join(s1, "cust", "left")
+        .join(s2, "cust", "left")
+        .select(
+            F.coalesce("seg_h1", F.lit("none")).alias("seg_h1"),
+            F.coalesce("seg_h2", F.lit("none")).alias("seg_h2"),
+        )
+    )
+    tot = grid.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        grid.groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg_h1",
+            "seg_h2",
+            "n_customers",
+            _r6n(F.col("n_customers").cast("double") / F.col("n")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

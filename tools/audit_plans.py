@@ -153,6 +153,10 @@ BNLJ_BOUNDED: dict[str, str] = {
     "events_dau_mau_stickiness": (
         "build side is the observed-day grid (calendar-bounded)"
     ),
+    "customer_segment_migration": _SCALAR
+    + " (1-row median-date + 2-row tercile cutoffs + 1-row total)",
+    "corpus_dedup_cascade": _SEEDS
+    + " (semdedup's Lloyd assign steps) plus the 1-row stage rollup",
     "events_neyman_allocation": _SCALAR + " (1-row total-weight join-back)",
     "customer_theil_by_nation": _SCALAR + " (1-row corpus-totals join-back)",
     "users_growth_accounting": _SCALAR + " (1-row max-week join-back)",

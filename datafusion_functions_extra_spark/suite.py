@@ -22790,6 +22790,99 @@ def customer_segment_migration(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# circadian chronotype per user (integer-twiddle circular statistics)
+# ---------------------------------------------------------------------------
+
+
+def _chrono_oracle() -> str:
+    cs = ", ".join(str(v) for v in _twiddle(24, "cos"))
+    sn = ", ".join(str(v) for v in _twiddle(24, "sin"))
+    return f"""
+WITH h AS (
+  SELECT user_id, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id,
+         sum(c)::BIGINT AS n_events,
+         sum(c * ([{cs}])[CAST(hr + 1 AS INTEGER)])::BIGINT AS s_c,
+         sum(c * ([{sn}])[CAST(hr + 1 AS INTEGER)])::BIGINT AS s_s
+  FROM h GROUP BY 1
+),
+peak AS (
+  SELECT user_id, hr AS peak_hour FROM (
+    SELECT user_id, hr,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY c DESC, hr ASC) AS rn
+    FROM h
+  ) WHERE rn = 1
+)
+SELECT s.user_id, s.n_events, p.peak_hour,
+       (s.s_c * s.s_c + s.s_s * s.s_s)::BIGINT AS resultant2_micro,
+       {_r6n_sql("sqrt((s.s_c * s.s_c + s.s_s * s.s_s)::DOUBLE) / (1000.0 * s.n_events)")}
+         AS concentration
+FROM s JOIN peak p USING (user_id)
+"""
+
+
+@query("events_user_chronotype", _chrono_oracle())
+def events_user_chronotype(spark, sf_dir):
+    """Per-user circadian chronotype: peak activity hour (deterministic
+    count-then-argmax — the reference mode plan per user) plus the
+    CIRCULAR concentration of the 24-hour activity profile, computed
+    with the shared milli-scaled period-24 twiddle tables
+    (events_periodogram's device at per-user granularity): the
+    resultant length R = |sum c_h * e^{{i 2pi h/24}}| / n distinguishes a
+    strongly diurnal user (R -> 1) from an always-on bot (R -> 0) —
+    EXACTLY the mean-resultant statistic of circular data (Fisher
+    1993), with S_c/S_s exact integers so the hash can't drift.  A
+    behavioral-segmentation/bot-screen feature.
+
+    Plan: one (user, hour) count, then ONE user-keyed aggregate (the
+    24-entry literal lookup is in-row) + the per-user argmax window —
+    all partitioned by user, nothing global."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.select("user_id", F.hour(F.col("ts")).cast("long").alias("hr"))
+        .groupBy("user_id", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cos_t = F.array(*[F.lit(v) for v in _twiddle(24, "cos")])
+    sin_t = F.array(*[F.lit(v) for v in _twiddle(24, "sin")])
+    s = h.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.element_at(cos_t, (F.col("hr") + 1).cast("int")))
+        .cast("long")
+        .alias("s_c"),
+        F.sum(F.col("c") * F.element_at(sin_t, (F.col("hr") + 1).cast("int")))
+        .cast("long")
+        .alias("s_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("hr").asc()
+    )
+    peak = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("hr").alias("peak_hour"))
+    )
+    r2 = F.col("s_c") * F.col("s_c") + F.col("s_s") * F.col("s_s")
+    return s.join(peak, "user_id").select(
+        "user_id",
+        "n_events",
+        "peak_hour",
+        r2.cast("long").alias("resultant2_micro"),
+        _r6n(
+            F.sqrt(r2.cast("double")) / (1000.0 * F.col("n_events"))
+        ).alias("concentration"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

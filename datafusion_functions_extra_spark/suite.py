@@ -22883,6 +22883,82 @@ def events_user_chronotype(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus-adaptive stopword discovery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stopword_discovery",
+    f"""
+WITH {_TOK_CTE},
+docs_n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+src_n AS (SELECT count(DISTINCT source)::BIGINT AS ns FROM documents),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM tok GROUP BY 1
+),
+tsrc AS (
+  SELECT t.term, count(DISTINCT d.source)::BIGINT AS n_sources
+  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1
+),
+ranked AS (
+  SELECT tdf.term, tdf.df, tsrc.n_sources, docs_n.nd, src_n.ns
+  FROM tdf JOIN tsrc USING (term), docs_n, src_n
+  WHERE tdf.df * 2 >= docs_n.nd AND tsrc.n_sources = src_n.ns
+)
+SELECT term, df, n_sources,
+       {_r6n_sql("df::DOUBLE / nd")} AS df_ratio
+FROM (
+  SELECT *, row_number() OVER (ORDER BY df DESC, term ASC) AS rn FROM ranked
+) WHERE rn <= 32
+""",
+)
+def text_stopword_discovery(spark, sf_dir):
+    """Corpus-adaptive stopword discovery: terms that appear in >= half
+    of ALL documents AND in every source — the function words OF THIS
+    corpus, which generic English stopword lists miss for non-English
+    or domain corpora (and wrongly include for code/legal text).  The
+    list feeds the BM25/TF-IDF pipelines as a df-cap refinement and the
+    dedup shinglers as a noise filter.
+
+    Plan: one (term, doc) df rollup + one (term, source) reach rollup
+    off the same explode; the >= 50%-df filter shrinks the relation to
+    a handful of rows BEFORE the rank, so the top-32 head is a
+    TakeOrdered over a near-empty input, not a vocabulary sort (the
+    §2-fixed text_oov_rate lesson applied from the start)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(TX.tokens("text")).alias("term")
+    )
+    scalars = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.countDistinct("source").cast("long").alias("ns"),
+    )
+    tdf = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    tsrc = tok.groupBy("term").agg(
+        F.countDistinct("source").cast("long").alias("n_sources")
+    )
+    ranked = (
+        tdf.join(tsrc, "term")
+        .crossJoin(F.broadcast(scalars))
+        .where(
+            (F.col("df") * 2 >= F.col("nd"))
+            & (F.col("n_sources") == F.col("ns"))
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(32)
+    )
+    return ranked.select(
+        "term",
+        "df",
+        "n_sources",
+        _r6n(F.col("df").cast("double") / F.col("nd")).alias("df_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

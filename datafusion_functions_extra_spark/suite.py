@@ -22959,6 +22959,223 @@ def text_stopword_discovery(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# two-state burst detection (Kleinberg-style integer Viterbi, in-row)
+# ---------------------------------------------------------------------------
+
+#: shared per-type integer model constants (micro grid + tie nudges):
+#: base rate r0 = N/T events/day, burst rate r1 = 3*r0, transition
+#: penalty gamma = ln(T) micro-nats.  Poisson emission cost for state s
+#: at count c is r_s - c*ln(r_s) (the c! term is state-independent and
+#: cancels), all on the integer micro grid.
+_BURST_CONSTS_SQL = """
+  CAST(round(n_ev * 1e6 / n_days + 1e-3) AS BIGINT) AS e0,
+  CAST(round(3 * n_ev * 1e6 / n_days + 1e-3) AS BIGINT) AS e1,
+  CAST(round(ln(n_ev * 1.0 / n_days) * 1e6
+       + CASE WHEN n_ev >= n_days THEN 1e-3 ELSE -1e-3 END) AS BIGINT) AS l0,
+  CAST(round(ln(3.0 * n_ev / n_days) * 1e6
+       + CASE WHEN 3 * n_ev >= n_days THEN 1e-3 ELSE -1e-3 END) AS BIGINT) AS l1,
+  CAST(round(ln(CAST(n_days AS DOUBLE)) * 1e6 + 1e-3) AS BIGINT) AS g
+"""
+
+#: Spark in-row Viterbi over the dense daily-count array: 2-state fold
+#: carrying both survivor paths; <= tie rules shared with the oracle.
+_BURST_SPARK = """
+aggregate(
+  arr,
+  struct(CAST(0 AS BIGINT) AS c0, g AS c1,
+         CAST(array() AS ARRAY<INT>) AS p0, CAST(array() AS ARRAY<INT>) AS p1),
+  (acc, x) -> struct(
+    least(acc.c0, acc.c1) + (e0 - x * l0) AS c0,
+    least(acc.c1, acc.c0 + g) + (e1 - x * l1) AS c1,
+    concat(IF(acc.c0 <= acc.c1, acc.p0, acc.p1), array(0)) AS p0,
+    concat(IF(acc.c1 <= acc.c0 + g, acc.p1, acc.p0), array(1)) AS p1
+  ),
+  acc -> struct(IF(acc.c0 <= acc.c1, acc.p0, acc.p1) AS st,
+                least(acc.c0, acc.c1) AS cost)
+)
+"""
+
+
+def _burst_duck_sql() -> str:
+    """DuckDB mirror of _BURST_SPARK via list_reduce with the
+    prepend-the-init trick (acc layout: [c0, c1, n, p0..., p1...])."""
+    p0 = "acc[4 : CAST(3 + acc[3] AS INTEGER)]"
+    p1 = "acc[CAST(4 + acc[3] AS INTEGER) : CAST(3 + 2 * acc[3] AS INTEGER)]"
+    return f"""
+list_reduce(
+  list_prepend([0, g, 0]::BIGINT[], list_transform(arr, v -> [v]::BIGINT[])),
+  (acc, x) -> list_concat(list_concat(list_concat(
+    [least(acc[1], acc[2]) + (e0 - x[1] * l0),
+     least(acc[2], acc[1] + g) + (e1 - x[1] * l1),
+     acc[3] + 1]::BIGINT[],
+    CASE WHEN acc[1] <= acc[2] THEN {p0} ELSE {p1} END),
+    [0]::BIGINT[]),
+    list_concat(
+      CASE WHEN acc[2] <= acc[1] + g THEN {p1} ELSE {p0} END,
+      [1]::BIGINT[]))
+)
+"""
+
+
+@query(
+    "events_burst_intervals",
+    f"""
+WITH d AS (
+  SELECT event_type,
+         (epoch_us(ts) - (epoch_us(ts) % 86400000000)) // 86400000000 AS day
+  FROM events
+),
+span AS (SELECT min(day) AS dmin, max(day) AS dmax FROM d),
+c AS (
+  SELECT event_type, (day - dmin)::BIGINT AS idx, count(*)::BIGINT AS v
+  FROM d, span GROUP BY 1, 2
+),
+curves AS (
+  SELECT event_type,
+         list_transform(
+           generate_series(0, (SELECT (dmax - dmin)::INT FROM span)),
+           i -> coalesce(list_extract(map_extract(m, i::BIGINT), 1), 0::BIGINT)
+         ) AS arr
+  FROM (SELECT event_type, map(list(idx), list(v)) AS m FROM c GROUP BY 1)
+),
+consts AS (
+  SELECT event_type, arr, n_days, n_ev, {_BURST_CONSTS_SQL}
+  FROM (SELECT event_type, arr, len(arr)::BIGINT AS n_days,
+               list_sum(arr)::BIGINT AS n_ev
+        FROM curves)
+),
+vit AS (
+  SELECT event_type, n_days, n_ev,
+         ({_burst_duck_sql()}) AS res
+  FROM consts
+),
+path AS (
+  SELECT event_type, n_days, n_ev,
+         least(res[1], res[2])::BIGINT AS viterbi_cost_micro,
+         CASE WHEN res[1] <= res[2]
+              THEN res[4 : CAST(3 + res[3] AS INTEGER)]
+              ELSE res[CAST(4 + res[3] AS INTEGER)
+                       : CAST(3 + 2 * res[3] AS INTEGER)] END AS st
+  FROM vit
+)
+SELECT event_type, n_days, n_ev AS n_events,
+       list_sum(st)::BIGINT AS n_burst_days,
+       (st[1] + list_sum(list_transform(generate_series(2, CAST(n_days AS INTEGER)),
+            i -> CASE WHEN st[i] = 1 AND st[i - 1] = 0 THEN 1 ELSE 0 END)))::BIGINT
+         AS n_episodes,
+       viterbi_cost_micro
+FROM path
+""",
+)
+def events_burst_intervals(spark, sf_dir):
+    """Two-state burst detection per event type (Kleinberg 2002's
+    automaton in its discrete-time Poisson form): a base state at the
+    type's mean daily rate and a burst state at 3x, Poisson emission
+    costs, an ln(T) micro-nat penalty for ENTERING a burst, and the
+    exact Viterbi path over the dense daily-count series — reporting
+    burst-day and burst-episode counts plus the optimal cost.  The
+    principled version of 'spike if count > mean + 2 sigma': hysteresis
+    from the transition penalty means one quiet day inside a real burst
+    does NOT split the episode.
+
+    The whole Viterbi is IN-ROW and ALL-INTEGER (the DTW discipline):
+    both survivor paths fold through one array aggregate (2 costs + 2
+    int arrays), emission/transition constants land on the shared
+    micro-nat grid with tie nudges, and <= tie rules are shared text —
+    so the oracle certifies the exact state sequence, not a summary.
+    Scale: one (type, day) rollup; the DP is |types| rows x calendar
+    length, bounded by the calendar, never by event volume."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("event_type", _epoch_day("ts").alias("day"))
+    span = d.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    c = (
+        d.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            (F.col("day") - F.col("dmin")).cast("long").alias("idx"),
+            (F.col("dmax") - F.col("dmin")).cast("int").alias("span_days"),
+        )
+        .groupBy("event_type", "span_days", "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    curves = (
+        c.groupBy("event_type", "span_days")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("idx"), F.col("v")))
+            ).alias("m")
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "transform(sequence(0, span_days),"
+                " i -> coalesce(element_at(m, CAST(i AS BIGINT)),"
+                " CAST(0 AS BIGINT)))"
+            ).alias("arr"),
+        )
+    )
+    consts = curves.select(
+        "event_type",
+        "arr",
+        F.size("arr").cast("long").alias("n_days"),
+        F.aggregate(
+            F.col("arr"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_ev"),
+    ).select(
+        "event_type",
+        "arr",
+        "n_days",
+        "n_ev",
+        F.expr("CAST(round(n_ev * 1e6 / n_days + 1e-3) AS BIGINT)").alias("e0"),
+        F.expr(
+            "CAST(round(3 * n_ev * 1e6 / n_days + 1e-3) AS BIGINT)"
+        ).alias("e1"),
+        F.expr(
+            "CAST(round(ln(n_ev * 1.0 / n_days) * 1e6"
+            " + CASE WHEN n_ev >= n_days THEN 1e-3 ELSE -1e-3 END) AS BIGINT)"
+        ).alias("l0"),
+        F.expr(
+            "CAST(round(ln(3.0 * n_ev / n_days) * 1e6"
+            " + CASE WHEN 3 * n_ev >= n_days THEN 1e-3 ELSE -1e-3 END)"
+            " AS BIGINT)"
+        ).alias("l1"),
+        F.expr(
+            "CAST(round(ln(CAST(n_days AS DOUBLE)) * 1e6 + 1e-3) AS BIGINT)"
+        ).alias("g"),
+    )
+    vit = consts.select(
+        "event_type",
+        "n_days",
+        "n_ev",
+        F.expr(_BURST_SPARK).alias("res"),
+    )
+    st = F.col("res.st")
+    heads = F.slice(st, 1, (F.col("n_days") - 1).cast("int"))
+    tails = F.slice(st, 2, (F.col("n_days") - 1).cast("int"))
+    return vit.select(
+        "event_type",
+        "n_days",
+        F.col("n_ev").alias("n_events"),
+        F.aggregate(
+            st, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_burst_days"),
+        (
+            F.element_at(st, 1).cast("long")
+            + F.aggregate(
+                F.zip_with(
+                    heads,
+                    tails,
+                    lambda a, b: F.when((b == 1) & (a == 0), 1).otherwise(0),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+        ).alias("n_episodes"),
+        F.col("res.cost").cast("long").alias("viterbi_cost_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

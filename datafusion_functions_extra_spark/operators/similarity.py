@@ -344,12 +344,21 @@ def near_dup_components(
 
 
 def components_from_pairs(
-    nodes: DataFrame, pairs: DataFrame, max_iters: int = 20
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 20,
+    compress: bool = False,
 ) -> DataFrame:
     """(id, component) — connected components over an arbitrary
     (id_a, id_b) pair relation via the min-label-propagation loop
     described in :func:`near_dup_components` (which delegates here);
-    ``nodes`` must expose an ``id`` column covering every vertex."""
+    ``nodes`` must expose an ``id`` column covering every vertex.
+
+    ``compress=True`` adds a pointer-doubling step per round
+    (label <- label[label], one extra equi-join): plain neighbor-min
+    needs DIAMETER rounds, fine for the shallow near-dup cliques this
+    loop was built for, but a SPATIAL eps-graph forms long chains whose
+    diameter exceeds any fixed round budget — path compression makes
+    convergence O(log diameter), caught when spatial_dbscan at sf0.1
+    disagreed with the recursive-CTE oracle after 20 plain rounds."""
     # localCheckpoint (not just persist): every iteration references the
     # edge relation twice, and persist dedupes EXECUTION but still inlines
     # the whole candidate-generation logical subtree (~6 shuffles) at each
@@ -376,8 +385,25 @@ def components_from_pairs(
                     "label"
                 ),
             )
-            .persist()
         )
+        if compress:
+            # pointer doubling: every label IS a node id, so the lookup
+            # join is total; label[label] <= label by induction.  The
+            # self-join references the round's labels TWICE, which with
+            # lazy persist doubles the analyzed tree per round (2^5
+            # copies by the periodic checkpoint — measured 60s on a
+            # 55-node graph); truncate the lineage EVERY round instead.
+            base = new_labels.localCheckpoint(eager=True)
+            lab2 = base.select(
+                F.col("id").alias("lid"), F.col("label").alias("llabel")
+            )
+            new_labels = (
+                base.join(lab2, base.label == lab2.lid)
+                .select("id", F.least("label", "llabel").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

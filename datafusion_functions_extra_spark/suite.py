@@ -23176,6 +23176,143 @@ def events_burst_intervals(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# DBSCAN over the spatial points (grid-bucketed eps-neighborhoods)
+# ---------------------------------------------------------------------------
+
+_DBSCAN_LAMBDA = 2.5  # expected eps-neighbors per point (excl. self)
+_DBSCAN_MINPTS = 4  # including the point itself
+_DBSCAN_AREA = (2 * 20_000_000 + 1) ** 2  # spatial.WORLD_HALF world
+
+
+def _dbscan_eps(n_points: int) -> int:
+    """Density-scaled eps (the data-driven choice Ester et al. 1996
+    recommend over a fixed radius): eps^2 = lambda/pi * Area/N keeps
+    the expected neighbor count at _DBSCAN_LAMBDA at ANY scale factor,
+    so the core-core graph stays sub-percolated (a fixed eps either
+    starves the small SF or percolates the large one into a single
+    world-spanning pseudo-cluster whose CC diameter defeats any
+    bounded loop — observed at sf0.1 with eps = 1.5 degrees)."""
+    import math as m
+
+    return int(m.floor(m.sqrt(_DBSCAN_LAMBDA / 3.141592653589793 * _DBSCAN_AREA / n_points)))
+
+
+@query(
+    "spatial_dbscan",
+    f"""
+WITH RECURSIVE {_GEO_PTS_SQL},
+st AS (SELECT count(*)::BIGINT AS n FROM pts),
+ep AS (
+  SELECT CAST(floor(sqrt({_DBSCAN_LAMBDA} / 3.141592653589793
+                         * {_DBSCAN_AREA} / n)) AS BIGINT) AS eps
+  FROM st
+),
+nb AS MATERIALIZED (
+  SELECT a.pid AS pa, b.pid AS pb
+  FROM pts a JOIN pts b ON a.pid <> b.pid, ep
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon) <= ep.eps * ep.eps
+),
+deg AS (SELECT pa AS pid, count(*)::BIGINT AS n FROM nb GROUP BY 1),
+core AS MATERIALIZED (
+  SELECT pid FROM deg WHERE n + 1 >= {_DBSCAN_MINPTS}
+),
+ce AS MATERIALIZED (
+  SELECT nb.pa AS id_a, nb.pb AS id_b FROM nb
+  JOIN core ca ON ca.pid = nb.pa
+  JOIN core cb ON cb.pid = nb.pb
+),
+reach(id, root) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT e.id_b, r.root FROM reach r JOIN ce e ON e.id_a = r.id
+),
+comp AS (SELECT id AS pid, min(root) AS cluster FROM reach GROUP BY id),
+border AS (
+  SELECT nb.pa AS pid, min(comp.cluster) AS cluster
+  FROM nb JOIN comp ON comp.pid = nb.pb
+  WHERE nb.pa NOT IN (SELECT pid FROM core)
+  GROUP BY 1
+)
+SELECT p.pid,
+       CASE WHEN c.cluster IS NOT NULL THEN 'core'
+            WHEN b.cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(c.cluster, b.cluster) AS cluster
+FROM pts p
+LEFT JOIN comp c ON c.pid = p.pid
+LEFT JOIN border b ON b.pid = p.pid
+""",
+)
+def spatial_dbscan(spark, sf_dir):
+    """DBSCAN (Ester et al. 1996) over the synthetic point set, composed
+    entirely from the suite's scale primitives: density-scaled eps (the
+    expected neighbor count is pinned at {_DBSCAN_LAMBDA} per point at
+    any SF — see _dbscan_eps; a fixed radius percolated sf0.1 into one
+    world-spanning component whose CC diameter defeats any bounded
+    label loop), eps-neighborhoods from the grid-bucketed radius join
+    (3x3 cells, exact integer verify — never all-pairs), core points by
+    neighborhood size (>= {_DBSCAN_MINPTS} incl. self), clusters as
+    connected components of the core-core graph (components_from_pairs
+    with pointer-doubling compression), and border points adopting the
+    smallest neighboring core's cluster.  The density clusterer that
+    finds arbitrary-shape clusters AND labels noise — k-means can do
+    neither; on a geo table this is the venue/hotspot extractor.
+
+    The point count feeding eps is a driver-side metadata scalar (the
+    same class as the CC loop's convergence counts); at 100 TB it comes
+    from table statistics.  Oracle: brute-force neighborhoods +
+    recursive-CTE components — a hash match certifies the bucketing,
+    the eps formula AND the label propagation."""
+    from .operators.spatial import radius_candidates
+
+    pts = _spatial_points(spark, sf_dir).localCheckpoint(eager=True)
+    eps = _dbscan_eps(pts.count())
+    nb = (
+        radius_candidates(pts, eps)
+        .where((F.col("pa") != F.col("pb")) & (F.col("d2") <= eps * eps))
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    deg = nb.groupBy("pa").agg(F.count(F.lit(1)).alias("n"))
+    core = (
+        deg.where(F.col("n") + 1 >= _DBSCAN_MINPTS)
+        .select(F.col("pa").alias("pid"))
+        .localCheckpoint(eager=True)
+    )
+    ce = (
+        nb.join(core.select(F.col("pid").alias("pa")), "pa")
+        .join(core.select(F.col("pid").alias("pb")), "pb")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"))
+    )
+    comp = SIM.components_from_pairs(
+        core.select(F.col("pid").alias("id")), ce, compress=True
+    ).select(F.col("id").alias("pid"), F.col("component").alias("cluster"))
+    comp = persist_tracked(comp)
+    border = (
+        nb.join(core.select(F.col("pid").alias("pa")), "pa", "left_anti")
+        .join(comp.select(F.col("pid").alias("pb"), "cluster"), "pb")
+        .groupBy("pa")
+        .agg(F.min("cluster").alias("b_cluster"))
+        .select(F.col("pa").alias("pid"), "b_cluster")
+    )
+    return (
+        pts.select("pid")
+        .join(comp, "pid", "left")
+        .join(border, "pid", "left")
+        .select(
+            "pid",
+            F.when(F.col("cluster").isNotNull(), "core")
+            .when(F.col("b_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("cluster", "b_cluster").alias("cluster"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

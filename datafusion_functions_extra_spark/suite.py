@@ -23313,6 +23313,164 @@ def spatial_dbscan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Getis-Ord Gi* hotspot analysis over the cell grid
+# ---------------------------------------------------------------------------
+
+_GISTAR_CELL = 2_000_000  # 2-degree cells -> 21x21 grid over the world
+_GISTAR_GRID = (2 * 20_000_000) // _GISTAR_CELL + 1  # cells per axis
+
+
+@query(
+    "spatial_hotspots_gistar",
+    f"""
+WITH {_GEO_PTS_SQL},
+cnt AS (
+  SELECT (lon + 20000000) // {_GISTAR_CELL} AS cx,
+         (lat + 20000000) // {_GISTAR_CELL} AS cy,
+         count(*)::BIGINT AS c
+  FROM pts GROUP BY 1, 2
+),
+grid AS (
+  SELECT gx.x AS cx, gy.y AS cy, coalesce(cnt.c, 0)::BIGINT AS c
+  FROM (SELECT unnest(generate_series(0, {_GISTAR_GRID - 1})) AS x) gx
+  CROSS JOIN (SELECT unnest(generate_series(0, {_GISTAR_GRID - 1})) AS y) gy
+  LEFT JOIN cnt ON cnt.cx = gx.x AND cnt.cy = gy.y
+),
+st AS (
+  SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS sx,
+         sum(c * c)::BIGINT AS sxx
+  FROM grid
+),
+nbr AS (
+  SELECT g.cx, g.cy, sum(h.c)::BIGINT AS wsum, count(*)::BIGINT AS k
+  FROM grid g
+  JOIN grid h ON abs(g.cx - h.cx) <= 1 AND abs(g.cy - h.cy) <= 1
+  GROUP BY 1, 2
+),
+z AS (
+  SELECT g.cx, g.cy, g.c, nbr.wsum, nbr.k, st.n, st.sx, st.sxx,
+         (nbr.wsum - st.sx::DOUBLE * nbr.k / st.n)
+         / (sqrt(st.sxx::DOUBLE / st.n - (st.sx::DOUBLE / st.n) * (st.sx::DOUBLE / st.n))
+            * sqrt((st.n::DOUBLE * nbr.k - nbr.k::DOUBLE * nbr.k) / (st.n - 1)))
+           AS gi
+  FROM grid g JOIN nbr ON nbr.cx = g.cx AND nbr.cy = g.cy, st
+)
+SELECT cx, cy, c AS n_users, wsum AS neighborhood_users, k AS n_neighbors,
+       round(gi + CASE WHEN gi >= 0 THEN 1e-9 ELSE -1e-9 END, 6) AS gi_star,
+       (gi > 2.576) AS hot_99
+FROM z
+WHERE c > 0 OR gi > 2.576
+""",
+)
+def spatial_hotspots_gistar(spark, sf_dir):
+    """Getis-Ord Gi* hotspot statistic (Getis & Ord 1992) over the
+    2-degree cell grid: for every cell, the z-score of its 3x3
+    NEIGHBORHOOD total against the global mean — the spatial-statistics
+    complement to DBSCAN (DBSCAN finds where points clump; Gi* says
+    which clumps are STATISTICALLY hotter than chance, edge cells
+    correctly down-weighted through their smaller k).  The standard
+    crime/demand/risk hotspot map.
+
+    Plan: one cell count off the point projection, the DENSE grid from
+    two broadcast range relations ({_GISTAR_GRID}x{_GISTAR_GRID} —
+    world-bounded, never data-sized), neighbor sums via a 3x3 band
+    equi-join ON THE GRID (not on points), and one 1-row moment
+    join-back; every Gi* input (wsum, k, n, sums) is an exact integer,
+    doubles only in the final statistic with a sign-aware nudge."""
+    pts = _spatial_points(spark, sf_dir)
+    cnt = (
+        pts.select(
+            F.expr(f"(lon + 20000000) div {_GISTAR_CELL}").alias("cx"),
+            F.expr(f"(lat + 20000000) div {_GISTAR_CELL}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ax = spark.range(_GISTAR_GRID).select(F.col("id").alias("x"))
+    ay = spark.range(_GISTAR_GRID).select(F.col("id").alias("y"))
+    grid = (
+        ax.crossJoin(ay)
+        .join(
+            cnt,
+            (F.col("cx") == F.col("x")) & (F.col("cy") == F.col("y")),
+            "left",
+        )
+        .select(
+            F.col("x").alias("cx"),
+            F.col("y").alias("cy"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    st = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = grid.select(
+        F.col("cx").alias("hx"), F.col("cy").alias("hy"), F.col("c").alias("hc")
+    )
+    nbr = (
+        grid.select("cx", "cy", F.explode(offsets).alias("o"))
+        .select(
+            "cx",
+            "cy",
+            (F.col("cx") + F.col("o.dx")).alias("hx"),
+            (F.col("cy") + F.col("o.dy")).alias("hy"),
+        )
+        .join(probe, ["hx", "hy"])
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum("hc").cast("long").alias("wsum"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    k, wsum = F.col("k"), F.col("wsum")
+    gi = (wsum - sx.cast("double") * k / n) / (
+        F.sqrt(
+            sxx.cast("double") / n
+            - (sx.cast("double") / n) * (sx.cast("double") / n)
+        )
+        * F.sqrt(
+            (n.cast("double") * k - k.cast("double") * k) / (n - 1)
+        )
+    )
+    z = (
+        grid.join(nbr, ["cx", "cy"])
+        .crossJoin(F.broadcast(st))
+        .select(
+            "cx",
+            "cy",
+            F.col("c").alias("n_users"),
+            F.col("wsum").alias("neighborhood_users"),
+            F.col("k").alias("n_neighbors"),
+            gi.alias("gi"),
+        )
+    )
+    return z.where((F.col("n_users") > 0) | (F.col("gi") > 2.576)).select(
+        "cx",
+        "cy",
+        "n_users",
+        "neighborhood_users",
+        "n_neighbors",
+        F.round(
+            F.col("gi")
+            + F.when(F.col("gi") >= 0, F.lit(1e-9)).otherwise(F.lit(-1e-9)),
+            6,
+        ).alias("gi_star"),
+        (F.col("gi") > 2.576).alias("hot_99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -23471,6 +23471,131 @@ def spatial_hotspots_gistar(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# price / volume / joint revenue bridge
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "brand_price_volume_bridge",
+    f"""
+WITH pm AS (
+  SELECT brand, m, qty,
+         CAST(round(spend_c * 1e4 / qty + 1e-3) AS BIGINT) AS p_micro
+  FROM (
+    SELECT p.p_brand AS brand,
+           time_bucket(INTERVAL '1 month', CAST(o.o_orderdate AS TIMESTAMP)) AS m,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS spend_c,
+           sum(CAST(round(l.l_quantity) AS BIGINT))::BIGINT AS qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+  )
+),
+span AS (SELECT min(m) AS m0, max(m) AS m1 FROM pm),
+b AS (
+  SELECT p0.brand,
+         p0.p_micro AS p0, p0.qty AS q0,
+         p1.p_micro AS p1, p1.qty AS q1
+  FROM pm p0 JOIN pm p1 USING (brand), span
+  WHERE p0.m = span.m0 AND p1.m = span.m1
+)
+SELECT brand,
+       (p0::HUGEINT * q0)::BIGINT AS rev0_uq,
+       (p1::HUGEINT * q1)::BIGINT AS rev1_uq,
+       ((p1::HUGEINT * q1) - (p0::HUGEINT * q0))::BIGINT AS delta_uq,
+       (q0::HUGEINT * (p1 - p0))::BIGINT AS price_effect_uq,
+       (p0::HUGEINT * (q1 - q0))::BIGINT AS volume_effect_uq,
+       ((p1 - p0)::HUGEINT * (q1 - q0))::BIGINT AS joint_effect_uq,
+       round(((p1::HUGEINT * q1) - (p0::HUGEINT * q0))::DOUBLE / 1e6, 2)
+         AS delta_dollars
+FROM b
+""",
+)
+def brand_price_volume_bridge(spark, sf_dir):
+    """Price/volume/joint revenue bridge per brand between the first
+    and last month (the FP&A variance decomposition): with unit prices
+    on the integer micro-dollar grid (the price-index snap), the
+    revenue delta splits EXACTLY as q0*(p1-p0) [price effect] +
+    p0*(q1-q0) [volume effect] + (p1-p0)*(q1-q0) [joint], all 128-bit
+    integer products — the identity holds to the last unit by
+    construction (pinned in pytest), unlike float bridges that leak a
+    rounding residual the meeting then argues about.  The drill-down
+    behind brand_price_indices: the index says prices moved, the
+    bridge says which brands' price vs volume moved the money.
+
+    Plan: one (brand, month) aggregate, a 1-row span lookup, a
+    brand-keyed self-join of two month slices — domain-sized after the
+    first aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    pm = (
+        li.join(pt, "l_partkey")
+        .join(o, "l_orderkey")
+        .groupBy(
+            "brand", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_c"),
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("qty"),
+        )
+        .select(
+            "brand",
+            "m",
+            "qty",
+            F.round(F.col("spend_c") * 1e4 / F.col("qty") + F.lit(1e-3))
+            .cast("long")
+            .alias("p_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    span = pm.agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    p0 = (
+        pm.crossJoin(F.broadcast(span))
+        .where(F.col("m") == F.col("m0"))
+        .select("brand", F.col("p_micro").alias("p0"), F.col("qty").alias("q0"))
+    )
+    p1 = (
+        pm.crossJoin(F.broadcast(span))
+        .where(F.col("m") == F.col("m1"))
+        .select("brand", F.col("p_micro").alias("p1"), F.col("qty").alias("q1"))
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    b = p0.join(p1, "brand")
+    return b.select(
+        "brand",
+        (d38("p0") * F.col("q0")).cast("long").alias("rev0_uq"),
+        (d38("p1") * F.col("q1")).cast("long").alias("rev1_uq"),
+        (d38("p1") * F.col("q1") - d38("p0") * F.col("q0"))
+        .cast("long")
+        .alias("delta_uq"),
+        (d38("q0") * (F.col("p1") - F.col("p0")))
+        .cast("long")
+        .alias("price_effect_uq"),
+        (d38("p0") * (F.col("q1") - F.col("q0")))
+        .cast("long")
+        .alias("volume_effect_uq"),
+        ((F.col("p1") - F.col("p0")).cast("decimal(38,0)") * (F.col("q1") - F.col("q0")))
+        .cast("long")
+        .alias("joint_effect_uq"),
+        F.round(
+            (d38("p1") * F.col("q1") - d38("p0") * F.col("q0")).cast("double")
+            / 1e6,
+            2,
+        ).alias("delta_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -144,6 +144,8 @@ BNLJ_BOUNDED: dict[str, str] = {
     "brand_price_indices": _SCALAR + " (1-row base-month lookup)",
     "brand_price_volume_bridge": _SCALAR + " (1-row span lookup, x2 slices)",
     "spatial_hotspots_gistar": _SCALAR + " (1-row grid-moment join-back)",
+    "events_burst_intervals": _SCALAR
+    + " (1-row calendar-span lookup for the dense day grid)",
     "text_kneser_ney_logprob": _SCALAR + " (1-row ntypes join-back)",
     "events_uplift_qini": _SCALAR + " (decile-cutoff broadcast)",
     "brand_abc_xyz": _SCALAR + " (1-row revenue total join-back)",

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     asymmetric_near_dup_pairs,
+    hash60,
     minhash_signatures,
     near_dup_pairs_from_signatures,
 )
@@ -200,4 +201,87 @@ def streaming_postings(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def streaming_bottomk_sample(
+    docs: DataFrame,
+    id_col: str,
+    k: int = 16,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Stateful streaming uniform sample: maintain the k rows with the
+    SMALLEST md5 priority per hash shard across micro-batches
+    (deterministic bottom-k = a reproducible uniform-without-replacement
+    sample, the KMV idea as a sampler instead of a sketch).  Because an
+    append-mode stream cannot retract, the operator emits every row at
+    the moment it ENTERS its shard's running bottom-k — a bounded
+    superset (expected k * (1 + ln(n/k)) per shard) — and the exact
+    final sample is the global bottom-k OF THE EMITTED ROWS, one
+    ordinary batch selection at read time (pinned in
+    tests/test_r6n_bottomk.py against the all-data batch bottom-k).
+
+    State per shard is just the k current (priority, id) pairs; shards
+    spread the state store like any keyed aggregation.  The md5
+    priority is `hash60` verbatim, so the drained sample is bit-equal
+    to the batch sampler on the same files."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs.select(F.col(id_col).alias("__id")).withColumn(
+        "__shard", hash60(F.col("__id").cast("string")) % n_shards
+    )
+    out_schema = "shard long, id long, priority long"
+
+    def bottomk_fn(key, pdf_iter, state: GroupState):
+        (shard_id,) = key
+        if state.exists:
+            (pri_list, id_list) = state.get
+            best = list(zip(pri_list, id_list))
+        else:
+            best = []
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        entered = []
+        for doc_id in pdf["__id"]:
+            doc_id = int(doc_id)
+            pri = int(
+                hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16
+            )
+            cand = (pri, doc_id)
+            if len(best) < k:
+                best.append(cand)
+                best.sort()
+                entered.append(cand)
+            elif cand < best[-1] and cand not in best:
+                best.append(cand)
+                best.sort()
+                best = best[:k]
+                entered.append(cand)
+        state.update((
+            [p for p, _ in best],
+            [i for _, i in best],
+        ))
+        if entered:
+            yield pd.DataFrame(
+                {
+                    "shard": [int(shard_id)] * len(entered),
+                    "id": [i for _, i in entered],
+                    "priority": [p for p, _ in entered],
+                }
+            )
+
+    return (
+        keyed.groupBy("__shard")
+        .applyInPandasWithState(
+            bottomk_fn,
+            outputStructType=out_schema,
+            stateStructType="pri array<long>, ids array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

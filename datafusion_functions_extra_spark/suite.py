@@ -23596,6 +23596,150 @@ def brand_price_volume_bridge(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# k-distance curve (the DBSCAN eps diagnostic)
+# ---------------------------------------------------------------------------
+
+_KDIST_K = _DBSCAN_MINPTS - 1  # 3rd-NN distance decides core at minPts=4
+
+
+@query(
+    "spatial_kdist_curve",
+    f"""
+WITH {_GEO_PTS_SQL},
+st AS (SELECT count(*)::BIGINT AS n FROM pts),
+ep AS (
+  SELECT CAST(floor(sqrt({_DBSCAN_LAMBDA} / 3.141592653589793
+                         * {_DBSCAN_AREA} / n)) AS BIGINT) AS eps
+  FROM st
+),
+cand AS (
+  SELECT a.pid AS pa,
+         ((a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon))::BIGINT AS d2
+  FROM pts a JOIN pts b ON a.pid <> b.pid, ep
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon) <= 9 * ep.eps * ep.eps
+),
+kd AS (
+  SELECT pa, d2 FROM (
+    SELECT pa, d2, row_number() OVER (PARTITION BY pa ORDER BY d2, pa) AS rn
+    FROM cand
+  ) WHERE rn = {_KDIST_K}
+),
+cens AS (
+  SELECT (SELECT n FROM st) - count(*)::BIGINT AS n_censored,
+         count(*)::BIGINT AS n_measured
+  FROM kd
+),
+binned AS (
+  SELECT least(255, d2 * 256 // (9 * ep.eps * ep.eps + 1)) AS b,
+         count(*)::BIGINT AS c
+  FROM kd, ep GROUP BY 1
+),
+cum AS (
+  SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cc
+  FROM binned
+),
+q AS (
+  SELECT u.q::INT AS decile,
+         min(CASE WHEN cum.cc >= ((cens.n_measured - 1) * u.q // 10) + 1
+                  THEN cum.b END) AS bin
+  FROM cum, cens, (SELECT unnest(generate_series(0, 10)) AS q) u
+  GROUP BY 1
+)
+SELECT q.decile,
+       ((q.bin + 1) * (9 * ep.eps * ep.eps + 1) // 256)::BIGINT AS kdist2_bin_hi,
+       cens.n_measured, cens.n_censored
+FROM q, cens, ep
+""",
+)
+def spatial_kdist_curve(spark, sf_dir):
+    """k-distance curve (the eps-selection diagnostic Ester et al. 1996
+    prescribe BEFORE running DBSCAN): per point, the squared distance
+    to its {_KDIST_K}rd nearest neighbor within a 3x-eps search cap,
+    summarized as 11 deciles — the 'knee' of this curve is where eps
+    belongs, making spatial_dbscan's density-scaled choice inspectable
+    rather than asserted.  Points with fewer than {_KDIST_K} neighbors
+    inside the cap are reported as censored (they are the deep-noise
+    tail; an unbounded exact k-NN would be an all-pairs scan for
+    exactly the points that matter least).
+
+    Exactness: distances stay SQUARED integers (monotone-equivalent,
+    no sqrt in the data path), and each decile is the 256-bin
+    histogram's crossing bin UPPER EDGE with an explicit shared rank
+    formula (the price_quantiles_binned device) — an interpolated
+    quantile at 1e13 magnitudes diverged between engines by half a
+    unit, so the binned form is both the exact AND the mergeable one.
+    Plan: the grid-bucketed candidate join at 3x eps cell width, one
+    per-point rank window (partitioned), a 256-row cumulative window
+    (bin-bounded), an 11-row decile grid."""
+    from pyspark.sql import Window
+
+    pts = _spatial_points(spark, sf_dir).localCheckpoint(eager=True)
+    eps = _dbscan_eps(pts.count())
+    from .operators.spatial import radius_candidates
+
+    cand = radius_candidates(pts, 3 * eps).where(
+        (F.col("pa") != F.col("pb"))
+        & (F.col("d2") <= 9 * eps * eps)
+    )
+    w = Window.partitionBy("pa").orderBy(F.col("d2").asc(), F.col("pa").asc())
+    kd = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == _KDIST_K)
+        .select("pa", "d2")
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as _W
+
+    n_total = pts.count()
+    cens = kd.agg(
+        (F.lit(n_total) - F.count(F.lit(1))).cast("long").alias("n_censored"),
+        F.count(F.lit(1)).cast("long").alias("n_measured"),
+    )
+    span2 = 9 * eps * eps + 1
+    binned = (
+        kd.select(
+            F.least(F.lit(255), F.expr(f"d2 * 256 div {span2}")).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = binned.select(
+        "b",
+        F.sum("c")
+        .over(_W.orderBy("b").rowsBetween(_W.unboundedPreceding, 0))
+        .alias("cc"),
+    )
+    grid = spark.range(11).select(F.col("id").cast("int").alias("decile"))
+    q = (
+        cum.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(cens))
+        .groupBy("decile")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc")
+                    >= F.expr("((n_measured - 1) * decile div 10) + 1"),
+                    F.col("b"),
+                )
+            ).alias("bin")
+        )
+    )
+    return (
+        q.crossJoin(F.broadcast(cens))
+        .select(
+            "decile",
+            F.expr(f"CAST((bin + 1) * {span2} div 256 AS BIGINT)").alias(
+                "kdist2_bin_hi"
+            ),
+            "n_measured",
+            "n_censored",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -146,6 +146,8 @@ BNLJ_BOUNDED: dict[str, str] = {
     "spatial_hotspots_gistar": _SCALAR + " (1-row grid-moment join-back)",
     "events_burst_intervals": _SCALAR
     + " (1-row calendar-span lookup for the dense day grid)",
+    "spatial_kdist_curve": _SCALAR
+    + " (1-row censoring counts + 11-row decile grid join-backs)",
     "text_kneser_ney_logprob": _SCALAR + " (1-row ntypes join-back)",
     "events_uplift_qini": _SCALAR + " (decile-cutoff broadcast)",
     "brand_abc_xyz": _SCALAR + " (1-row revenue total join-back)",
@@ -310,6 +312,10 @@ UNPART_WINDOW_BOUNDED: dict[str, str] = {
     "brand_abc_xyz": (
         "cumulative revenue share over the ~25-row brand DOMAIN — "
         "catalog-bounded, never data-sized"
+    ),
+    "spatial_kdist_curve": (
+        "cumulative count over the 256-row k-distance histogram — "
+        "bin-bounded (the binned-percentile device)"
     ),
     "corpus_zipf_slope": "rank over the sort+limit(1000) head — 1000 rows",
     "docs_sorted_neighborhood_pairs": (

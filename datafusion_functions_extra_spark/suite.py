@@ -23740,6 +23740,137 @@ def spatial_kdist_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+_DELTA_PANEL = 32  # most-frequent-terms panel size
+
+
+@query(
+    "source_burrows_delta",
+    f"""
+WITH {_TOK_CTE},
+ts AS (
+  SELECT d.source, t.term, count(*)::BIGINT AS c
+  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+ns AS (SELECT source, sum(c)::BIGINT AS n FROM ts GROUP BY 1),
+panel AS MATERIALIZED (
+  SELECT term FROM (
+    SELECT term, sum(c) AS tc,
+           row_number() OVER (ORDER BY sum(c) DESC, term ASC) AS rn
+    FROM ts GROUP BY 1
+  ) WHERE rn <= {_DELTA_PANEL}
+),
+k AS (SELECT count(*)::BIGINT AS k FROM ns),
+fm AS MATERIALIZED (
+  SELECT ns.source, panel.term,
+         CAST(round(coalesce(ts.c, 0) * 1e6 / ns.n + 1e-3) AS BIGINT) AS fm
+  FROM ns CROSS JOIN panel
+  LEFT JOIN ts ON ts.source = ns.source AND ts.term = panel.term
+),
+sig AS MATERIALIZED (
+  SELECT term, sum(fm)::BIGINT AS s1, sum(fm * fm)::HUGEINT AS s2
+  FROM fm GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.term,
+         abs(a.fm - b.fm)::BIGINT AS adiff
+  FROM fm a JOIN fm b ON a.term = b.term AND a.source < b.source
+),
+terms AS (
+  SELECT p.source_a, p.source_b,
+         p.adiff::DOUBLE
+         / sqrt((k.k * sig.s2 - sig.s1::HUGEINT * sig.s1)::DOUBLE / (k.k * k.k))
+           AS zdiff
+  FROM pairs p JOIN sig ON sig.term = p.term, k
+  WHERE k.k * sig.s2 > sig.s1::HUGEINT * sig.s1
+)
+SELECT source_a, source_b,
+       count(*)::BIGINT AS n_terms,
+       {_r6n_sql("sum(zdiff) / count(*)")} AS burrows_delta
+FROM terms GROUP BY 1, 2
+""",
+)
+def source_burrows_delta(spark, sf_dir):
+    """Burrows' Delta (Burrows 2002) between every source pair: the
+    stylometry-standard distance — z-score each source's relative
+    frequency of the {_DELTA_PANEL} most frequent corpus terms (the
+    function-word panel, the same words text_stopword_discovery
+    surfaces) against the cross-source distribution, then average the
+    absolute z differences.  In a curation pipeline this is the
+    style-drift matrix: two crawls of the same template farm sit at
+    tiny Delta even when their topics (and so their Jaccard/cosine)
+    differ — the complement of content-based source_overlap_jaccard.
+
+    Exactness: relative frequencies snap to an integer per-million
+    grid (positive nudge), the per-term cross-source variance is a
+    128-bit integer expression, sqrt/division are correctly rounded
+    from exact integers, and only the final mean crosses r6n.
+    Constant-valued panel terms (zero variance) are excluded
+    identically on both sides.  Plan: one (source, term) rollup, a
+    TakeOrdered panel head, a dense |sources| x panel grid, and a
+    panel-sized pair join — domain-bounded after the first rollup."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.tokens("text")).alias("term"))
+    ts = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    ns = ts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    panel = (
+        ts.groupBy("term")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("term").asc())
+        .limit(_DELTA_PANEL)
+        .select("term")
+    )
+    kk = ns.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    fm = (
+        ns.crossJoin(F.broadcast(panel))
+        .join(ts, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)) * 1e6 / F.col("n")
+                + F.lit(1e-3)
+            )
+            .cast("long")
+            .alias("fm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig = fm.groupBy("term").agg(
+        F.sum("fm").cast("long").alias("s1"),
+        F.sum(F.col("fm").cast("decimal(38,0)") * F.col("fm")).alias("s2"),
+    )
+    a = fm.select(
+        F.col("source").alias("source_a"), "term", F.col("fm").alias("fa")
+    )
+    b = fm.select(
+        F.col("source").alias("source_b"), "term", F.col("fm").alias("fb")
+    )
+    pairs = a.join(b, "term").where(F.col("source_a") < F.col("source_b"))
+    kd = F.col("k").cast("decimal(38,0)")
+    var_num = (kd * F.col("s2") - F.col("s1").cast("decimal(38,0)") * F.col("s1"))
+    zdiff = F.abs(F.col("fa") - F.col("fb")).cast("double") / F.sqrt(
+        var_num.cast("double") / (F.col("k") * F.col("k")).cast("double")
+    )
+    terms = (
+        pairs.join(sig, "term")
+        .crossJoin(F.broadcast(kk))
+        .where(var_num > 0)
+        .select("source_a", "source_b", zdiff.alias("zdiff"))
+    )
+    return terms.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        _r6n(F.sum("zdiff") / F.count(F.lit(1))).alias("burrows_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

@@ -23871,6 +23871,158 @@ def source_burrows_delta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# cross-modal agreement: lexical Jaccard vs embedding cosine
+# ---------------------------------------------------------------------------
+
+_MODAL_PANEL = 32  # md5-priority doc panel -> 496 pairs
+
+
+@query(
+    "docs_modality_agreement",
+    f"""
+WITH sel AS MATERIALIZED (
+  SELECT doc_id, list_distinct({_TOKENS_SQL}) AS toks
+  FROM documents
+  QUALIFY row_number() OVER (
+    ORDER BY ('0x' || substr(md5('modal:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             doc_id) <= {_MODAL_PANEL}
+),
+vec AS MATERIALIZED (
+  SELECT e.vec_id AS doc_id,
+         list_transform(e.embedding, x -> x::DOUBLE) AS v
+  FROM embeddings e JOIN sel ON sel.doc_id = e.vec_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+         (len(a.toks) + len(b.toks)
+          - len(list_intersect(a.toks, b.toks)))::BIGINT AS uni
+  FROM sel a JOIN sel b ON a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(round(p.inter * 1e6 / p.uni + 1e-3) AS BIGINT) AS jac_micro,
+         CAST(round(round(
+             list_sum(list_transform(generate_series(1, {SIM.EMBEDDING_DIM}),
+                      i -> va.v[i] * vb.v[i]))
+             / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6)
+           * 1e6) AS BIGINT) AS cos_micro
+  FROM pairs p
+  JOIN vec va ON va.doc_id = p.id_a
+  JOIN vec vb ON vb.doc_id = p.id_b
+),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(jac_micro)::BIGINT AS sx, sum(cos_micro)::BIGINT AS sy,
+         sum(jac_micro::HUGEINT * cos_micro) AS sxy,
+         sum(jac_micro::HUGEINT * jac_micro) AS sxx,
+         sum(cos_micro::HUGEINT * cos_micro) AS syy
+  FROM scored
+)
+SELECT n AS n_pairs,
+       {_r6n_sql("(n * sxy - sx::HUGEINT * sy)::DOUBLE / (sqrt((n * sxx - sx::HUGEINT * sx)::DOUBLE) * sqrt((n * syy - sy::HUGEINT * sy)::DOUBLE))")}
+         AS pearson_r
+FROM m
+""",
+)
+def docs_modality_agreement(spark, sf_dir):
+    """Cross-modal agreement diagnostic: Pearson correlation between
+    lexical similarity (distinct-token Jaccard) and embedding cosine
+    over a deterministic 32-doc md5 panel (496 pairs) — the sanity
+    gate a curation pipeline runs before trusting SEMANTIC dedup
+    thresholds tuned on LEXICAL ground truth (SemDeDup assumes the two
+    modalities roughly agree; a near-zero r here says they do not, and
+    on this synthetic corpus it is an honest near-zero).  Eval-on-a-
+    sample by construction: the panel is fixed-size at any corpus
+    scale.
+
+    Exactness: Jaccard snaps to integer per-million from exact
+    intersection counts; the cosine goes through the house
+    round-before (6 dp) then the same micro grid; the correlation is
+    one 128-bit integer-moment row with doubles only in the final
+    ratio."""
+    from .operators.similarity import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    sel = (
+        d.select(
+            "doc_id",
+            F.array_distinct(TX.tokens("text")).alias("toks"),
+            hash60(
+                F.concat(F.lit("modal:"), F.col("doc_id").cast("string"))
+            ).alias("pri"),
+        )
+        .orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+        .limit(_MODAL_PANEL)
+        .drop("pri")
+        .localCheckpoint(eager=True)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = (
+        emb.join(
+            sel.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            SIM._as_double(F.col("embedding")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = sel.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = sel.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("inter"),
+            (
+                F.size("ta")
+                + F.size("tb")
+                - F.size(F.array_intersect("ta", "tb"))
+            )
+            .cast("long")
+            .alias("uni"),
+        )
+    )
+    va = vec.select(F.col("doc_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vec.select(F.col("doc_id").alias("id_b"), F.col("v").alias("vb"))
+    cosr = F.round(
+        SIM._dot(F.col("va"), F.col("vb"))
+        / (SIM._norm(F.col("va")) * SIM._norm(F.col("vb"))),
+        6,
+    )
+    scored = (
+        pairs.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .select(
+            F.round(F.col("inter") * 1e6 / F.col("uni") + F.lit(1e-3))
+            .cast("long")
+            .alias("jac_micro"),
+            F.round(cosr * 1e6).cast("long").alias("cos_micro"),
+        )
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("jac_micro").cast("long").alias("sx"),
+        F.sum("cos_micro").cast("long").alias("sy"),
+        F.sum(F.col("jac_micro").cast("decimal(38,0)") * F.col("cos_micro")).alias("sxy"),
+        F.sum(F.col("jac_micro").cast("decimal(38,0)") * F.col("jac_micro")).alias("sxx"),
+        F.sum(F.col("cos_micro").cast("decimal(38,0)") * F.col("cos_micro")).alias("syy"),
+    )
+    num = (d38("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((d38("n") * F.col("sxx") - d38("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((d38("n") * F.col("syy") - d38("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        _r6n(num / (dx * dy)).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

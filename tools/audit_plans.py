@@ -150,6 +150,8 @@ BNLJ_BOUNDED: dict[str, str] = {
     + " (1-row censoring counts + 11-row decile grid join-backs)",
     "source_burrows_delta": _SCALAR
     + " (1-row source-count k join-back; panel head is TakeOrdered)",
+    "docs_modality_agreement": _QUERYSET
+    + " (32-doc md5 panel crossJoin — fixed-size at any corpus scale)",
     "text_kneser_ney_logprob": _SCALAR + " (1-row ntypes join-back)",
     "events_uplift_qini": _SCALAR + " (decile-cutoff broadcast)",
     "brand_abc_xyz": _SCALAR + " (1-row revenue total join-back)",

@@ -40,8 +40,21 @@ def sample_expr(d: str, k: str) -> str:
 
 
 def _le_hex(col: Column, n_bytes: int) -> Column:
-    """Little-endian hex string of a non-negative integer column."""
-    be = F.lpad(F.hex(col.cast("long")), 2 * n_bytes, "0")
+    """Little-endian hex string of a non-negative integer column.
+
+    Guarded against field overflow: a value that needs more than
+    ``n_bytes`` bytes would otherwise have its most-significant hex
+    digits silently dropped by the ``lpad`` (producing a malformed RIFF
+    header).  All current callers are bounded far below their field
+    widths (n_samples <= 249 -> data_bytes <= 498 in 4 bytes; rate <=
+    16000 -> byte rate 32000 in 4 bytes), so the guard NULLs the output
+    only on corrupt inputs — failing loudly (NULL payload) instead of
+    emitting a plausible-looking broken container."""
+    v = col.cast("long")
+    in_range = v >= 0
+    if n_bytes < 8:  # 256**8 exceeds the long domain; longs always fit
+        in_range = in_range & (v < F.lit(256 ** n_bytes).cast("long"))
+    be = F.when(in_range, F.lpad(F.hex(v), 2 * n_bytes, "0"))
     return F.concat(
         *[
             F.substring(be, 2 * n_bytes - 2 * i - 1, 2)

@@ -253,7 +253,11 @@ def streaming_bottomk_sample(
                 hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16
             )
             cand = (pri, doc_id)
-            if len(best) < k:
+            # the membership guard applies to BOTH branches: without it a
+            # duplicated source key could occupy two state slots in the
+            # fill phase and be emitted twice, breaking the "global
+            # bottom-k of emitted rows == batch bottom-k" contract
+            if len(best) < k and cand not in best:
                 best.append(cand)
                 best.sort()
                 entered.append(cand)

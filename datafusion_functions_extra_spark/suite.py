@@ -5914,14 +5914,22 @@ def embedding_pca_two_components(spark, sf_dir):
         )
 
     start = F.array_repeat(F.lit(1.0 / dim ** 0.5), dim)
-    cur = mat.select("m", start.alias("w"))
-    for _ in range(PCA_ITERS):
-        cur = cur.select(
-            "m",
-            TX.bind_once(matvec(F.col("m"), F.col("w")), normalize).alias(
-                "w"
-            ),
-        )
+    # the whole 40-round chain folds into ONE F.aggregate over a literal
+    # 1..PCA_ITERS sequence: the lambda body (matvec + normalize) is a
+    # constant-size expression analyzed once, vs 40 stacked projections
+    # that Catalyst re-analyzed quadratically (the r05 shape cost ~6 s of
+    # driver-side analysis per chain; the fold runs in <1 s).  The
+    # per-step arithmetic (6-dp rounding trajectory) is unchanged, so the
+    # result is bit-identical to the unrolled form — verified against the
+    # same oracle hash.
+    cur = mat.select(
+        "m",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(PCA_ITERS)),
+            start,
+            lambda w, _t: TX.bind_once(matvec(F.col("m"), w), normalize),
+        ).alias("w"),
+    )
     # deflate: lam1 = rounded Rayleigh on the ORIGINAL matrix, then
     # C2 = C - lam1 * w1 w1^T with re-rounded entries
     ray = lambda mm, wv: F.aggregate(  # noqa: E731
@@ -5952,16 +5960,17 @@ def embedding_pca_two_components(spark, sf_dir):
     # chain's 40 projections each re-analyze the whole first chain plus
     # the deflation expression (one tiny nested-array row to checkpoint)
     cur = cur.localCheckpoint(eager=True)
-    cur = cur.select("m", "w", "m2", start.alias("w2"))
-    for _ in range(PCA_ITERS):
-        cur = cur.select(
-            "m",
-            "w",
-            "m2",
-            TX.bind_once(matvec(F.col("m2"), F.col("w2")), normalize).alias(
-                "w2"
-            ),
-        )
+    # second chain: same constant-depth fold, over the deflated matrix
+    cur = cur.select(
+        "m",
+        "w",
+        "m2",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(PCA_ITERS)),
+            start,
+            lambda w2, _t: TX.bind_once(matvec(F.col("m2"), w2), normalize),
+        ).alias("w2"),
+    )
     # the two component output branches both read this one-row relation
     # — materialize so the second chain runs once, not per branch
     cur = cur.localCheckpoint(eager=True)
@@ -6078,16 +6087,19 @@ def embedding_pca_top_component(spark, sf_dir):
             lambda nv: F.transform(u, lambda x: _r6n(x / nv)),
         )
 
-    # one stacked projection per iteration: a single 40-deep nested lambda
-    # expression exceeds the analyzer's fixed-point resolution budget
-    # ("Max iterations (100) reached for batch Resolution"), while each
-    # projection resolves its own shallow expression independently
-    cur = mat.select("m", F.array_repeat(F.lit(1.0 / dim ** 0.5), dim).alias("w"))
-    for _ in range(PCA_ITERS):
-        cur = cur.select(
-            "m",
-            TX.bind_once(matvec(F.col("m"), F.col("w")), normalize).alias("w"),
-        )
+    # the whole 40-round chain folds into ONE F.aggregate over a literal
+    # 1..PCA_ITERS sequence (constant-size lambda analyzed once), instead
+    # of 40 stacked projections whose cumulative re-analysis cost several
+    # seconds of pure driver time.  Same per-step 6-dp arithmetic, so the
+    # trajectory and oracle hash are bit-identical to the unrolled form.
+    cur = mat.select(
+        "m",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(PCA_ITERS)),
+            F.array_repeat(F.lit(1.0 / dim ** 0.5), dim),
+            lambda w, _t: TX.bind_once(matvec(F.col("m"), w), normalize),
+        ).alias("w"),
+    )
 
     def finish(wv):
         sign = F.when(F.element_at(wv, 1) < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
@@ -21129,13 +21141,16 @@ def event_value_brown_forsythe(spark, sf_dir):
     s = z.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("z").cast("long").alias("s1"),
-        F.sum(F.col("z") * F.col("z")).cast("long").alias("s2"),
+        # decimal(38,0) matches the oracle's HUGEINT: a 64-bit long sum of
+        # z^2 can overflow at large scale factors (ANSI error or silent
+        # wrap) where the 128-bit accumulation stays exact
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("s2"),
     )
     t = s.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("n"),
         F.sum("s1").cast("long").alias("s1"),
-        F.sum("s2").cast("long").alias("s2"),
+        F.sum("s2").alias("s2"),
         F.sum(
             F.col("s1").cast("decimal(38,0)") * F.col("s1") / F.col("n")
         ).alias("fit"),
@@ -24034,76 +24049,101 @@ def docs_modality_agreement(spark, sf_dir):
 #: rows so the window keeps advancing until every query has seen the
 #: hard signal.
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # hash-green union of CORRECTNESS_r01..r04.json (145 queries).
-    # Regenerated each round from the driver files themselves (r05 fix:
-    # the hand-maintained r01 list wrongly included events_tumbling_hourly
-    # and events_sessionization, which were r01 RED from the TIMESTAMP
-    # NANOS reader bug — now correctly excluded so they rotate forward).
+    # hash-green union of CORRECTNESS_r01..r05.json (195 queries),
+    # regenerated each round from the driver files themselves:
+    #   python3 -c "import json,glob; print(sorted(set().union(*[
+    #     {k for k,v in json.load(open(f)).items() if v['hash_match']}
+    #     for f in glob.glob('CORRECTNESS_r0*.json')])))"
     "asof_nearest_purchase_to_view", "asof_next_error_after_purchase",
-    "asof_purchase_attribution", "brand_supplier_reach",
-    "corpus_clean_pipeline", "corpus_quality_filter", "corpus_token_budget",
-    "corpus_token_entropy", "customer_balance_deciles",
-    "customers_without_orders", "dedup_exact_kept_rows",
-    "dedup_exact_stats", "docs_chunks", "docs_cross_snapshot_dedup",
-    "docs_decontaminated", "docs_dsir_importance",
-    "docs_dup_ngram_coverage", "docs_dup_token_spans",
-    "docs_fuzzy_decontaminated", "docs_k_anonymity",
-    "docs_leakage_safe_split", "docs_sentence_dedup",
-    "docs_sequence_packing", "docs_snapshot_diff", "docs_source_cap_sample",
-    "docs_stratified_sample", "docs_temperature_mixture",
+    "asof_purchase_attribution", "best_supplier_per_brand",
+    "brand_basket_lift", "brand_supplier_reach", "brand_value_share_q11",
+    "corpus_clean_pipeline", "corpus_curriculum_phases",
+    "corpus_heaps_curve", "corpus_quality_filter", "corpus_token_budget",
+    "corpus_token_entropy", "corpus_unimax_allocation",
+    "corpus_zipf_slope", "customer_balance_deciles",
+    "customer_order_count_distribution", "customers_without_orders",
+    "dedup_exact_kept_rows", "dedup_exact_stats", "docs_chunks",
+    "docs_cross_snapshot_dedup", "docs_decontaminated",
+    "docs_dsir_importance", "docs_dup_ngram_coverage",
+    "docs_dup_token_spans", "docs_fuzzy_decontaminated",
+    "docs_gopher_rules", "docs_k_anonymity", "docs_l_diversity",
+    "docs_leakage_safe_split", "docs_perplexity_prune",
+    "docs_sentence_dedup", "docs_sentence_dedup_rebuild",
+    "docs_sequence_packing", "docs_snapshot_diff",
+    "docs_source_cap_sample", "docs_stratified_sample",
+    "docs_streaming_dedup", "docs_temperature_mixture",
     "docs_train_test_split_counts", "docs_weighted_reservoir",
     "docs_weighted_sample", "documents_profile",
-    "edit_distance_verified_pairs", "embedding_ann_topk",
-    "embedding_cosine_topk", "embedding_hard_negatives",
-    "embedding_int8_quant", "embedding_ivf_topk",
-    "embedding_kmeans_clusters", "embedding_matryoshka_topk",
-    "embedding_near_dup_pairs", "embedding_prototype_confusion",
-    "embedding_semdedup", "embedding_standardize", "events_anomaly_zscore",
+    "edit_distance_verified_pairs", "embedding_ann_multiprobe_topk",
+    "embedding_ann_recall", "embedding_ann_topk", "embedding_cosine_topk",
+    "embedding_hard_negatives", "embedding_int8_quant",
+    "embedding_ivf_topk", "embedding_kmeans_clusters",
+    "embedding_matryoshka_topk", "embedding_near_dup_pairs",
+    "embedding_pca_top_component", "embedding_pca_two_components",
+    "embedding_prototype_confusion", "embedding_semdedup",
+    "embedding_standardize", "events_anomaly_zscore",
     "events_cdc_latest_state", "events_cube_counts", "events_ewma",
-    "events_funnel_conversion", "events_gap_fill", "events_hourly_heatmap",
-    "events_join_size_estimate", "events_moving_avg",
-    "events_new_users_daily", "events_pii_scrub", "events_props_json",
-    "events_robust_zscore_mad", "events_scd2_intervals",
-    "events_session_window_native", "events_sliding_windows",
-    "events_streaming_sessions", "events_type_transitions",
-    "events_user_trend", "events_value_histogram", "events_window_dedup",
-    "events_zorder_keys", "flagship_lineitem_profile", "hll_users_by_type",
-    "kurtosis_events_by_type", "kurtosis_pop_by_linestatus",
-    "kurtosis_pop_quantity_global", "kurtosis_totalprice_global",
-    "lang_id_confusion", "lang_id_kappa", "lineitem_pricing_summary",
-    "lineitem_rollup_totals", "lineitem_small_quantity_revenue",
-    "lineitem_status_priority_counts", "lineitem_winsorized_stats",
-    "max_by_customer_global", "max_by_orders_by_priority",
-    "max_by_part_by_brand", "min_by_lineitem_by_returnflag",
-    "min_by_supplier_global", "mode_events_ts_by_type",
-    "mode_events_value_global", "mode_linenumber_by_returnflag",
-    "mode_mktsegment_by_nation", "mode_orderdate_by_priority",
-    "mode_quantity_global", "mode_returnflag_global",
-    "mode_shipdate_by_linestatus", "multimodal_decode_meta",
-    "multimodal_frame_samples", "multimodal_png_dims",
-    "multimodal_sniff_stats", "near_dup_clusters", "near_dup_components",
+    "events_funnel_conversion", "events_gap_fill",
+    "events_hourly_heatmap", "events_join_size_estimate",
+    "events_moving_avg", "events_multi_touch_attribution",
+    "events_new_users_daily", "events_ohlc_bars", "events_pii_scrub",
+    "events_props_json", "events_robust_zscore_mad",
+    "events_rolling_distinct_users", "events_scd2_intervals",
+    "events_session_top_paths", "events_session_window_native",
+    "events_sessionization", "events_sliding_windows",
+    "events_streaming_cms", "events_streaming_hll",
+    "events_streaming_interval_join", "events_streaming_moments",
+    "events_streaming_sessions", "events_streaming_sliding",
+    "events_streaming_tumbling", "events_tumbling_hourly",
+    "events_type_transitions", "events_user_trend",
+    "events_value_histogram", "events_window_dedup", "events_zorder_keys",
+    "flagship_lineitem_profile", "forecast_revenue_change",
+    "hll_users_by_type", "hybrid_rrf_topk", "kurtosis_events_by_type",
+    "kurtosis_pop_by_linestatus", "kurtosis_pop_quantity_global",
+    "kurtosis_totalprice_global", "lang_id_confusion", "lang_id_kappa",
+    "lineitem_pricing_summary", "lineitem_rollup_totals",
+    "lineitem_small_quantity_revenue", "lineitem_status_priority_counts",
+    "lineitem_winsorized_stats", "max_by_customer_global",
+    "max_by_orders_by_priority", "max_by_part_by_brand",
+    "min_by_lineitem_by_returnflag", "min_by_supplier_global",
+    "mode_events_ts_by_type", "mode_events_value_global",
+    "mode_linenumber_by_returnflag", "mode_mktsegment_by_nation",
+    "mode_orderdate_by_priority", "mode_quantity_global",
+    "mode_returnflag_global", "mode_shipdate_by_linestatus",
+    "multimodal_decode_meta", "multimodal_frame_samples",
+    "multimodal_png_dims", "multimodal_sniff_stats",
+    "nation_market_share", "near_dup_clusters", "near_dup_components",
     "near_dup_degree_hist", "near_dup_eval_metrics",
-    "near_dup_incremental_pairs", "near_dup_pairs", "near_dup_pairs_staged",
-    "near_dup_rate_by_source", "ngram_containment_pairs",
-    "ngram_jaccard_pairs", "orders_bloom_semi_probe",
+    "near_dup_incremental_pairs", "near_dup_pagerank", "near_dup_pairs",
+    "near_dup_pairs_staged", "near_dup_rate_by_source",
+    "near_dup_threshold_curve", "near_dup_triangles",
+    "ngram_containment_pairs", "ngram_jaccard_pairs",
+    "orders_active_daily", "orders_bloom_semi_probe",
     "orders_large_volume_customers", "orders_pivot_status",
     "orders_priority_late_ship", "orders_revenue_growth_mom",
-    "parts_promo_revenue", "price_quantiles_binned",
-    "price_quantiles_by_returnflag", "promo_revenue_share",
-    "quality_calibration_bins", "range_join_errors_in_purchase_sessions",
-    "regional_local_supplier_revenue", "revenue_by_region_nation",
-    "rich_customers_without_orders", "salted_join_revenue_by_segment",
+    "orders_ship_latency_percentiles", "parts_name_matches",
+    "parts_pareto_frontier", "parts_promo_revenue",
+    "prefix_filter_jaccard_pairs", "price_quantiles_binned",
+    "price_quantiles_by_returnflag", "profit_by_nation_year",
+    "promo_revenue_share", "quality_calibration_bins",
+    "range_join_errors_in_purchase_sessions",
+    "regional_local_supplier_revenue", "returned_item_customer_revenue",
+    "revenue_by_region_nation", "rich_customers_without_orders",
+    "salted_join_revenue_by_segment", "sessions_incident_overlap",
     "simhash_fingerprints", "simhash_near_dup_pairs",
     "simhash_near_dup_pairs_staged", "skewness_by_returnflag",
     "skewness_extendedprice_global", "source_lang_kl_drift",
-    "source_overlap_jaccard", "stats_profile_by_returnflag",
-    "suppliers_with_returned_items", "text_bigram_logprob",
+    "source_length_psi", "source_overlap_jaccard",
+    "stats_profile_by_returnflag", "suppliers_dominant_part_share_q20",
+    "suppliers_sole_return_blame", "suppliers_with_returned_items",
+    "text_bigram_logprob", "text_bm25_topk", "text_encoding_anomalies",
     "text_fingerprints", "text_lang_id", "text_oov_rate",
     "text_pmi_collocations", "text_quality_scores",
     "text_repetition_scores", "text_tfidf_top_terms", "text_token_counts",
     "text_top_terms", "text_unigram_logprob", "text_vocabulary",
-    "token_cms_estimates", "top_building_orders", "top_orders_per_segment",
-    "user_cohort_retention"
+    "token_cms_estimates", "top_building_orders",
+    "top_orders_per_segment", "top_revenue_suppliers",
+    "user_cohort_retention", "volume_shipping_nation_pairs"
 })
 
 

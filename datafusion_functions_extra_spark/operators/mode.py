@@ -49,7 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SUPPORTED = (
+_SUPPORTED: tuple[type, ...] = (
     T.ByteType,
     T.ShortType,
     T.IntegerType,
@@ -61,6 +61,13 @@ _SUPPORTED = (
     T.TimestampType,
     T.TimestampNTZType,
 )
+
+# Spark 4.0+ has a native TIME type, closing the reference's
+# Time32/Time64 dispatch rows (src/mode.rs:151-170) natively; on older
+# Spark those columns arrive as bigint nanos-of-day and are covered by
+# the LongType row above.
+if hasattr(T, "TimeType"):  # pragma: no branch — pyspark >= 4.0 here
+    _SUPPORTED = _SUPPORTED + (T.TimeType,)
 
 
 def _check_type(df: DataFrame, value: str) -> None:

@@ -62,16 +62,18 @@ def curate_corpus(
     os.makedirs(out_dir, exist_ok=True)
     funnel: list[tuple[str, int, int]] = []
 
-    def stage(name: str, df_in: DataFrame, df_out: DataFrame) -> DataFrame:
-        n_in, n_out = df_in.count(), df_out.count()
-        funnel.append((name, n_in, n_out))
+    # each stage's input IS the previous stage's output, so its count is
+    # carried forward instead of re-executing the input lineage (the
+    # recount doubled every stage's cost for a number already in hand)
+    def stage(name: str, n_in: int, df_out: DataFrame) -> DataFrame:
+        funnel.append((name, n_in, df_out.count()))
         return df_out
 
     # 1. quality + language gate (pure expression tree, fused into scan)
     scored = docs.withColumn("__q", TX.quality_score(c.text_col))
     kept = stage(
         "quality_language_filter",
-        docs,
+        docs.count(),
         scored.where(
             (F.col("__q") >= c.min_quality)
             & F.col("lang").isin(list(c.languages))
@@ -79,7 +81,9 @@ def curate_corpus(
     )
 
     # 2. exact dedup (content-hash groupBy, min-id keep)
-    kept = stage("exact_dedup", kept, DD.exact_dedup(kept, c.text_col, c.id_col))
+    kept = stage(
+        "exact_dedup", funnel[-1][2], DD.exact_dedup(kept, c.text_col, c.id_col)
+    )
     kept.write.mode("overwrite").parquet(os.path.join(out_dir, "exact_dedup.parquet"))
     kept = spark.read.parquet(os.path.join(out_dir, "exact_dedup.parquet"))
 
@@ -96,7 +100,24 @@ def curate_corpus(
         sigs, c.id_col, threshold=c.near_dup_threshold
     )
     drop_near = pairs.select(F.col("id_b").alias(c.id_col)).distinct()
-    kept = stage("near_dup_dedup", kept, kept.join(drop_near, c.id_col, "left_anti"))
+    # materialize each survivor set ONCE (eager localCheckpoint) before
+    # its funnel count: stages 4 and 5 both re-read the stage-3 survivors
+    # (and 5 re-reads 4's), so without truncation every count and join
+    # re-executes the whole upstream anti-join lineage
+    kept = stage(
+        "near_dup_dedup",
+        funnel[-1][2],
+        kept.join(drop_near, c.id_col, "left_anti").localCheckpoint(
+            eager=True
+        ),
+    )
+
+    # signatures are deterministic per document, so every later stage
+    # that needs signatures of a SURVIVOR SUBSET reads the stage table
+    # filtered by id instead of re-fingerprinting raw text — identical
+    # values, columnar-read cost
+    def surviving_sigs(surv: DataFrame) -> DataFrame:
+        return sigs.join(surv.select(c.id_col), c.id_col)
 
     # 4. benchmark decontamination: exact n-gram screen + fuzzy near-dup
     if bench is not None:
@@ -104,7 +125,7 @@ def curate_corpus(
             kept, bench, text_col=c.text_col, id_col=c.id_col
         ).where(F.col("n_bench_hits") >= c.decontam_min_hits)
         fuzzy_hits = SIM.asymmetric_near_dup_pairs(
-            SIM.minhash_signatures(kept, c.text_col, c.id_col, materialize=True),
+            surviving_sigs(kept),
             SIM.minhash_signatures(bench, c.text_col, c.id_col),
             c.id_col,
             threshold=c.fuzzy_decontam_threshold,
@@ -113,15 +134,34 @@ def curate_corpus(
             exact_hits.select(c.id_col).unionByName(fuzzy_hits).distinct()
         )
         kept = stage(
-            "decontamination", kept, kept.join(contaminated, c.id_col, "left_anti")
+            "decontamination",
+            funnel[-1][2],
+            kept.join(contaminated, c.id_col, "left_anti").localCheckpoint(
+                eager=True
+            ),
         )
 
     # 5. leakage-safe split on the SURVIVING corpus (near-dup components
     # of the curated set; exact dups are already gone, so components are
-    # the residual sub-threshold neighborhoods)
-    split = SIM.leakage_safe_split(
-        kept, c.text_col, c.id_col, threshold=c.near_dup_threshold
-    ).select(c.id_col, "split")
+    # the residual sub-threshold neighborhoods).  Pairs come from the
+    # signature stage filtered to survivors — bit-identical to
+    # leakage_safe_split's re-fingerprinting form (per-doc signatures
+    # don't depend on the rest of the corpus), minus the second corpus
+    # fingerprint pass.
+    surv_pairs = SIM.near_dup_pairs_from_signatures(
+        surviving_sigs(kept), c.id_col, threshold=c.near_dup_threshold
+    ).select("id_a", "id_b")
+    comp = SIM.components_from_pairs(
+        kept.select(F.col(c.id_col).alias("id")), surv_pairs
+    )
+    h = SIM.hash60(F.col("component").cast("string")) % 100
+    split = comp.select(
+        F.col("id").alias(c.id_col),
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
     curated = kept.join(split, c.id_col)
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "curated.parquet"))
     curated = spark.read.parquet(os.path.join(out_dir, "curated.parquet"))

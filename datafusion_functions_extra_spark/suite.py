@@ -24038,6 +24038,200 @@ def docs_modality_agreement(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# end-to-end curation pipeline ON the signature stage (pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+def _curation_out_dir(sf_dir: str) -> str:
+    """Per-SF, per-corpus-snapshot scratch dir for the curation pipeline's
+    stage artifacts (exact-dedup parquet, signature stage, curated corpus,
+    funnel report).  The snapshot token (size+mtime of documents.parquet)
+    in the path invalidates every stage artifact — including the
+    ``ensure_signatures_table`` stage keyed on its fixed ``curate-v1``
+    token — when the testdata is regenerated."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return (
+        f"/tmp/spark_graft_stage/{base}/curation-{st.st_size}-{st.st_mtime_ns}"
+    )
+
+
+def _curation_funnel_oracle_sql() -> str:
+    """DuckDB replay of every ``curate_corpus`` stage over the same
+    train/bench split, reduced to the funnel counts the report carries.
+    Stage math shares its fragments with the already-pinned standalone
+    oracles: the quality/lang/exact-dedup head is corpus_clean_pipeline's,
+    the within-corpus near-dup drop is near_dup_pairs_staged's sig+bands
+    chain, the exact 5-gram screen is docs_decontaminated's, and the
+    fuzzy screen embeds asymmetric_near_dup_oracle_sql verbatim."""
+    quality = (
+        "0.3 * least(1.0, length(norm)::DOUBLE / 500.0)"
+        " + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)"
+        " + 0.3 * (1.0 - least(1.0,"
+        f" abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE"
+        " / len(toks)::DOUBLE - 0.4) / 0.6))"
+    )
+    n = DECON.DECONTAM_NGRAM
+    gram_expr = (
+        f"CASE WHEN len(toks) >= {n}"
+        f" THEN list_transform(generate_series(1, len(toks) - {n - 1}),"
+        f" i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+        " ELSE [norm] END"
+    )
+    eq_terms = f"""list_sum(list_transform(generate_series(1, {SIM.MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"""
+    # fuzzy-decontamination chain with fz_-prefixed CTE names (the
+    # generated asymmetric oracle's names would shadow the outer
+    # sig/bands/cand chain, which DuckDB's binder rejects)
+    perm_exprs = ", ".join(
+        f"list_min(list_transform(base, x -> ({a} * x + {b})"
+        f" % {SIM.MERSENNE_P}))"
+        for a, b in SIM.MINHASH_PERMS
+    )
+    fz_band_selects = " UNION ALL ".join(
+        f"SELECT id, side, {b} AS band_id, "
+        f"array_to_string(sig[{b * SIM.LSH_ROWS + 1}:"
+        f"{(b + 1) * SIM.LSH_ROWS}], ',') AS band_key "
+        f"FROM fz_sigs"
+        for b in range(SIM.LSH_BANDS)
+    )
+    fz_eq = f"""list_sum(list_transform(generate_series(1, {SIM.MINHASH_K}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"""
+    fuzzy_ctes = f"""
+fz_raw AS (
+  SELECT d.doc_id AS id, 0 AS side, d.text
+  FROM documents d JOIN s3 USING (doc_id)
+  UNION ALL
+  SELECT doc_id AS id, 1 AS side, text FROM documents WHERE {_BENCH_PRED}
+),
+fz_t AS (SELECT id, side, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks
+         FROM fz_raw),
+fz_sh AS (
+  SELECT id, side,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [norm] END AS shingles
+  FROM fz_t
+),
+fz_based AS (
+  SELECT id, side,
+         list_transform(shingles,
+                        s -> {SIM._hash60_sql('s')} % {SIM.MERSENNE_P}) AS base
+  FROM fz_sh
+),
+fz_sigs AS (SELECT id, side, [{perm_exprs}] AS sig FROM fz_based),
+fz_bands AS ({fz_band_selects}),
+fz_cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM fz_bands a JOIN fz_bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.side = 0 AND b.side = 1
+  GROUP BY 1, 2
+)"""
+    return f"""
+WITH tr0 AS (
+  SELECT doc_id, lang, text, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks
+  FROM documents WHERE NOT ({_BENCH_PRED})
+),
+s1 AS (
+  SELECT doc_id, norm FROM tr0
+  WHERE ({quality}) >= 0.5 AND lang = 'en'
+),
+keep AS (SELECT md5(norm) AS k, min(doc_id) AS doc_id FROM s1 GROUP BY 1),
+s2 AS (SELECT doc_id FROM keep),
+s2t AS (SELECT d.doc_id, d.text FROM documents d JOIN s2 USING (doc_id)),
+{SIM._sig_cte(table="s2t")},
+{SIM._bands_cte()},
+drop_nd AS (
+  SELECT DISTINCT cand.id_b AS doc_id
+  FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE {eq_terms}::DOUBLE / {SIM.MINHASH_K}.0 >= 0.5
+),
+s3 AS (
+  SELECT doc_id FROM s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM drop_nd)
+),
+dec_sh AS (
+  SELECT doc_id, {gram_expr} AS grams FROM (
+    SELECT d.doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks
+    FROM documents d JOIN s3 USING (doc_id)
+  )
+),
+ben_g AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM (
+    SELECT {gram_expr} AS grams FROM (
+      SELECT {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks
+      FROM documents WHERE {_BENCH_PRED}
+    )
+  )
+),
+exact_hit AS (
+  SELECT DISTINCT dg.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM dec_sh) dg
+  JOIN ben_g USING (gram)
+),
+{fuzzy_ctes},
+fz AS (
+  SELECT DISTINCT fz_cand.id_a AS doc_id
+  FROM fz_cand
+  JOIN fz_sigs sa ON sa.id = fz_cand.id_a AND sa.side = 0
+  JOIN fz_sigs sb ON sb.id = fz_cand.id_b AND sb.side = 1
+  WHERE {fz_eq}::DOUBLE / {SIM.MINHASH_K}.0 >= 0.5
+),
+contaminated AS (
+  SELECT doc_id FROM exact_hit UNION SELECT doc_id FROM fz
+),
+s4 AS (
+  SELECT doc_id FROM s3
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+c0 AS (SELECT count(*)::BIGINT AS n FROM tr0),
+c1 AS (SELECT count(*)::BIGINT AS n FROM s1),
+c2 AS (SELECT count(*)::BIGINT AS n FROM s2),
+c3 AS (SELECT count(*)::BIGINT AS n FROM s3),
+c4 AS (SELECT count(*)::BIGINT AS n FROM s4)
+SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+  SELECT 'quality_language_filter' AS stage,
+         (SELECT n FROM c0) AS n_in, (SELECT n FROM c1) AS n_out
+  UNION ALL SELECT 'exact_dedup', (SELECT n FROM c1), (SELECT n FROM c2)
+  UNION ALL SELECT 'near_dup_dedup', (SELECT n FROM c2), (SELECT n FROM c3)
+  UNION ALL SELECT 'decontamination', (SELECT n FROM c3), (SELECT n FROM c4)
+  UNION ALL SELECT 'split_and_write', (SELECT n FROM c4), (SELECT n FROM c4)
+)
+"""
+
+
+@query("corpus_curation_funnel", _curation_funnel_oracle_sql())
+def corpus_curation_funnel(spark, sf_dir):
+    """The full ``pipeline.curate_corpus`` composition run END-TO-END on
+    the persistent signature stage — quality/lang gate -> exact dedup ->
+    staged MinHash-LSH near-dup dedup (``ensure_signatures_table`` built
+    once per corpus snapshot, probed for within-corpus pairs) -> exact
+    5-gram + fuzzy MinHash benchmark decontamination -> leakage-safe
+    component split -> curated parquet — returning the per-stage funnel
+    report ``(stage, n_in, n_out, n_dropped)``.
+
+    This is the 100 TB composition itself in the oracle lane: every
+    stage communicates via parquet artifacts under a snapshot-token
+    scratch dir, the near-dup stage reads columnar signatures instead of
+    re-fingerprinting text, and the oracle replays all five stages in
+    one DuckDB statement, so a hash match certifies the composed
+    pipeline, not just its parts.  Counts are aggregates — the driver
+    collects five rows, never documents."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.expr(_BENCH_PRED))
+    train = d.where(~F.expr(_BENCH_PRED))
+    from . import pipeline as PIPE
+
+    return PIPE.curate_corpus(spark, train, bench, _curation_out_dir(sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 

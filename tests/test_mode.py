@@ -106,3 +106,54 @@ def test_mode_unsupported_type_raises(spark):
     df = spark.createDataFrame([(True,), (False,)], "x boolean")
     with pytest.raises(TypeError, match="not supported"):
         mode_agg(df, None, "x")
+
+
+def test_mode_native_timetype(spark):
+    """Spark 4.0+ native TIME closes the reference's Time32/Time64
+    dispatch rows (src/mode.rs:151-170) without the bigint nanos-of-day
+    detour: the same {clear mode, NULL-skip, tie -> max, all-NULL ->
+    NULL} grid over a time(6) column.  Requires the TIME feature flag
+    (grouping on TIME is gated behind spark.sql.timeType.enabled)."""
+    from pyspark.sql import types as T
+
+    if not hasattr(T, "TimeType"):
+        pytest.skip("pyspark < 4.0: no native TimeType")
+    prev = spark.conf.get("spark.sql.timeType.enabled", "false")
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("g", T.StringType()),
+                T.StructField("t", T.TimeType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [
+                # clear winner
+                ("clear", dt.time(3, 0)),
+                ("clear", dt.time(3, 0)),
+                ("clear", dt.time(1, 30, 15, 250000)),
+                # NULLs skipped, winner among non-NULLs
+                ("nulls", None),
+                ("nulls", dt.time(7, 45)),
+                ("nulls", dt.time(7, 45)),
+                ("nulls", dt.time(23, 59, 59, 999999)),
+                # tie -> MAX time wins
+                ("tie", dt.time(1, 0)),
+                ("tie", dt.time(2, 0)),
+                # all-NULL group -> NULL mode
+                ("allnull", None),
+            ],
+            schema,
+        )
+        rows = {r.g: r.m for r in mode_agg(df, ["g"], "t", alias="m").collect()}
+        assert rows == {
+            "clear": dt.time(3, 0),
+            "nulls": dt.time(7, 45),
+            "tie": dt.time(2, 0),
+            "allnull": None,
+        }
+        # global over the same relation: 3:00 and 7:45 tie at 2 -> max
+        assert one(mode_agg(df, None, "t")) == dt.time(7, 45)
+    finally:
+        spark.conf.set("spark.sql.timeType.enabled", prev)

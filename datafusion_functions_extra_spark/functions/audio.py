@@ -63,10 +63,16 @@ def _le_hex(col: Column, n_bytes: int) -> Column:
     )
 
 
-def synth_wav(doc_id: Column) -> Column:
+def synth_wav(doc_id: Column, scale: int = 8) -> Column:
     """Byte-exact mono 16-bit PCM WAV: 44-byte RIFF/fmt/data header with
     real little-endian size/rate fields + the closed-form samples, all
-    assembled as one hex string and unhex'd once."""
+    assembled as one hex string and unhex'd once.
+
+    ``scale`` is the amplitude multiplier applied to the sawtooth (the
+    default 8 gives range [-16384, 16376]); a different scale yields the
+    SAME waveform re-mastered at a different volume — byte-different
+    payloads with identical sign structure, the audio near-dup test
+    case."""
     d = doc_id.cast("long")
     n = (d % N_MOD + N_BASE).cast("long")
     rate = (
@@ -96,16 +102,16 @@ def synth_wav(doc_id: Column) -> Column:
     samples_hex = F.array_join(
         F.transform(
             F.sequence(F.lit(0), (n - 1).cast("int")),
-            lambda k: _int16_le_hex(_sample_col(d, k)),
+            lambda k: _int16_le_hex(_sample_col(d, k, scale)),
         ),
         "",
     )
     return F.unhex(F.concat(header, samples_hex))
 
 
-def _sample_col(d: Column, k: Column) -> Column:
+def _sample_col(d: Column, k: Column, scale: int = 8) -> Column:
     """Column twin of :func:`sample_expr` — keep the two in lockstep."""
-    return (((d % 13 + 3) * k * 97 + d * 31) % 4096 - 2048) * 8
+    return (((d % 13 + 3) * k * 97 + d * 31) % 4096 - 2048) * scale
 
 
 def _int16_le_hex(s: Column) -> Column:

@@ -87,3 +87,124 @@ SELECT tr.id AS {id_col}, count(DISTINCT tr.gram) AS n_bench_hits
 FROM tr JOIN be USING (gram)
 GROUP BY 1
 """
+
+def bench_span_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, span_start, span_end, n_tokens) — maximal token spans of each
+    TRAINING document covered by ``k``-gram shingles that occur anywhere
+    in the benchmark set: span-LEVEL decontamination, locating exactly
+    WHICH passage leaked instead of only flagging the document
+    (``ngram_overlap_flags``).  The surgical complement: a curation
+    pipeline can excise the contaminated span and keep the rest of the
+    document.
+
+    Same relational machinery as ``dedup.duplicate_token_spans`` (Lee et
+    al. 2022 re-expressed as positioned shingles -> hit filter ->
+    gaps-and-islands merge), but the hit filter is a BROADCAST semi-join
+    against the distinct benchmark shingle set rather than a corpus-wide
+    document-frequency — so the 100 TB corpus is scanned once and never
+    shuffled on text; only (id, position) pairs of actual hits reach the
+    per-document islands window (bounded by doc length, never
+    corpus-sized).  Positions are 1-based inclusive token indexes; docs
+    shorter than ``k`` tokens participate via the whole-text fallback
+    shingle (the corpus-wide convention of ``_shingles_or_whole``)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..functions.text import SHINGLE_WORDS  # noqa: PLC0415
+    from .similarity import _shingles_or_whole  # noqa: PLC0415
+
+    if k != SHINGLE_WORDS:
+        raise ValueError(
+            f"bench_span_overlap is pinned to the corpus shingle width "
+            f"{SHINGLE_WORDS} (_shingles_or_whole); got k={k}"
+        )
+    pos = (
+        train.select(
+            F.col(id_col),
+            F.posexplode(_shingles_or_whole(F.col(text_col))).alias("p0", "h"),
+        )
+        .select(F.col(id_col), (F.col("p0") + 1).alias("s"), "h")
+    )
+    bsh = bench.select(
+        F.explode(_shingles_or_whole(F.col(text_col))).alias("h")
+    ).distinct()
+    hits = pos.join(F.broadcast(bsh), "h").select(
+        F.col(id_col), "s", (F.col("s") + k - 1).alias("e")
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(
+            F.lag("e").over(w).isNull() | (F.col("s") > F.lag("e").over(w) + 1),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy(id_col, "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            (F.max("e") - F.min("s") + 1).alias("n_tokens"),
+        )
+        .select(id_col, "span_start", "span_end", "n_tokens")
+    )
+
+
+def bench_span_overlap_oracle_sql(
+    bench_predicate: str, k: int = 3, table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`bench_span_overlap` over one table split by
+    ``bench_predicate`` (same k-shingling + whole-text fallback as the
+    similarity `_sig_cte`, same islands merge as the span-dedup oracle)."""
+    return f"""
+WITH t AS (SELECT {id_col} AS id, ({bench_predicate}) AS is_bench,
+                  {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks FROM {table}),
+sh AS (
+  SELECT id, is_bench,
+         CASE WHEN len(toks) >= {k}
+              THEN list_transform(generate_series(1, len(toks) - {k - 1}),
+                                  i -> array_to_string(toks[i:i+{k - 1}], ' '))
+              ELSE [norm] END AS shingles
+  FROM t
+),
+pos AS (
+  SELECT id, u.s AS s, u.sh AS h FROM (
+    SELECT id,
+           unnest(list_transform(generate_series(1, len(shingles)),
+                                 i -> struct_pack(s := i, sh := shingles[i]))) AS u
+    FROM sh WHERE NOT is_bench
+  )
+),
+be AS (SELECT DISTINCT unnest(shingles) AS h FROM sh WHERE is_bench),
+hits AS (
+  SELECT pos.id, pos.s, pos.s + {k - 1} AS e
+  FROM pos JOIN be USING (h)
+),
+flagged AS (
+  SELECT id, s, e,
+         CASE WHEN lag(e) OVER w IS NULL OR s > lag(e) OVER w + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits
+  WINDOW w AS (PARTITION BY id ORDER BY s)
+),
+islands AS (
+  SELECT id, s, e,
+         sum(is_new) OVER (PARTITION BY id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT id AS {id_col}, min(s) AS span_start, max(e) AS span_end,
+       (max(e) - min(s) + 1) AS n_tokens
+FROM islands GROUP BY id, island
+"""

@@ -5956,10 +5956,11 @@ def embedding_pca_two_components(spark, sf_dir):
             " AS DOUBLE) / 1e18 + 1e-9, 6)))"
         ).alias("m2"),
     )
-    # truncate lineage between the two chains: without this the second
-    # chain's 40 projections each re-analyze the whole first chain plus
-    # the deflation expression (one tiny nested-array row to checkpoint)
-    cur = cur.localCheckpoint(eager=True)
+    # (no checkpoint between the chains anymore: since each chain is one
+    # constant-depth fold expression, the whole cov -> chain1 ->
+    # deflation -> chain2 pipeline is a handful of stacked projections
+    # analyzed once — the pre-fold shape needed a mid-chain truncation
+    # only because 40 stacked projections re-analyzed quadratically)
     # second chain: same constant-depth fold, over the deflated matrix
     cur = cur.select(
         "m",
@@ -24232,6 +24233,433 @@ def corpus_curation_funnel(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-6 additions: span-level decontamination + data-selection extras
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_bench_span_overlap",
+    DECON.bench_span_overlap_oracle_sql(_BENCH_PRED),
+)
+def docs_bench_span_overlap(spark, sf_dir):
+    """Span-LEVEL benchmark decontamination
+    (operators/decontaminate.py bench_span_overlap): maximal token spans
+    of each training doc covered by 3-gram shingles occurring anywhere
+    in the benchmark slice (src0/src1) — locates WHICH passage leaked so
+    curation can excise the span instead of dropping the whole document.
+    Plan: distinct bench shingles broadcast, corpus scanned once, only
+    hit positions reach the per-document islands window (bounded by doc
+    length)."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.expr(_BENCH_PRED))
+    train = d.where(~F.expr(_BENCH_PRED))
+    return DECON.bench_span_overlap(train, bench)
+
+
+@query(
+    "docs_learnability_selection",
+    f"""
+WITH {_BIGRAM_CTES},
+big AS (SELECT doc_id, {_r6n_sql('avg(lp)')} AS big_lp FROM sc GROUP BY 1),
+tok2 AS (SELECT doc_id, unnest(toks) AS term FROM t),
+sc2 AS (
+  SELECT tok2.doc_id, ln(cu.c2::DOUBLE / tot.n) AS lp
+  FROM tok2 JOIN cu ON cu.term = tok2.term, tot
+),
+uni2 AS (SELECT doc_id, {_r6n_sql('avg(lp)')} AS uni_lp FROM sc2 GROUP BY 1)
+SELECT b.doc_id, uni_lp, big_lp,
+       CAST(round(big_lp * 1e6) AS BIGINT)
+         - CAST(round(uni_lp * 1e6) AS BIGINT) AS gap_micro
+FROM big b JOIN uni2 USING (doc_id)
+ORDER BY gap_micro DESC, b.doc_id ASC
+LIMIT 100
+""",
+)
+def docs_learnability_selection(spark, sf_dir):
+    """Learnability-gap data selection — the two-model RHO-loss idea
+    (Mindermann et al. 2022) with the library's own LMs as the model
+    pair: per doc, the interpolated-bigram score minus the unigram score
+    (both already suite-pinned pipelines).  A large gap means the
+    CONTEXT model explains the doc far better than the bag-of-words one
+    — structured, learnable prose; a near-zero or negative gap means the
+    doc is as predictable without context (boilerplate, lists, noise).
+    Returns the top-100 most learnable docs by integer micro-nat gap
+    (round-before-rank; ties by doc_id).
+
+    Plan: the same two broadcast-vocab scoring passes as the parent
+    queries, one doc-keyed join, then a sort+limit head (TakeOrdered —
+    never a global sort of the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    big = _bigram_doc_scores(d).select(
+        "doc_id", F.col("avg_logprob").alias("big_lp")
+    )
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    uni = (
+        tok.join(F.broadcast(cnt), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                F.col("c").cast("double") / F.col("n").cast("double")
+            ).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(_r6n(F.avg("lp")).alias("uni_lp"))
+    )
+    j = big.join(uni, "doc_id").select(
+        "doc_id",
+        "uni_lp",
+        "big_lp",
+        (
+            F.round(F.col("big_lp") * 1e6).cast("long")
+            - F.round(F.col("uni_lp") * 1e6).cast("long")
+        ).alias("gap_micro"),
+    )
+    return j.orderBy(F.col("gap_micro").desc(), F.col("doc_id").asc()).limit(
+        100
+    )
+
+
+@query(
+    "text_token_fertility",
+    f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_ws,
+         len(regexp_extract_all(lower(text), '{TX.BPE_TOKEN_RE}')) AS n_bpe,
+         length(text) AS n_chars,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_ws)::BIGINT AS ws_tokens,
+       sum(n_bpe)::BIGINT AS bpe_tokens,
+       sum(n_chars)::BIGINT AS chars,
+       sum(n_bytes)::BIGINT AS bytes,
+       {_r6n_sql('sum(n_bpe)::DOUBLE / sum(n_ws)')} AS fertility,
+       {_r6n_sql('sum(n_bytes)::DOUBLE / sum(n_bpe)')} AS bytes_per_token
+FROM t GROUP BY 1
+""",
+)
+def text_token_fertility(spark, sf_dir):
+    """Tokenizer fertility / budget table per language — the numbers a
+    training-token budget is planned from: whitespace-token and BPE-ish
+    token totals, char and UTF-8 byte totals, fertility (BPE tokens per
+    whitespace word — the multiplier a real subword tokenizer applies to
+    word counts, high for morphologically rich or non-Latin text) and
+    bytes per BPE token (the compression a byte-budget converts
+    through).  One projection + one |langs|-sized aggregate: every
+    per-doc quantity is a JVM expression fused into the scan, nothing
+    shuffles but partial sums."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        TX.token_count("text").alias("n_ws"),
+        TX.bpe_token_count("text").alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("n_bytes").cast("long").alias("bytes"),
+        _r6n(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double")
+        ).alias("fertility"),
+        _r6n(
+            F.sum("n_bytes").cast("double") / F.sum("n_bpe").cast("double")
+        ).alias("bytes_per_token"),
+    )
+
+
+@query(
+    "dedup_normalization_ablation",
+    f"""
+WITH k AS (
+  SELECT md5(text) AS raw_k,
+         md5({_NORM_SQL}) AS norm_k,
+         md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS aggr_k
+  FROM documents
+),
+a AS (
+  SELECT count(*) AS n,
+         count(DISTINCT raw_k) AS d_raw,
+         count(DISTINCT norm_k) AS d_norm,
+         count(DISTINCT aggr_k) AS d_aggr
+  FROM k
+)
+SELECT variant, n_docs, n_distinct,
+       n_docs - n_distinct AS n_dup_rows,
+       round((n_docs - n_distinct)::DOUBLE / n_docs + 1e-9, 6) AS dup_rate
+FROM (
+  SELECT 'raw' AS variant, n::BIGINT AS n_docs, d_raw::BIGINT AS n_distinct FROM a
+  UNION ALL SELECT 'whitespace_norm', n::BIGINT, d_norm::BIGINT FROM a
+  UNION ALL SELECT 'aggressive', n::BIGINT, d_aggr::BIGINT FROM a
+)
+""",
+)
+def dedup_normalization_ablation(spark, sf_dir):
+    """Exact-dedup sensitivity to the normalization choice — the ablation
+    a dedup recipe is justified with: duplicate rates under (a) raw-byte
+    md5, (b) the production whitespace/lowercase normalization
+    (``dedup.content_key``), and (c) an aggressive strip-everything
+    non-alphanumeric key.  The gap raw -> norm counts formatting-only
+    twins; norm -> aggressive counts punctuation/spacing edits — how much
+    each normalization level would additionally collapse.
+
+    Plan: one corpus scan computes all three 128-bit keys in the same
+    projection; the three distinct-counts share one aggregate (Spark
+    expands to 3 key streams with map-side partials, 32-byte keys in the
+    shuffle, never text)."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        F.md5(F.col("text").cast("binary")).alias("raw_k"),
+        F.md5(TX.normalize_text("text").cast("binary")).alias("norm_k"),
+        F.md5(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", "").cast(
+                "binary"
+            )
+        ).alias("aggr_k"),
+    )
+    a = k.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("raw_k").alias("d_raw"),
+        F.countDistinct("norm_k").alias("d_norm"),
+        F.countDistinct("aggr_k").alias("d_aggr"),
+    )
+    rows = a.select(
+        F.expr(
+            "stack(3, 'raw', n, d_raw,"
+            " 'whitespace_norm', n, d_norm,"
+            " 'aggressive', n, d_aggr)"
+        ).alias("variant", "n_docs", "n_distinct")
+    )
+    return rows.select(
+        "variant",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (F.col("n_docs") - F.col("n_distinct"))
+        .cast("long")
+        .alias("n_dup_rows"),
+        _r6n(
+            (F.col("n_docs") - F.col("n_distinct")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+def _audio_pairs_oracle() -> str:
+    from .functions import audio as AUD
+
+    s = AUD.sample_expr("doc_id", "k")
+    return f"""
+WITH sgn AS MATERIALIZED (
+  SELECT doc_id, (doc_id % {AUD.N_MOD} + {AUD.N_BASE})::BIGINT AS n_samples,
+         array_to_string(
+           list_transform(generate_series(0, doc_id % {AUD.N_MOD} + {AUD.N_BASE} - 1),
+                          k -> CASE WHEN {s} >= 0 THEN '1' ELSE '0' END),
+           '') AS signs
+  FROM documents
+)
+SELECT a.doc_id AS orig_id, (b.doc_id + 1000000)::BIGINT AS clone_id,
+       a.n_samples
+FROM sgn a JOIN sgn b ON a.n_samples = b.n_samples AND a.signs = b.signs
+WHERE b.doc_id % 7 = 0
+"""
+
+
+@query("audio_fingerprint_pairs", _audio_pairs_oracle())
+def audio_fingerprint_pairs(spark, sf_dir):
+    """Audio near-dup detection through the byte round trip: a
+    'remastered' batch (every 7th clip re-encoded at half amplitude
+    under a new id — byte-DIFFERENT payloads, same recording) is matched
+    back to the library by an amplitude-invariant content fingerprint:
+    md5 over the decoded samples' SIGN sequence (zero-crossing
+    structure), length-prefixed.  Exactly the content-addressed dedup
+    that catches re-encoded/volume-normalized duplicates where byte md5
+    cannot.  Both sides run the FULL pipeline — WAV encode -> header
+    parse -> PCM decode -> fingerprint — as row-local JVM hex/integer
+    arithmetic; the join shuffles 32-byte fingerprints, never audio.
+    The oracle recomputes sign sequences from the closed-form waveform
+    without touching bytes, so a hash match certifies decode +
+    fingerprint + match end-to-end."""
+    from .functions import audio as AUD
+    from .functions.text import bind_once
+
+    def fingerprint(h):
+        meta = AUD.wav_meta(h)
+        n = F.shiftrightunsigned(meta["data_bytes"], 1)
+        signs = F.array_join(
+            F.transform(
+                AUD.wav_samples(h, n),
+                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        )
+        return F.struct(
+            n.alias("n_samples"),
+            F.md5(
+                F.concat(n.cast("string"), F.lit(":"), signs).cast("binary")
+            ).alias("fp"),
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    lib = d.select(
+        F.col("doc_id").alias("orig_id"),
+        bind_once(F.hex(AUD.synth_wav(F.col("doc_id"))), fingerprint).alias(
+            "m"
+        ),
+    ).select("orig_id", "m.n_samples", "m.fp")
+    remastered = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("clone_id"),
+            bind_once(
+                F.hex(AUD.synth_wav(F.col("doc_id"), scale=4)), fingerprint
+            ).alias("m"),
+        )
+        .select("clone_id", F.col("m.fp").alias("fp"))
+    )
+    return lib.join(remastered, "fp").select(
+        "orig_id", "clone_id", "n_samples"
+    )
+
+
+#: the simulated next corpus snapshot shared by the profile-drift oracle
+#: and Spark side: 1/13 of docs arrive revised (text appended, n_chars
+#: grown) — the docs_snapshot_diff / near_dup_incremental_pairs convention
+_NEXT_SNAPSHOT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text,
+       lang, source,
+       CASE WHEN doc_id % 13 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+FROM documents
+"""
+
+
+@query(
+    "docs_profile_drift",
+    f"""
+WITH nxt AS ({_NEXT_SNAPSHOT_SQL}),
+po AS (
+  SELECT 'text' AS column_name, count(*) - count(text) AS n_nulls,
+         count(DISTINCT text) AS n_distinct,
+         CAST(min(text) AS VARCHAR) AS min_str,
+         CAST(max(text) AS VARCHAR) AS max_str
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'source', count(*) - count(source), count(DISTINCT source),
+         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+),
+pn AS (
+  SELECT 'text' AS column_name, count(*) - count(text) AS n_nulls,
+         count(DISTINCT text) AS n_distinct,
+         CAST(min(text) AS VARCHAR) AS min_str,
+         CAST(max(text) AS VARCHAR) AS max_str
+  FROM nxt
+  UNION ALL
+  SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM nxt
+  UNION ALL
+  SELECT 'source', count(*) - count(source), count(DISTINCT source),
+         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM nxt
+  UNION ALL
+  SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM nxt
+)
+SELECT po.column_name,
+       po.n_nulls AS old_nulls, pn.n_nulls AS new_nulls,
+       po.n_distinct AS old_distinct, pn.n_distinct AS new_distinct,
+       pn.n_distinct - po.n_distinct AS distinct_delta,
+       (po.min_str IS DISTINCT FROM pn.min_str) AS min_changed,
+       (po.max_str IS DISTINCT FROM pn.max_str) AS max_changed
+FROM po JOIN pn USING (column_name)
+""",
+)
+def docs_profile_drift(spark, sf_dir):
+    """Schema/profile drift between corpus snapshots — the data-contract
+    monitor run on every ingest: the one-pass multi-column profile
+    (documents_profile's Expand aggregate) computed on the current
+    snapshot AND the simulated next one (1/13 of docs revised — the
+    snapshot-diff convention), joined per column into null/distinct
+    deltas and min/max-moved flags.  Catching a profile jump (nulls
+    spike, distinct collapse, range shift) BEFORE the snapshot enters
+    training is the observability twin of docs_snapshot_diff's row-level
+    view.  Two scans total (one per snapshot), |columns|-sized output."""
+    d = load_table(spark, sf_dir, "documents")
+    nxt = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 13 == 0, F.col("n_chars") + 5)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    cols = ["text", "lang", "source", "n_chars"]
+
+    def profile(df):
+        aggs = []
+        for col in cols:
+            c = F.col(col)
+            aggs += [
+                F.sum(c.isNull().cast("long")).alias(f"{col}__nulls"),
+                F.countDistinct(c).alias(f"{col}__distinct"),
+                F.min(c).cast("string").alias(f"{col}__min"),
+                F.max(c).cast("string").alias(f"{col}__max"),
+            ]
+        stack_args = ", ".join(
+            f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+            for col in cols
+        )
+        return df.agg(*aggs).selectExpr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_str, max_str)"
+        )
+
+    po, pn = profile(d), profile(nxt)
+    pn = pn.select(
+        "column_name",
+        F.col("n_nulls").alias("new_nulls"),
+        F.col("n_distinct").alias("new_distinct"),
+        F.col("min_str").alias("new_min"),
+        F.col("max_str").alias("new_max"),
+    )
+    return po.join(pn, "column_name").select(
+        "column_name",
+        F.col("n_nulls").alias("old_nulls"),
+        "new_nulls",
+        F.col("n_distinct").alias("old_distinct"),
+        "new_distinct",
+        (F.col("new_distinct") - F.col("n_distinct")).alias(
+            "distinct_delta"
+        ),
+        (~F.col("min_str").eqNullSafe(F.col("new_min"))).alias(
+            "min_changed"
+        ),
+        (~F.col("max_str").eqNullSafe(F.col("new_max"))).alias(
+            "max_changed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------
 
@@ -24361,6 +24789,11 @@ def _rotate_for_driver_window() -> None:
     (the ``1e-9`` nudge literal in the oracle SQL is the marker)."""
     global QUERIES, ORACLES
     rows_only = {"price_quantiles_approx", "approx_distinct_users"}
+    # r06: the round-6 verdict asked for the pipeline+signature-stage
+    # composition itself to earn a driver hash this round; it registers
+    # last, so without head priority it would queue behind all 153
+    # carryovers and miss the ~50-slot window (costs one carryover slot)
+    priority_head = {"corpus_curation_funnel"}
     order = sorted(
         QUERIES,
         key=lambda n: (
@@ -24369,6 +24802,7 @@ def _rotate_for_driver_window() -> None:
             # their (weaker, by-design) rows-only check runs wherever
             # they land
             n in rows_only,
+            n not in priority_head,
             n in _DRIVER_VERIFIED,
             # the r6n re-verify tiebreak applies only to the verified
             # TAIL (spare slots re-check queries whose rounding helper

@@ -22,12 +22,24 @@ import statistics
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--medians", default="BENCH_local_r5.json")
+    ap.add_argument(
+        "--re-median",
+        default="",
+        help="comma-separated EXISTING query names whose recorded median "
+        "is replaced by the median of the supplied runs — only for "
+        "queries whose PLAN changed (or whose recorded number was shown "
+        "not to reproduce); the provenance note names them so a "
+        "re-baseline is never silent",
+    )
     ap.add_argument("runs", nargs="+")
     args = ap.parse_args()
 
     runs = [json.load(open(p)) for p in args.runs]
     med = json.load(open(args.medians))
     known = med["queries"]
+    re_medianed = sorted(n for n in args.re_median.split(",") if n)
+    for q in re_medianed:
+        known.pop(q, None)
     new_names = sorted({q for r in runs for q in r["queries"]} - set(known))
     for q in new_names:
         vals = [r["queries"][q] for r in runs if q in r["queries"]]
@@ -39,6 +51,11 @@ def main() -> int:
         med.get("note", "")
         + f"; {len(new_names)} additions take the median of {len(runs)} "
         f"supplied runs ({labels}); {len(known)} queries total"
+        + (
+            f"; re-medianed after plan change: {', '.join(re_medianed)}"
+            if re_medianed
+            else ""
+        )
     )
     json.dump(med, open(args.medians, "w"))
     print(f"folded {len(new_names)} new queries; total {med['value']}s")

@@ -180,6 +180,12 @@ PROBES = (
     "basket_rec_hitrate",          # windowed holdout split + CF scoring (r05x)
     "text_rocchio_expansion",      # two BM25 passes over one pinned stage (r05y)
     "users_geo_cells",             # geohash projection + cell rollup (r05w)
+    "docs_bench_span_overlap",     # broadcast bench shingles + islands (r06)
+    "docs_learnability_selection",  # two LM passes + TakeOrdered head (r06)
+    "audio_fingerprint_pairs",     # WAV decode + fingerprint equi-join (r06)
+    "dedup_normalization_ablation",  # 3-key one-scan distinct expand (r06)
+    "text_token_fertility",        # pure projection + |langs| rollup (r06)
+    "corpus_curation_funnel",      # the composed 5-stage pipeline (r06)
     # embedding_knn_label_eval / _outliers are EXCLUDED like
     # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
     # design and documented eval-on-sample (SURVEY §9.5)

@@ -24802,7 +24802,10 @@ def _rotate_for_driver_window() -> None:
             # their (weaker, by-design) rows-only check runs wherever
             # they land
             n in rows_only,
-            n not in priority_head,
+            # head priority expires the round the query earns its driver
+            # hash (the verified-set regeneration picks it up), so it can
+            # never waste a window slot afterwards
+            not (n in priority_head and n not in _DRIVER_VERIFIED),
             n in _DRIVER_VERIFIED,
             # the r6n re-verify tiebreak applies only to the verified
             # TAIL (spare slots re-check queries whose rounding helper

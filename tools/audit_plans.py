@@ -63,6 +63,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "corpus_token_budget": _SCALAR,
     "embedding_kmeans_clusters": _SEEDS,
     "text_unigram_logprob": _SCALAR,
+    "docs_learnability_selection": _SCALAR,  # the two LM corpus-total join-backs
     "embedding_prototype_confusion": _SCALAR,
     "text_pmi_collocations": _SCALAR,
     "source_lang_kl_drift": _SCALAR,

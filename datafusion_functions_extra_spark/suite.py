@@ -24659,6 +24659,231 @@ def docs_profile_drift(spark, sf_dir):
     )
 
 
+@query(
+    "orders_neyman_allocation",
+    """
+WITH s AS (
+  SELECT o_orderpriority AS stratum, count(*)::BIGINT AS n_rows,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS s1,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT stratum, n_rows,
+         CAST(round(sqrt((n_rows * s2 - s1::HUGEINT * s1)::DOUBLE
+                         / n_rows::DOUBLE / n_rows::DOUBLE) * 1e6)
+              AS BIGINT) AS sigma_micro
+  FROM s
+),
+t AS (
+  SELECT stratum, n_rows, sigma_micro,
+         n_rows::HUGEINT * sigma_micro AS wt,
+         sum(n_rows::HUGEINT * sigma_micro) OVER () AS total_wt
+  FROM w
+),
+q AS (
+  SELECT stratum, n_rows, sigma_micro,
+         CAST((1000 * wt) // total_wt AS BIGINT) AS base_alloc,
+         (1000 * wt) % total_wt AS frac_num,
+         total_wt
+  FROM t
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY frac_num DESC, stratum ASC) AS rk,
+         1000 - sum(base_alloc) OVER () AS n_leftover
+  FROM q
+)
+SELECT stratum, n_rows, sigma_micro,
+       (base_alloc + CASE WHEN rk <= n_leftover THEN 1 ELSE 0 END)::BIGINT
+         AS alloc
+FROM r
+""",
+)
+def orders_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation (Neyman 1934): split a
+    1000-row sample budget across order-priority strata proportional to
+    N_h * sigma_h — the allocation that minimizes the estimator variance
+    of mean order value, vs naive proportional allocation that
+    oversamples homogeneous strata.  Integer-exact end to end: per-cent
+    power sums in 128-bit, the population sigma snapped to micro-cents,
+    weights N_h * sigma_micro as exact integers, and the
+    largest-remainder apportionment done entirely in integer division /
+    modulus (floor quota + remainders ranked by exact fractional
+    numerator, stratum-name ties) — no float crosses an allocation
+    boundary on either engine.  Plan: one map-side-combined moment
+    aggregate, then window math on the |strata|-row relation."""
+    e = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = e.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents).cast("long").alias("s1"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("s2"),
+    )
+    var = (
+        F.col("n_rows").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    ).cast("double") / (
+        F.col("n_rows").cast("double") * F.col("n_rows").cast("double")
+    )
+    w = s.select(
+        "stratum",
+        "n_rows",
+        F.round(F.sqrt(var) * 1e6).cast("long").alias("sigma_micro"),
+    )
+    wt = F.col("n_rows").cast("decimal(38,0)") * F.col("sigma_micro")
+    t = w.select("stratum", "n_rows", "sigma_micro", wt.alias("wt"))
+    # |strata|-row relation: the unpartitioned windows below are bounded
+    # by the stratum domain (5 priorities), never data-sized
+    from pyspark.sql import Window as _W
+
+    tot = _W.partitionBy()
+    q = t.select(
+        "stratum",
+        "n_rows",
+        "sigma_micro",
+        F.floor(
+            (F.lit(1000).cast("decimal(38,0)") * F.col("wt"))
+            / F.sum("wt").over(tot)
+        )
+        .cast("long")
+        .alias("base_alloc"),
+        (
+            (F.lit(1000).cast("decimal(38,0)") * F.col("wt"))
+            % F.sum("wt").over(tot)
+        ).alias("frac_num"),
+    )
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(tot.orderBy(F.col("frac_num").desc(), F.col("stratum").asc()))
+        .alias("rk"),
+        (F.lit(1000) - F.sum("base_alloc").over(tot)).alias("n_leftover"),
+    )
+    return r.select(
+        "stratum",
+        "n_rows",
+        "sigma_micro",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("n_leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+@query(
+    "corpus_doremi_weights",
+    f"""
+WITH t AS (SELECT source, {_TOKENS_SQL} AS toks FROM documents),
+tok AS (SELECT source, unnest(toks) AS term FROM t),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM cnt),
+sl AS (
+  SELECT tok.source, count(*)::BIGINT AS n_tokens,
+         CAST(round(avg(ln(cnt.c::DOUBLE / tot.n)) * -1e6) AS BIGINT)
+           AS loss_micro
+  FROM tok JOIN cnt USING (term), tot
+  GROUP BY 1
+),
+base AS (
+  SELECT source, n_tokens, loss_micro,
+         n_tokens::DOUBLE / sum(n_tokens) OVER () AS base_share,
+         CAST(round(avg(loss_micro) OVER ()) AS BIGINT) AS mean_loss_micro
+  FROM sl
+),
+upd AS (
+  SELECT source, n_tokens, loss_micro, base_share,
+         base_share * exp((loss_micro - mean_loss_micro)::DOUBLE / 1e6)
+           AS raw_w
+  FROM base
+)
+SELECT source, n_tokens, loss_micro,
+       round(base_share + 1e-9, 6) AS base_share,
+       round(raw_w / sum(raw_w) OVER () + 1e-9, 6) AS doremi_share
+FROM upd
+""",
+)
+def corpus_doremi_weights(spark, sf_dir):
+    """DoReMi-style source reweighting (Xie et al. 2023, simplified to
+    one multiplicative-weights step with the unigram LM as the proxy
+    model): each source's excess loss (its mean negative log-likelihood
+    under the corpus unigram LM, relative to the cross-source mean) is
+    exponentiated onto its baseline token share — sources the proxy
+    finds HARDER than average gain training weight, easier ones shrink.
+    The canonical domain-mixture tuning loop's inner update, computable
+    from one corpus scan.
+
+    Determinism: per-source losses snap to integer micro-nats BEFORE the
+    exp (both engines exponentiate the identical double), shares round
+    through the boundary-nudged helper; the softmax denominator is a
+    |sources|-row sum.  Plan: the (source, term) explode feeds one
+    vocab-sized broadcast join — the corpus never shuffles on text."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.tokens("text")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    sl = (
+        tok.join(F.broadcast(cnt), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        F.col("c").cast("double") / F.col("n").cast("double")
+                    )
+                )
+                * -1e6
+            )
+            .cast("long")
+            .alias("loss_micro"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    tot_w = _W.partitionBy()  # |sources|-row relation, domain-bounded
+    base = sl.select(
+        "source",
+        "n_tokens",
+        "loss_micro",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(tot_w).cast("double")
+        ).alias("base_share"),
+        F.round(F.avg("loss_micro").over(tot_w)).cast("long").alias(
+            "mean_loss_micro"
+        ),
+    )
+    upd = base.select(
+        "source",
+        "n_tokens",
+        "loss_micro",
+        "base_share",
+        (
+            F.col("base_share")
+            * F.exp(
+                (F.col("loss_micro") - F.col("mean_loss_micro")).cast(
+                    "double"
+                )
+                / 1e6
+            )
+        ).alias("raw_w"),
+    )
+    return upd.select(
+        "source",
+        "n_tokens",
+        "loss_micro",
+        _r6n(F.col("base_share")).alias("base_share"),
+        _r6n(F.col("raw_w") / F.sum("raw_w").over(tot_w)).alias(
+            "doremi_share"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

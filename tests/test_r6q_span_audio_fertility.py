@@ -91,3 +91,32 @@ def test_synth_wav_scale4_stdlib_wave_conformance(spark, tmp_path):
         assert w.getsampwidth() == 2
         assert w.getframerate() == AUD.RATE_CHOICES[7 % 3]
         assert w.getnframes() == 7 % AUD.N_MOD + AUD.N_BASE
+
+
+def test_neyman_allocation_invariants(spark):
+    from datafusion_functions_extra_spark import suite
+
+    rows = suite.QUERIES["orders_neyman_allocation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r.alloc for r in rows) == 1000  # largest remainder is exact
+    assert all(r.alloc >= 0 for r in rows)
+    # allocation ordering follows N_h * sigma_h ordering
+    by_weight = sorted(rows, key=lambda r: r.n_rows * r.sigma_micro)
+    allocs = [r.alloc for r in by_weight]
+    assert allocs == sorted(allocs)
+
+
+def test_doremi_weights_invariants(spark):
+    from datafusion_functions_extra_spark import suite
+
+    rows = suite.QUERIES["corpus_doremi_weights"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert abs(sum(r.base_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.doremi_share for r in rows) - 1.0) < 1e-4
+    # harder-than-average sources must gain weight, easier ones shrink
+    mean_loss = sum(r.loss_micro for r in rows) / len(rows)
+    for r in rows:
+        if r.loss_micro > mean_loss + 1000:  # clearly harder
+            assert r.doremi_share > r.base_share - 1e-6

@@ -24884,6 +24884,145 @@ def corpus_doremi_weights(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_ivf_balance",
+    f"""
+WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+              WHERE vec_id IN ({", ".join(str(i) for i in SIM.IVF_CENTROID_IDS)})),
+scored AS (
+  SELECT e.vec_id, cent.cent_id,
+         round({SIM._cos_sql('e.embedding', 'cent.cent_vec')}, 6) AS c
+  FROM embeddings e CROSS JOIN cent
+),
+r0 AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY c DESC, cent_id ASC) AS rn
+  FROM scored
+),
+assigned AS (SELECT vec_id, cent_id AS cell FROM r0 WHERE rn = 1),
+cells AS (SELECT cell, count(*)::BIGINT AS n FROM assigned GROUP BY 1)
+SELECT count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n_vectors,
+       min(n)::BIGINT AS min_cell, max(n)::BIGINT AS max_cell,
+       round(max(n)::DOUBLE * count(*) / sum(n) + 1e-9, 6) AS imbalance,
+       round(sum(n::HUGEINT * n)::DOUBLE / (sum(n)::DOUBLE * sum(n))
+             + 1e-9, 6) AS probe1_frac
+FROM cells
+""",
+)
+def embedding_ivf_balance(spark, sf_dir):
+    """IVF index health report — the numbers that decide whether the
+    coarse quantizer needs retraining before serving: per-cell
+    population min/max, the imbalance factor (max cell over mean cell —
+    the tail-latency multiplier, since a query landing in the fattest
+    cell scans that many more candidates), and the expected nprobe=1
+    scan fraction sum(n_c^2)/N^2 (corpus-distributed queries probe a
+    cell with probability n_c/N and then scan n_c).  One broadcast
+    assignment pass (the production ivf_assign operator unchanged) and a
+    |cells|-row rollup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = SIM.ivf_assign(e)
+    cells = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        _r6n(
+            F.max("n").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("n").cast("double")
+        ).alias("imbalance"),
+        _r6n(
+            F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).cast(
+                "double"
+            )
+            / (F.sum("n").cast("double") * F.sum("n").cast("double"))
+        ).alias("probe1_frac"),
+    )
+
+
+@query(
+    "docs_padding_efficiency",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_tokens
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) AS r,
+         count(*) OVER () AS n
+  FROM t
+),
+g AS (
+  SELECT u.g AS n_buckets, rk.n_tokens,
+         ((rk.r - 1) * u.g) // rk.n AS bucket
+  FROM rk CROSS JOIN (SELECT unnest([1, 4, 16]) AS g) u
+),
+b AS (
+  SELECT n_buckets, bucket, count(*)::BIGINT AS n_docs,
+         max(n_tokens)::BIGINT AS max_len, sum(n_tokens)::BIGINT AS tok
+  FROM g GROUP BY 1, 2
+)
+SELECT n_buckets::BIGINT AS n_buckets,
+       sum(tok)::BIGINT AS total_tokens,
+       sum(n_docs * max_len - tok)::BIGINT AS padded_tokens,
+       round(sum(n_docs * max_len - tok)::DOUBLE
+             / sum(n_docs * max_len) + 1e-9, 6) AS waste_ratio
+FROM b GROUP BY 1
+""",
+)
+def docs_padding_efficiency(spark, sf_dir):
+    """Length-bucketed batching efficiency — the padding-waste ablation
+    behind every training dataloader's bucket count: docs length-sorted
+    (the two-phase global rank, never a single-partition window) and cut
+    into {{1, 4, 16}} equal-count buckets; within a bucket every doc pads
+    to the bucket max, so padded_tokens = sum over buckets of
+    (n_docs * max_len - sum_len).  One bucket = naive global padding;
+    more buckets monotonically cut waste — the table quantifies exactly
+    how much, which is the evidence a 16-bucket sampler is justified
+    with.  All integer-exact; the only float is the final ratio."""
+    from .functions.distribution import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX.token_count("text").alias("n_tokens"))
+    rk = global_rank(
+        t, [F.col("n_tokens").asc(), F.col("doc_id").asc()], "r"
+    ).crossJoin(F.broadcast(t.agg(F.count(F.lit(1)).alias("_n"))))
+    buckets = None
+    for gsize in (1, 4, 16):
+        gb = rk.select(
+            F.lit(gsize).cast("long").alias("n_buckets"),
+            "n_tokens",
+            # exact integer floor division, matching DuckDB's `//`
+            F.expr(f"CAST(((r - 1) * {gsize}) DIV _n AS BIGINT)").alias(
+                "bucket"
+            ),
+        )
+        buckets = gb if buckets is None else buckets.unionByName(gb)
+    b = buckets.groupBy("n_buckets", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("tok"),
+    )
+    return b.groupBy("n_buckets").agg(
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum(F.col("n_docs") * F.col("max_len") - F.col("tok"))
+        .cast("long")
+        .alias("padded_tokens"),
+        _r6n(
+            F.sum(
+                F.col("n_docs") * F.col("max_len") - F.col("tok")
+            ).cast("double")
+            / F.sum(F.col("n_docs") * F.col("max_len")).cast("double")
+        ).alias("waste_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -120,3 +120,32 @@ def test_doremi_weights_invariants(spark):
     for r in rows:
         if r.loss_micro > mean_loss + 1000:  # clearly harder
             assert r.doremi_share > r.base_share - 1e-6
+
+
+def test_padding_efficiency_monotone(spark):
+    from datafusion_functions_extra_spark import suite
+
+    rows = {
+        r.n_buckets: r
+        for r in suite.QUERIES["docs_padding_efficiency"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {1, 4, 16}
+    # same corpus in every granularity
+    assert len({r.total_tokens for r in rows.values()}) == 1
+    # more buckets can only cut padding waste
+    assert rows[1].padded_tokens >= rows[4].padded_tokens >= rows[16].padded_tokens
+
+
+def test_ivf_balance_consistency(spark):
+    from datafusion_functions_extra_spark import suite
+
+    r = suite.QUERIES["embedding_ivf_balance"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.min_cell <= r.max_cell
+    assert r.n_cells >= 1 and r.n_vectors >= r.n_cells
+    assert r.imbalance >= 1.0 - 1e-9
+    # probe fraction is bounded by the fattest cell's share
+    assert 0.0 < r.probe1_frac <= r.max_cell / r.n_vectors + 1e-9

@@ -64,6 +64,9 @@ BNLJ_BOUNDED: dict[str, str] = {
     "embedding_kmeans_clusters": _SEEDS,
     "text_unigram_logprob": _SCALAR,
     "docs_learnability_selection": _SCALAR,  # the two LM corpus-total join-backs
+    "corpus_doremi_weights": _SCALAR + " (unigram corpus-total join-back)",
+    "embedding_ivf_balance": _SEEDS + " (the ivf_assign centroid cross)",
+    "docs_padding_efficiency": _SCALAR + " (corpus row-count for bucket ids)",
     "embedding_prototype_confusion": _SCALAR,
     "text_pmi_collocations": _SCALAR,
     "source_lang_kl_drift": _SCALAR,
@@ -311,6 +314,17 @@ BNLJ_BOUNDED: dict[str, str] = {
 #: partition-count relation, or a calendar-sized rollup — never an
 #: unbounded data relation.
 UNPART_WINDOW_BOUNDED: dict[str, str] = {
+    "orders_neyman_allocation": (
+        "largest-remainder windows over the |strata|-row weight relation "
+        "(5 order priorities) — domain-bounded"
+    ),
+    "corpus_doremi_weights": (
+        "share/softmax windows over the |sources|-row loss relation — "
+        "domain-bounded"
+    ),
+    "docs_padding_efficiency": (
+        "two-phase global_rank offset window (<= #partitions rows)"
+    ),
     "events_uplift_qini": (
         "cumulative Qini over the 10-row decile rollup — domain-bounded"
     ),

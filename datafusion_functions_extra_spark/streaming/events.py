@@ -791,6 +791,47 @@ def streaming_cms_values(
     )
 
 
+def streaming_value_histogram(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+    key_col: str = "event_type",
+    width_cents: int = 2000,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Windowed fixed-bin value histogram maintenance on a stream: per
+    (window, key, bin) the row count — bin counts are a SUM monoid, the
+    THIRD sketch family streaming windowed aggregation carries natively
+    (after the HLL register MAX of ``streaming_hll_users`` and the CMS
+    counter SUM of ``streaming_cms_values``).  Fixed integer-cent bin
+    edges (``least(cents // width, n_bins - 1)``, negatives clamped to
+    bin 0) make the histogram mergeable across windows, batches, and
+    engines with no data-dependent state — the streamable form of the
+    binned-percentile device (``price_quantiles_binned``): any quantile
+    is a post-hoc crossing-rule read over at most ``n_bins`` counters
+    per open group."""
+    b = F.least(
+        F.expr(
+            f"CAST(greatest(CAST(round({value_col} * 100) AS BIGINT), 0)"
+            f" DIV {width_cents} AS BIGINT)"
+        ),
+        F.lit(n_bins - 1).cast("long"),
+    ).alias("bin")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", key_col, b)
+        .groupBy(F.window("ts", window), F.col(key_col), F.col("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "bin",
+            "cnt",
+        )
+    )
+
+
 def streaming_cusum(
     events: DataFrame,
     mu0: float,

@@ -25023,6 +25023,85 @@ def docs_padding_efficiency(spark, sf_dir):
     )
 
 
+@query(
+    "events_streaming_histogram",
+    """
+WITH src AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+         least(greatest(CAST(round(value * 100) AS BIGINT), 0) // 2000,
+               255) AS bin
+  FROM events
+),
+b AS (SELECT ws, event_type, bin, count(*) AS cnt FROM src GROUP BY 1, 2, 3),
+c AS (
+  SELECT ws, event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY ws, event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY ws, event_type) AS n
+  FROM b
+)
+SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+       n::BIGINT AS n_events,
+       count(*)::BIGINT AS n_bins_used,
+       min(CASE WHEN cum >= 50 * (n - 1) // 100 + 1 THEN bin END)::BIGINT
+         AS p50_bin,
+       min(CASE WHEN cum >= 95 * (n - 1) // 100 + 1 THEN bin END)::BIGINT
+         AS p95_bin
+FROM c GROUP BY 1, 2, 3
+""",
+)
+def events_streaming_histogram(spark, sf_dir):
+    """Windowed binned-value-histogram maintenance on Structured
+    Streaming (streaming/events.py streaming_value_histogram) with a
+    percentile finisher: the THIRD oracle-hashed streaming sketch
+    family — bin counts are a SUM monoid like the CMS counters, so the
+    watermark-evicted state per open (hour, type) group is <= 256 small
+    ints, and ANY quantile is a post-hoc crossing-rule read
+    (floor(q*(n-1))+1 over the cumulative bins, the shared explicit
+    rank formula) — the streaming form of price_quantiles_binned.  The
+    drain is compared against DuckDB recomputing the identical integer
+    bin/rank math from the raw events, so the hash certifies the full
+    stream -> monoid-state -> percentile pipeline."""
+    from pyspark.sql import Window as _W
+
+    from .streaming import read_events_stream, run_available_now
+    from .streaming.events import streaming_value_histogram
+
+    stream = read_events_stream(spark, sf_dir)
+    bins = run_available_now(streaming_value_histogram(stream))
+    bins = bins.withColumn(
+        "window_start", F.col("window_start").cast("string")
+    )
+    # percentile finisher over the drained bins: the per-group windows
+    # below run over at most 256 bin rows per (window, type) group —
+    # sketch-bounded, never data-sized
+    wg = _W.partitionBy("window_start", "event_type")
+    c = bins.select(
+        "window_start",
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(wg.orderBy("bin").rowsBetween(_W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(wg).alias("n"),
+    )
+    rank = lambda q: F.floor(  # noqa: E731
+        F.lit(q) * (F.col("n") - 1) / F.lit(100)
+    ) + 1
+    return c.groupBy(
+        "window_start", "event_type", F.col("n").cast("long").alias("n_events")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.min(F.when(F.col("cum") >= rank(50), F.col("bin")))
+        .cast("long")
+        .alias("p50_bin"),
+        F.min(F.when(F.col("cum") >= rank(95), F.col("bin")))
+        .cast("long")
+        .alias("p95_bin"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

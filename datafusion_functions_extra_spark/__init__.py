@@ -35,15 +35,23 @@ from .functions.registry import (  # noqa: F401
     all_extra_aggregate_functions,
     register_all,
 )
+from .operators.decontaminate import (  # noqa: F401
+    bench_span_overlap,
+    ngram_overlap_flags,
+)
 from .operators.dedup import dedup_stats, exact_dedup  # noqa: F401
+from .pipeline import CurationConfig, curate_corpus  # noqa: F401
 from .planlint import plan_lint  # noqa: F401
 from .operators.mode import mode_agg  # noqa: F401
 from .operators.similarity import (  # noqa: F401
     ann_cosine_topk,
     cosine_topk,
     embedding_near_dup_pairs,
+    ensure_signatures_table,
+    leakage_safe_split,
     near_dup_clusters,
     near_dup_pairs,
+    near_dup_pairs_from_signatures,
 )
 
 __all__ = [
@@ -63,6 +71,13 @@ __all__ = [
     "cosine_topk",
     "ann_cosine_topk",
     "embedding_near_dup_pairs",
+    "ensure_signatures_table",
+    "near_dup_pairs_from_signatures",
+    "leakage_safe_split",
+    "ngram_overlap_flags",
+    "bench_span_overlap",
+    "curate_corpus",
+    "CurationConfig",
     "plan_lint",
     "__version__",
 ]

@@ -25102,6 +25102,237 @@ def events_streaming_histogram(spark, sf_dir):
     )
 
 
+def _weak_labels_oracle_sql() -> str:
+    quality = (
+        "0.3 * least(1.0, length(norm)::DOUBLE / 500.0)"
+        " + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)"
+        " + 0.3 * (1.0 - least(1.0,"
+        f" abs(len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE"
+        " / len(toks)::DOUBLE - 0.4) / 0.6))"
+    )
+    gopher_keep = (
+        f"(n_words >= {TX.GOPHER_MIN_WORDS}"
+        f" AND n_words <= {TX.GOPHER_MAX_WORDS}"
+        f" AND sum_word_len * 10 >= n_words * {int(TX.GOPHER_MIN_MEAN_WORD_LEN * 10)}"
+        f" AND sum_word_len * 10 <= n_words * {int(TX.GOPHER_MAX_MEAN_WORD_LEN * 10)}"
+        f" AND n_alpha_words * 100 >= n_words * {int(TX.GOPHER_MIN_ALPHA_WORD_FRAC * 100)}"
+        f" AND n_stop_hits >= {TX.GOPHER_MIN_STOP_HITS})"
+    )
+    lf_row = (
+        "SELECT '{name}' AS lf, sum(({l} <> 0)::INT)::BIGINT AS n_voted,"
+        " sum(({l} = 1)::INT)::BIGINT AS n_pos,"
+        " sum(({l} = -1)::INT)::BIGINT AS n_neg,"
+        " round(sum(({l} <> 0)::INT)::DOUBLE / count(*) + 1e-9, 6)"
+        "   AS coverage,"
+        " sum((({l} = 1 AND nneg >= 1) OR ({l} = -1 AND npos >= 1))::INT)"
+        "   ::BIGINT AS conflicts"
+        " FROM c"
+    )
+    rows = " UNION ALL ".join(
+        lf_row.format(name=n, l=l)
+        for n, l in [
+            ("lf_gopher", "l1"),
+            ("lf_quality", "l2"),
+            ("lf_lang", "l3"),
+            ("lf_exact_dup", "l4"),
+        ]
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, text, {_NORM_SQL} AS norm,
+                  {_TOKENS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         list_sum(list_transform(toks, x -> length(x)))::BIGINT AS sum_word_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
+         len(list_filter(toks, x -> x IN ({_STOP_IN})))::BIGINT AS n_stop_hits,
+         ({quality}) AS q,
+         norm, lang
+  FROM t
+),
+scores AS ({_lang_scores_sql()}),
+lp AS (
+  SELECT doc_id, lang AS lang_pred FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang DESC) rn
+    FROM scores
+  ) WHERE rn = 1
+),
+keepers AS (SELECT md5(norm) AS k, min(doc_id) AS keep_id
+            FROM m GROUP BY 1),
+labels AS (
+  SELECT m.doc_id,
+         CASE WHEN {gopher_keep} THEN 1 ELSE -1 END AS l1,
+         CASE WHEN q >= 0.5 THEN 1 WHEN q < 0.3 THEN -1 ELSE 0 END AS l2,
+         CASE WHEN lp.lang_pred = m.lang THEN 1 ELSE -1 END AS l3,
+         CASE WHEN kp.keep_id <> m.doc_id THEN -1 ELSE 0 END AS l4
+  FROM m
+  JOIN lp ON lp.doc_id = m.doc_id
+  JOIN keepers kp ON kp.k = md5(m.norm)
+),
+c AS (
+  SELECT *,
+         (l1 = 1)::INT + (l2 = 1)::INT + (l3 = 1)::INT + (l4 = 1)::INT AS npos,
+         (l1 = -1)::INT + (l2 = -1)::INT + (l3 = -1)::INT + (l4 = -1)::INT AS nneg
+  FROM labels
+)
+SELECT lf, n_voted, n_pos, n_neg, coverage, conflicts,
+       round(CASE WHEN n_voted = 0 THEN 0.0
+                  ELSE conflicts::DOUBLE / n_voted END + 1e-9, 6)
+         AS conflict_rate
+FROM (
+  {rows}
+  UNION ALL
+  SELECT 'majority_vote',
+         sum((npos + nneg > 0)::INT)::BIGINT,
+         sum((npos > nneg)::INT)::BIGINT,
+         sum((nneg > npos)::INT)::BIGINT,
+         round(sum((npos + nneg > 0)::INT)::DOUBLE / count(*) + 1e-9, 6),
+         sum((npos >= 1 AND nneg >= 1)::INT)::BIGINT
+  FROM c
+)
+"""
+
+
+@query("docs_weak_labels", _weak_labels_oracle_sql())
+def docs_weak_labels(spark, sf_dir):
+    """Weak-supervision labeling-function diagnostics (the Snorkel
+    LFAnalysis table, Ratner et al. 2017) over four of the library's own
+    quality signals used as labeling functions — gopher rule battery
+    (votes +1/-1), continuous quality score (+1 above 0.5, -1 below 0.3,
+    abstains between), lang-id agreement with the catalog label (+1/-1),
+    and exact-duplicate status (-1 for non-keepers, abstains otherwise):
+    per LF the coverage (non-abstain fraction), polarity counts, and
+    conflict rate (votes opposed by ANY other LF), plus the
+    majority-vote summary row with its tie/conflict count — the table
+    that decides which weak rules are trustworthy enough to train a
+    quality classifier from, BEFORE any labels are spent.
+
+    One corpus scan computes all four label columns (the lang-id argmax
+    and dup-keeper join are the two pinned sub-pipelines); everything
+    after is a 5-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    g = TX.gopher_quality_rules(d, "text", "doc_id").select(
+        "doc_id", F.col("keep").alias("gk")
+    )
+    q = d.select(
+        "doc_id",
+        "lang",
+        TX.quality_score("text").alias("q"),
+        DD.content_key(F.col("text")).alias("k"),
+        TX.lang_id("text").alias("lang_pred"),
+    )
+    keepers = q.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
+    labels = (
+        q.join(g, "doc_id")
+        .join(F.broadcast(keepers), "k")
+        .select(
+            "doc_id",
+            F.when(F.col("gk"), 1).otherwise(-1).alias("l1"),
+            F.when(F.col("q") >= 0.5, 1)
+            .when(F.col("q") < 0.3, -1)
+            .otherwise(0)
+            .alias("l2"),
+            F.when(F.col("lang_pred") == F.col("lang"), 1)
+            .otherwise(-1)
+            .alias("l3"),
+            F.when(F.col("keep_id") != F.col("doc_id"), -1)
+            .otherwise(0)
+            .alias("l4"),
+        )
+    )
+    c = labels.select(
+        "*",
+        sum(
+            [(F.col(l) == 1).cast("int") for l in ("l1", "l2", "l3", "l4")],
+            F.lit(0),
+        ).alias("npos"),
+        sum(
+            [(F.col(l) == -1).cast("int") for l in ("l1", "l2", "l3", "l4")],
+            F.lit(0),
+        ).alias("nneg"),
+    )
+    aggs = []
+    for name, l in [
+        ("lf_gopher", "l1"),
+        ("lf_quality", "l2"),
+        ("lf_lang", "l3"),
+        ("lf_exact_dup", "l4"),
+    ]:
+        lc = F.col(l)
+        aggs.append(
+            [
+                F.lit(name),
+                F.sum((lc != 0).cast("int")).cast("long"),
+                F.sum((lc == 1).cast("int")).cast("long"),
+                F.sum((lc == -1).cast("int")).cast("long"),
+                _r6n(
+                    F.sum((lc != 0).cast("int")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                F.sum(
+                    (
+                        ((lc == 1) & (F.col("nneg") >= 1))
+                        | ((lc == -1) & (F.col("npos") >= 1))
+                    ).cast("int")
+                ).cast("long"),
+            ]
+        )
+    aggs.append(
+        [
+            F.lit("majority_vote"),
+            F.sum((F.col("npos") + F.col("nneg") > 0).cast("int")).cast(
+                "long"
+            ),
+            F.sum((F.col("npos") > F.col("nneg")).cast("int")).cast("long"),
+            F.sum((F.col("nneg") > F.col("npos")).cast("int")).cast("long"),
+            _r6n(
+                F.sum(
+                    (F.col("npos") + F.col("nneg") > 0).cast("int")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ),
+            F.sum(
+                ((F.col("npos") >= 1) & (F.col("nneg") >= 1)).cast("int")
+            ).cast("long"),
+        ]
+    )
+    flat = []
+    for i, a in enumerate(aggs):
+        flat += [
+            a[0].alias(f"lf_{i}"),
+            a[1].alias(f"nv_{i}"),
+            a[2].alias(f"np_{i}"),
+            a[3].alias(f"nn_{i}"),
+            a[4].alias(f"cov_{i}"),
+            a[5].alias(f"cf_{i}"),
+        ]
+    wide = c.agg(*flat)
+    stack_args = ", ".join(
+        f"lf_{i}, nv_{i}, np_{i}, nn_{i}, cov_{i}, cf_{i}"
+        for i in range(len(aggs))
+    )
+    rows = wide.selectExpr(
+        f"stack({len(aggs)}, {stack_args}) AS "
+        "(lf, n_voted, n_pos, n_neg, coverage, conflicts)"
+    )
+    return rows.select(
+        "lf",
+        "n_voted",
+        "n_pos",
+        "n_neg",
+        "coverage",
+        "conflicts",
+        _r6n(
+            F.when(F.col("n_voted") == 0, F.lit(0.0)).otherwise(
+                F.col("conflicts").cast("double")
+                / F.col("n_voted").cast("double")
+            )
+        ).alias("conflict_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

@@ -25226,7 +25226,10 @@ def docs_weak_labels(spark, sf_dir):
     keepers = q.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
     labels = (
         q.join(g, "doc_id")
-        .join(F.broadcast(keepers), "k")
+        # equi-join on the 128-bit content key, NOT broadcast: keepers is
+        # one row per distinct document content — corpus-sized at scale
+        # (the exact_dedup join discipline)
+        .join(keepers, "k")
         .select(
             "doc_id",
             F.when(F.col("gk"), 1).otherwise(-1).alias("l1"),

@@ -160,15 +160,15 @@ def bench_span_overlap(
     )
 
 
-def bench_span_overlap_oracle_sql(
+def bench_span_overlap_ctes(
     bench_predicate: str, k: int = 3, table: str = "documents",
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB mirror of :func:`bench_span_overlap` over one table split by
-    ``bench_predicate`` (same k-shingling + whole-text fallback as the
-    similarity `_sig_cte`, same islands merge as the span-dedup oracle)."""
-    return f"""
-WITH t AS (SELECT {id_col} AS id, ({bench_predicate}) AS is_bench,
+    """WITH-body CTE chain ending in ``islands(id, s, e, island)`` (plus
+    the token CTE ``t(id, is_bench, norm, toks)``) — shared by the
+    span-overlap oracle and the span-decontamination REBUILD oracle so
+    the two can never walk different span sets."""
+    return f"""t AS (SELECT {id_col} AS id, ({bench_predicate}) AS is_bench,
                   {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks FROM {table}),
 sh AS (
   SELECT id, is_bench,
@@ -203,7 +203,18 @@ islands AS (
          sum(is_new) OVER (PARTITION BY id ORDER BY s
                            ROWS UNBOUNDED PRECEDING) AS island
   FROM flagged
-)
+)"""
+
+
+def bench_span_overlap_oracle_sql(
+    bench_predicate: str, k: int = 3, table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`bench_span_overlap` over one table split by
+    ``bench_predicate`` (same k-shingling + whole-text fallback as the
+    similarity `_sig_cte`, same islands merge as the span-dedup oracle)."""
+    return f"""
+WITH {bench_span_overlap_ctes(bench_predicate, k, table, id_col)}
 SELECT id AS {id_col}, min(s) AS span_start, max(e) AS span_end,
        (max(e) - min(s) + 1) AS n_tokens
 FROM islands GROUP BY id, island

@@ -25336,6 +25336,103 @@ def docs_weak_labels(spark, sf_dir):
     )
 
 
+@query(
+    "docs_span_decontam_rebuild",
+    f"""
+WITH {DECON.bench_span_overlap_ctes(_BENCH_PRED)},
+spans AS (
+  SELECT id, min(s) AS span_start, max(e) AS span_end
+  FROM islands GROUP BY id, island
+),
+toks2 AS (
+  SELECT id, u.p AS pos, u.w AS w FROM (
+    SELECT id,
+           unnest(list_transform(generate_series(1, len(toks)),
+                                 i -> struct_pack(p := i, w := toks[i]))) AS u
+    FROM t WHERE NOT is_bench
+  )
+),
+affected AS (SELECT DISTINCT id FROM spans),
+kept AS (
+  SELECT tk.id, tk.pos, tk.w
+  FROM toks2 tk JOIN affected USING (id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.id = tk.id AND tk.pos >= sp.span_start
+      AND tk.pos <= sp.span_end
+  )
+),
+tot AS (SELECT id, count(*)::BIGINT AS n_total FROM toks2
+        JOIN affected USING (id) GROUP BY 1)
+SELECT tot.id AS doc_id,
+       coalesce(k.n_kept, 0)::BIGINT AS n_tokens_kept,
+       (tot.n_total - coalesce(k.n_kept, 0))::BIGINT AS n_tokens_removed,
+       coalesce(k.clean_md5, md5('')) AS clean_md5
+FROM tot LEFT JOIN (
+  SELECT id, count(*)::BIGINT AS n_kept,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY 1
+) k ON k.id = tot.id
+""",
+)
+def docs_span_decontam_rebuild(spark, sf_dir):
+    """Span-level decontamination with TEXT RECONSTRUCTION — the
+    write-back output of ``docs_bench_span_overlap``: for every training
+    doc that contains a benchmark-leaked span, excise exactly the
+    contaminated token positions and reassemble the surviving text in
+    order (md5-verified), with kept/removed token counts — surgical
+    decontamination that saves the document instead of dropping it (the
+    sentence_dedup_rebuild discipline pointed at the decontamination
+    lane).
+
+    Plan: the span relation is the production operator unchanged; token
+    positions anti-join the spans per doc (equi on doc id + range
+    residual, spans per doc are few); reassembly is an in-row array
+    sort, never a window."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.expr(_BENCH_PRED))
+    train = d.where(~F.expr(_BENCH_PRED))
+    spans = DECON.bench_span_overlap(train, bench).select(
+        F.col("doc_id"), "span_start", "span_end"
+    )
+    toks = train.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "w")
+    affected = spans.select("doc_id").distinct()
+    toks_aff = toks.join(affected, "doc_id")
+    kept = toks_aff.join(
+        spans,
+        (toks_aff["doc_id"] == spans["doc_id"])
+        & (toks_aff["pos"] >= spans["span_start"])
+        & (toks_aff["pos"] <= spans["span_end"]),
+        "left_anti",
+    )
+    tot = toks_aff.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    k = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+    empty_md5 = F.md5(F.lit("").cast("binary"))
+    return tot.join(k, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+        F.coalesce("clean_md5", empty_md5).alias("clean_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation
 # ---------------------------------------------------------------------------

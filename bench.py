@@ -19,6 +19,48 @@ import sys
 import time
 
 
+# Fixed headline subset for the printed one-line JSON: one or two queries
+# per operator family (reference aggregates, TPC-H shapes, dedup/near-dup,
+# embedding ANN, text analysis, curation pipeline, event streams, joins,
+# multimodal, spatial), stable across rounds so the driver's parsed bench
+# numbers are comparable round-over-round.  The full 360-query timings dict
+# goes to BENCH_FULL_LAST.json (see main()).
+HEADLINE = [
+    "lineitem_pricing_summary",
+    "mode_returnflag_global",
+    "max_by_customer_global",
+    "min_by_supplier_global",
+    "skewness_by_returnflag",
+    "kurtosis_totalprice_global",
+    "kurtosis_pop_by_linestatus",
+    "dedup_exact_stats",
+    "near_dup_pairs",
+    "near_dup_components",
+    "simhash_near_dup_pairs",
+    "embedding_cosine_topk",
+    "embedding_ann_topk",
+    "embedding_ivf_topk",
+    "embedding_kmeans_clusters",
+    "text_tfidf_top_terms",
+    "text_bm25_topk",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "docs_leakage_safe_split",
+    "docs_sequence_packing",
+    "corpus_clean_pipeline",
+    "corpus_curation_funnel",
+    "events_sessionization",
+    "events_ohlc_bars",
+    "events_streaming_tumbling",
+    "asof_purchase_attribution",
+    "range_join_errors_in_purchase_sessions",
+    "salted_join_revenue_by_segment",
+    "multimodal_decode_meta",
+    "spatial_dbscan",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -88,7 +130,19 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(result))
+    # Full per-query timings always land in a file tracked in the repo —
+    # the driver's harness keeps only the LAST ~2000 characters of stdout,
+    # and a 360-query timings dict is ~11 kB, so rounds 2-6 recorded
+    # ``parsed: null`` (the one JSON line was truncated mid-dict).  The
+    # printed line therefore carries the suite total plus a fixed headline
+    # subset and must stay under the capture window; the full dict lives in
+    # BENCH_FULL_LAST.json next to this script.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LAST.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(result, f)
+        f.write("\n")
     # optional direct file output: unlike tee-ing stdout, this can never
     # be polluted by stray console writes, so the file always json.load's
     out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
@@ -96,6 +150,23 @@ def main() -> int:
         with open(out, "w") as f:
             json.dump(result, f)
             f.write("\n")
+    headline = {n: timings[n] for n in HEADLINE if n in timings}
+    line_result = {
+        "metric": "suite_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL_LAST.json",
+    }
+    line = json.dumps(line_result)
+    # hard guard: the line MUST fit the driver's 2000-char stdout tail or
+    # it records parsed=null again; drop headline entries until it fits
+    while len(line) > 1900 and headline:
+        headline.pop(next(reversed(headline)))
+        line = json.dumps(line_result)
+    print(line)
     spark.stop()
     return 0
 

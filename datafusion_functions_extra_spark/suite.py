@@ -24721,11 +24721,17 @@ def orders_neyman_allocation(spark, sf_dir):
         F.sum(cents).cast("long").alias("s1"),
         F.sum(cents.cast("decimal(38,0)") * cents).alias("s2"),
     )
+    # two SEQUENTIAL divides, mirroring the oracle's `/ n / n` — dividing
+    # once by the double product n*n is a different IEEE-754 sequence and
+    # can differ by 1 ulp, which the round(sqrt(var)*1e6) boundary would
+    # amplify into a sigma_micro off-by-one between engines
     var = (
-        F.col("n_rows").cast("decimal(38,0)") * F.col("s2")
-        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
-    ).cast("double") / (
-        F.col("n_rows").cast("double") * F.col("n_rows").cast("double")
+        (
+            F.col("n_rows").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        ).cast("double")
+        / F.col("n_rows").cast("double")
+        / F.col("n_rows").cast("double")
     )
     w = s.select(
         "stratum",
@@ -25445,101 +25451,120 @@ def docs_span_decontam_rebuild(spark, sf_dir):
 #: rows so the window keeps advancing until every query has seen the
 #: hard signal.
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # hash-green union of CORRECTNESS_r01..r05.json (195 queries),
+    # hash-green union of CORRECTNESS_r01..r06.json (245 queries),
     # regenerated each round from the driver files themselves:
     #   python3 -c "import json,glob; print(sorted(set().union(*[
     #     {k for k,v in json.load(open(f)).items() if v['hash_match']}
     #     for f in glob.glob('CORRECTNESS_r0*.json')])))"
     "asof_nearest_purchase_to_view", "asof_next_error_after_purchase",
     "asof_purchase_attribution", "best_supplier_per_brand",
-    "brand_basket_lift", "brand_supplier_reach", "brand_value_share_q11",
-    "corpus_clean_pipeline", "corpus_curriculum_phases",
+    "brand_basket_lift", "brand_hhi_by_type", "brand_supplier_reach",
+    "brand_value_share_q11", "corpus_bpe_merges", "corpus_clean_pipeline",
+    "corpus_curation_funnel", "corpus_curriculum_phases",
     "corpus_heaps_curve", "corpus_quality_filter", "corpus_token_budget",
     "corpus_token_entropy", "corpus_unimax_allocation",
     "corpus_zipf_slope", "customer_balance_deciles",
-    "customer_order_count_distribution", "customers_without_orders",
+    "customer_order_count_distribution", "customer_revenue_concentration",
+    "customer_theil_by_nation", "customers_without_orders",
     "dedup_exact_kept_rows", "dedup_exact_stats", "docs_chunks",
     "docs_cross_snapshot_dedup", "docs_decontaminated",
     "docs_dsir_importance", "docs_dup_ngram_coverage",
-    "docs_dup_token_spans", "docs_fuzzy_decontaminated",
-    "docs_gopher_rules", "docs_k_anonymity", "docs_l_diversity",
-    "docs_leakage_safe_split", "docs_perplexity_prune",
-    "docs_sentence_dedup", "docs_sentence_dedup_rebuild",
-    "docs_sequence_packing", "docs_snapshot_diff",
-    "docs_source_cap_sample", "docs_stratified_sample",
-    "docs_streaming_dedup", "docs_temperature_mixture",
-    "docs_train_test_split_counts", "docs_weighted_reservoir",
-    "docs_weighted_sample", "documents_profile",
-    "edit_distance_verified_pairs", "embedding_ann_multiprobe_topk",
+    "docs_dup_token_spans", "docs_flesch_scores",
+    "docs_fuzzy_decontaminated", "docs_gopher_rules", "docs_k_anonymity",
+    "docs_kfold_balance", "docs_l_diversity", "docs_leakage_safe_split",
+    "docs_ngram_novelty", "docs_perplexity_prune", "docs_sentence_dedup",
+    "docs_sentence_dedup_rebuild", "docs_sequence_packing",
+    "docs_snapshot_diff", "docs_source_cap_sample",
+    "docs_stratified_sample", "docs_streaming_dedup", "docs_t_closeness",
+    "docs_temperature_mixture", "docs_train_test_split_counts",
+    "docs_weighted_reservoir", "docs_weighted_sample",
+    "documents_profile", "edit_distance_verified_pairs",
+    "embedding_alignment_uniformity", "embedding_ann_multiprobe_topk",
     "embedding_ann_recall", "embedding_ann_topk", "embedding_cosine_topk",
     "embedding_hard_negatives", "embedding_int8_quant",
     "embedding_ivf_topk", "embedding_kmeans_clusters",
-    "embedding_matryoshka_topk", "embedding_near_dup_pairs",
-    "embedding_pca_top_component", "embedding_pca_two_components",
-    "embedding_prototype_confusion", "embedding_semdedup",
-    "embedding_standardize", "events_anomaly_zscore",
-    "events_cdc_latest_state", "events_cube_counts", "events_ewma",
-    "events_funnel_conversion", "events_gap_fill",
-    "events_hourly_heatmap", "events_join_size_estimate",
-    "events_moving_avg", "events_multi_touch_attribution",
-    "events_new_users_daily", "events_ohlc_bars", "events_pii_scrub",
-    "events_props_json", "events_robust_zscore_mad",
-    "events_rolling_distinct_users", "events_scd2_intervals",
+    "embedding_kmeans_silhouette", "embedding_knn_label_eval",
+    "embedding_knn_outliers", "embedding_matryoshka_topk",
+    "embedding_near_dup_pairs", "embedding_pca_top_component",
+    "embedding_pca_two_components", "embedding_pq_topk",
+    "embedding_prototype_confusion", "embedding_rp_distortion",
+    "embedding_semdedup", "embedding_standardize", "event_type_welch_t",
+    "events_acf", "events_anomaly_zscore", "events_burstiness",
+    "events_cdc_latest_state", "events_cube_counts",
+    "events_did_estimate", "events_dow_seasonality_strength",
+    "events_ewma", "events_funnel_conversion", "events_gap_fill",
+    "events_holt_winters", "events_hourly_heatmap",
+    "events_join_size_estimate", "events_lagged_cross_correlation",
+    "events_mann_kendall_sen", "events_moving_avg",
+    "events_multi_touch_attribution", "events_new_users_daily",
+    "events_neyman_allocation", "events_ohlc_bars",
+    "events_pettitt_changepoint", "events_pii_scrub", "events_props_json",
+    "events_robust_zscore_mad", "events_rolling_distinct_users",
+    "events_scd2_intervals", "events_seasonal_anomalies",
     "events_session_top_paths", "events_session_window_native",
     "events_sessionization", "events_sliding_windows",
     "events_streaming_cms", "events_streaming_hll",
     "events_streaming_interval_join", "events_streaming_moments",
-    "events_streaming_sessions", "events_streaming_sliding",
-    "events_streaming_tumbling", "events_tumbling_hourly",
+    "events_streaming_ohlc", "events_streaming_sessions",
+    "events_streaming_sliding", "events_streaming_tumbling",
+    "events_tumbling_hourly", "events_type_entropy_rate",
     "events_type_transitions", "events_user_trend",
     "events_value_histogram", "events_window_dedup", "events_zorder_keys",
-    "flagship_lineitem_profile", "forecast_revenue_change",
+    "flagship_lineitem_profile", "forecast_revenue_change", "hll_set_ops",
     "hll_users_by_type", "hybrid_rrf_topk", "kurtosis_events_by_type",
     "kurtosis_pop_by_linestatus", "kurtosis_pop_quantity_global",
     "kurtosis_totalprice_global", "lang_id_confusion", "lang_id_kappa",
-    "lineitem_pricing_summary", "lineitem_rollup_totals",
-    "lineitem_small_quantity_revenue", "lineitem_status_priority_counts",
-    "lineitem_winsorized_stats", "max_by_customer_global",
-    "max_by_orders_by_priority", "max_by_part_by_brand",
-    "min_by_lineitem_by_returnflag", "min_by_supplier_global",
-    "mode_events_ts_by_type", "mode_events_value_global",
-    "mode_linenumber_by_returnflag", "mode_mktsegment_by_nation",
-    "mode_orderdate_by_priority", "mode_quantity_global",
-    "mode_returnflag_global", "mode_shipdate_by_linestatus",
-    "multimodal_decode_meta", "multimodal_frame_samples",
-    "multimodal_png_dims", "multimodal_sniff_stats",
-    "nation_market_share", "near_dup_clusters", "near_dup_components",
-    "near_dup_degree_hist", "near_dup_eval_metrics",
-    "near_dup_incremental_pairs", "near_dup_pagerank", "near_dup_pairs",
-    "near_dup_pairs_staged", "near_dup_rate_by_source",
-    "near_dup_threshold_curve", "near_dup_triangles",
-    "ngram_containment_pairs", "ngram_jaccard_pairs",
-    "orders_active_daily", "orders_bloom_semi_probe",
-    "orders_large_volume_customers", "orders_pivot_status",
-    "orders_priority_late_ship", "orders_revenue_growth_mom",
+    "lang_id_mcnemar", "lang_source_chi2", "lineitem_correlation_matrix",
+    "lineitem_ks_returned_price", "lineitem_pricing_summary",
+    "lineitem_rollup_totals", "lineitem_simpson_slopes",
+    "lineitem_small_quantity_revenue", "lineitem_spearman_rho",
+    "lineitem_status_priority_counts", "lineitem_winsorized_stats",
+    "max_by_customer_global", "max_by_orders_by_priority",
+    "max_by_part_by_brand", "min_by_lineitem_by_returnflag",
+    "min_by_supplier_global", "mode_events_ts_by_type",
+    "mode_events_value_global", "mode_linenumber_by_returnflag",
+    "mode_mktsegment_by_nation", "mode_orderdate_by_priority",
+    "mode_quantity_global", "mode_returnflag_global",
+    "mode_shipdate_by_linestatus", "multimodal_decode_meta",
+    "multimodal_frame_samples", "multimodal_png_dims",
+    "multimodal_sniff_stats", "nation_market_share", "near_dup_clusters",
+    "near_dup_components", "near_dup_degree_hist",
+    "near_dup_eval_metrics", "near_dup_incremental_pairs",
+    "near_dup_pagerank", "near_dup_pairs", "near_dup_pairs_staged",
+    "near_dup_rate_by_source", "near_dup_threshold_curve",
+    "near_dup_triangles", "ngram_containment_pairs",
+    "ngram_jaccard_pairs", "orders_active_daily", "orders_benford_digits",
+    "orders_bloom_semi_probe", "orders_bootstrap_ci",
+    "orders_functional_dependencies", "orders_incremental_view_merge",
+    "orders_interarrival_cadence", "orders_large_volume_customers",
+    "orders_pivot_status", "orders_priority_late_ship",
+    "orders_revenue_growth_mom", "orders_rolling_median_revenue",
     "orders_ship_latency_percentiles", "parts_name_matches",
     "parts_pareto_frontier", "parts_promo_revenue",
     "prefix_filter_jaccard_pairs", "price_quantiles_binned",
     "price_quantiles_by_returnflag", "profit_by_nation_year",
     "promo_revenue_share", "quality_calibration_bins",
-    "range_join_errors_in_purchase_sessions",
-    "regional_local_supplier_revenue", "returned_item_customer_revenue",
-    "revenue_by_region_nation", "rich_customers_without_orders",
-    "salted_join_revenue_by_segment", "sessions_incident_overlap",
-    "simhash_fingerprints", "simhash_near_dup_pairs",
-    "simhash_near_dup_pairs_staged", "skewness_by_returnflag",
-    "skewness_extendedprice_global", "source_lang_kl_drift",
-    "source_length_psi", "source_overlap_jaccard",
+    "quality_neardup_auc", "range_join_errors_in_purchase_sessions",
+    "referential_integrity_audit", "regional_local_supplier_revenue",
+    "returned_item_customer_revenue", "revenue_by_region_nation",
+    "rich_customers_without_orders", "salted_join_revenue_by_segment",
+    "sessions_incident_overlap", "simhash_fingerprints",
+    "simhash_near_dup_pairs", "simhash_near_dup_pairs_staged",
+    "skewness_by_returnflag", "skewness_extendedprice_global",
+    "source_lang_kl_drift", "source_length_psi", "source_overlap_jaccard",
     "stats_profile_by_returnflag", "suppliers_dominant_part_share_q20",
     "suppliers_sole_return_blame", "suppliers_with_returned_items",
     "text_bigram_logprob", "text_bm25_topk", "text_encoding_anomalies",
     "text_fingerprints", "text_lang_id", "text_oov_rate",
-    "text_pmi_collocations", "text_quality_scores",
-    "text_repetition_scores", "text_tfidf_top_terms", "text_token_counts",
-    "text_top_terms", "text_unigram_logprob", "text_vocabulary",
-    "token_cms_estimates", "top_building_orders",
-    "top_orders_per_segment", "top_revenue_suppliers",
-    "user_cohort_retention", "volume_shipping_nation_pairs"
+    "text_pmi_collocations", "text_quality_scores", "text_rake_keywords",
+    "text_repetition_scores", "text_textrank_keywords",
+    "text_tfidf_top_terms", "text_token_counts", "text_top_terms",
+    "text_unigram_logprob", "text_vocabulary", "token_cms_estimates",
+    "top_building_orders", "top_orders_per_segment",
+    "top_revenue_suppliers", "user_cohort_retention",
+    "users_growth_accounting", "users_hrw_shards", "users_rfm_segments",
+    "users_survival_curve", "volume_shipping_nation_pairs",
+    "weekly_user_bitmap_distinct"
 })
 
 
@@ -25563,11 +25588,11 @@ def _rotate_for_driver_window() -> None:
     (the ``1e-9`` nudge literal in the oracle SQL is the marker)."""
     global QUERIES, ORACLES
     rows_only = {"price_quantiles_approx", "approx_distinct_users"}
-    # r06: the round-6 verdict asked for the pipeline+signature-stage
-    # composition itself to earn a driver hash this round; it registers
-    # last, so without head priority it would queue behind all 153
-    # carryovers and miss the ~50-slot window (costs one carryover slot)
-    priority_head = {"corpus_curation_funnel"}
+    # r07: corpus_curation_funnel earned its driver hash in r06 (the
+    # regenerated verified set picks it up), so no query needs head
+    # priority this round; the mechanism stays for future rounds where a
+    # late-registering query must land inside the ~50-slot window
+    priority_head: set[str] = set()
     order = sorted(
         QUERIES,
         key=lambda n: (

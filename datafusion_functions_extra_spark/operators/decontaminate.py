@@ -112,7 +112,9 @@ def bench_span_overlap(
     per-document islands window (bounded by doc length, never
     corpus-sized).  Positions are 1-based inclusive token indexes; docs
     shorter than ``k`` tokens participate via the whole-text fallback
-    shingle (the corpus-wide convention of ``_shingles_or_whole``)."""
+    shingle (the corpus-wide convention of ``_shingles_or_whole``), with
+    ``span_end``/``n_tokens`` clamped to the document's actual token
+    count so the span never overstates how much text to excise."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     from ..functions.text import SHINGLE_WORDS  # noqa: PLC0415
@@ -123,18 +125,29 @@ def bench_span_overlap(
             f"bench_span_overlap is pinned to the corpus shingle width "
             f"{SHINGLE_WORDS} (_shingles_or_whole); got k={k}"
         )
+    from ..functions.text import tokens as _tokens  # noqa: PLC0415
+
     pos = (
         train.select(
             F.col(id_col),
+            F.size(_tokens(F.col(text_col))).alias("n_toks"),
             F.posexplode(_shingles_or_whole(F.col(text_col))).alias("p0", "h"),
         )
-        .select(F.col(id_col), (F.col("p0") + 1).alias("s"), "h")
+        .select(F.col(id_col), "n_toks", (F.col("p0") + 1).alias("s"), "h")
     )
     bsh = bench.select(
         F.explode(_shingles_or_whole(F.col(text_col))).alias("h")
     ).distinct()
+    # clamp span_end to the document's token count: a doc shorter than k
+    # tokens matches via the whole-text fallback shingle, and an
+    # unclamped s+k-1 would report span_end=k / n_tokens=k beyond the
+    # doc's actual length (an external consumer sizing an excision from
+    # n_tokens would over-cut); for docs with >= k tokens the clamp is a
+    # no-op (s <= n_toks-k+1 by construction)
     hits = pos.join(F.broadcast(bsh), "h").select(
-        F.col(id_col), "s", (F.col("s") + k - 1).alias("e")
+        F.col(id_col),
+        "s",
+        F.least(F.col("s") + k - 1, F.col("n_toks")).alias("e"),
     )
     w = Window.partitionBy(id_col).orderBy("s")
     flagged = hits.withColumn(
@@ -171,7 +184,7 @@ def bench_span_overlap_ctes(
     return f"""t AS (SELECT {id_col} AS id, ({bench_predicate}) AS is_bench,
                   {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks FROM {table}),
 sh AS (
-  SELECT id, is_bench,
+  SELECT id, is_bench, len(toks) AS n_toks,
          CASE WHEN len(toks) >= {k}
               THEN list_transform(generate_series(1, len(toks) - {k - 1}),
                                   i -> array_to_string(toks[i:i+{k - 1}], ' '))
@@ -179,8 +192,8 @@ sh AS (
   FROM t
 ),
 pos AS (
-  SELECT id, u.s AS s, u.sh AS h FROM (
-    SELECT id,
+  SELECT id, n_toks, u.s AS s, u.sh AS h FROM (
+    SELECT id, n_toks,
            unnest(list_transform(generate_series(1, len(shingles)),
                                  i -> struct_pack(s := i, sh := shingles[i]))) AS u
     FROM sh WHERE NOT is_bench
@@ -188,7 +201,7 @@ pos AS (
 ),
 be AS (SELECT DISTINCT unnest(shingles) AS h FROM sh WHERE is_bench),
 hits AS (
-  SELECT pos.id, pos.s, pos.s + {k - 1} AS e
+  SELECT pos.id, pos.s, least(pos.s + {k - 1}, pos.n_toks) AS e
   FROM pos JOIN be USING (h)
 ),
 flagged AS (

@@ -44,6 +44,29 @@ class CurationConfig:
     fuzzy_decontam_threshold: float = 0.5
     text_col: str = "text"
     id_col: str = "doc_id"
+    #: identifies the input corpus snapshot for the signature stage's
+    #: idempotency marker (table version / snapshot id on a lakehouse).
+    #: Empty = derive one from the exact-dedup stage this run just wrote
+    #: (file names+sizes+mtimes), so re-running against a DIFFERENT
+    #: corpus with the same ``out_dir`` rebuilds signatures instead of
+    #: silently reusing the stale stage.
+    snapshot_token: str = ""
+
+
+def _content_snapshot_token(df: DataFrame, text_col: str, id_col: str) -> str:
+    """Deterministic token for the corpus a signature stage is built
+    from: (row count, order-independent bit-XOR of xxhash64(id, text)).
+    Content-derived — NOT file mtimes — so re-running the pipeline over
+    the same corpus reuses the amortized signature stage, while any
+    change to the corpus (different rows, edited text, different ids)
+    yields a new token and forces a rebuild.  XOR, not SUM: it commutes
+    the same way but cannot overflow under ANSI mode.  One columnar scan
+    of the two key columns; local stand-in for a lakehouse version."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("h"),
+    ).collect()[0]
+    return f"snap-{row['n']}-{row['h']}"
 
 
 def curate_corpus(
@@ -87,14 +110,20 @@ def curate_corpus(
     kept.write.mode("overwrite").parquet(os.path.join(out_dir, "exact_dedup.parquet"))
     kept = spark.read.parquet(os.path.join(out_dir, "exact_dedup.parquet"))
 
-    # 3. near-dup dedup from the persistent signature stage (min-id keep)
+    # 3. near-dup dedup from the persistent signature stage (min-id keep).
+    # The snapshot token is derived from the exact-dedup stage just
+    # written (or supplied via config on a real lakehouse), never a
+    # constant: a constant token would make a re-run against a changed
+    # corpus in the same out_dir reuse STALE signatures, poisoning
+    # near-dup dedup, fuzzy decontamination, and the leakage-safe split.
     sigs = SIM.ensure_signatures_table(
         spark,
         kept,
         os.path.join(out_dir, "signatures.parquet"),
         text_col=c.text_col,
         id_col=c.id_col,
-        source_token="curate-v1",
+        source_token=c.snapshot_token
+        or _content_snapshot_token(kept, c.text_col, c.id_col),
     )
     pairs = SIM.near_dup_pairs_from_signatures(
         sigs, c.id_col, threshold=c.near_dup_threshold

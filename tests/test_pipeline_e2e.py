@@ -57,3 +57,33 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_curate_corpus_snapshot_token_invalidates_stale_signatures(
+    spark, tmp_path
+):
+    """Re-running curate_corpus against a DIFFERENT corpus with the same
+    out_dir must rebuild the signature stage (content-derived snapshot
+    token), not silently reuse the previous corpus's fingerprints."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CurationConfig(languages=("en", "de", "fr", "es", "zh"))
+    out = str(tmp_path / "curated")
+
+    corpus_a = docs.limit(200)
+    curate_corpus(spark, corpus_a, None, out, cfg)
+    sig_path = os.path.join(out, "signatures.parquet")
+    n_a = spark.read.parquet(sig_path).count()
+    markers_a = {f for f in os.listdir(sig_path) if f.startswith("_stage_token_")}
+
+    # same corpus, same out_dir: the stage is REUSED (amortization holds)
+    curate_corpus(spark, corpus_a, None, out, cfg)
+    markers_a2 = {f for f in os.listdir(sig_path) if f.startswith("_stage_token_")}
+    assert markers_a2 == markers_a
+
+    # different corpus, same out_dir: the stage is REBUILT
+    corpus_b = docs.limit(400)
+    curate_corpus(spark, corpus_b, None, out, cfg)
+    n_b = spark.read.parquet(sig_path).count()
+    markers_b = {f for f in os.listdir(sig_path) if f.startswith("_stage_token_")}
+    assert markers_b - markers_a  # a new snapshot token was written
+    assert n_b != n_a  # signatures now fingerprint corpus B, not A

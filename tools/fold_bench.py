@@ -38,6 +38,16 @@ def main() -> int:
     med = json.load(open(args.medians))
     known = med["queries"]
     re_medianed = sorted(n for n in args.re_median.split(",") if n)
+    # every re-median name must have a fresh measurement in at least one
+    # supplied run — otherwise the pop would silently DELETE the query
+    # from the baseline (typo, or the query wasn't re-timed) while the
+    # provenance note claims it was re-medianed
+    supplied = {q for r in runs for q in r["queries"]}
+    missing = [q for q in re_medianed if q not in supplied]
+    if missing:
+        raise SystemExit(
+            f"--re-median names absent from every supplied run: {missing}"
+        )
     for q in re_medianed:
         known.pop(q, None)
     new_names = sorted({q for r in runs for q in r["queries"]} - set(known))

@@ -25443,6 +25443,848 @@ def docs_span_decontam_rebuild(spark, sf_dir):
 # driver-window rotation
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# round-7 additions
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_cdc_chunks",
+    f"""
+WITH {_PAYLOAD_CTE},
+{MM.cdc_chunks_sql()},
+mm AS (SELECT doc_id AS id, {MM.sniff_mime_sql()} AS mime FROM p),
+per AS (
+  SELECT mime, chunk_hash,
+         max(chunk_bytes) AS chunk_bytes, count(*)::BIGINT AS cnt
+  FROM chunk JOIN mm USING (id) GROUP BY 1, 2
+)
+SELECT mime,
+       sum(cnt)::BIGINT AS n_chunks,
+       count(*)::BIGINT AS n_unique_chunks,
+       sum(cnt * chunk_bytes)::BIGINT AS total_bytes,
+       sum(chunk_bytes)::BIGINT AS unique_bytes,
+       {{_r6n_sql_dedup}} AS dedup_ratio,
+       {{_r6n_sql_mean}} AS mean_chunk_bytes
+FROM per GROUP BY 1
+""".format(
+        _r6n_sql_dedup=_r6n_sql(
+            "sum(chunk_bytes)::DOUBLE / sum(cnt * chunk_bytes)"
+        ),
+        _r6n_sql_mean=_r6n_sql("sum(cnt * chunk_bytes)::DOUBLE / sum(cnt)"),
+    ),
+)
+def multimodal_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup over the binary payload column
+    (Muthitacharoen et al. 2001, LBFS): split every payload at rolling
+    content-determined boundaries, hash each chunk, and report the
+    storage-dedup profile per sniffed mime type — chunk counts, unique
+    chunks, bytes before/after chunk-level dedup, the dedup ratio, and
+    the realized mean chunk size.  The multimodal complement of the text
+    near-dup family: shared binary segments (common container headers,
+    repeated content) dedup across documents even at different byte
+    offsets, which fixed-size blocking cannot do.
+
+    Plan: chunking is pure in-row expression work (hex -> boundary
+    filter -> chunk transform -> explode) inside whole-stage codegen;
+    only (id, chunk_hash, chunk_bytes) rows shuffle, twice map-side
+    combined (per (mime, hash), then per mime) — raw payloads never
+    leave the scan stage.  At 100 TB the chunk-identity relation is the
+    dedup index a storage layer would persist."""
+    p = _payload_df(spark, sf_dir).withColumn(
+        "mime", MM.sniff_mime(F.col("payload"))
+    )
+    # mime rides through the chunker (keep_cols), so the documents scan
+    # happens once and no chunk->payload join ever materializes
+    ch = MM.cdc_chunks(p, "payload", "doc_id", keep_cols=("mime",))
+    per = ch.groupBy("mime", "chunk_hash").agg(
+        F.max("chunk_bytes").alias("chunk_bytes"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    tot_b = F.sum(F.col("cnt") * F.col("chunk_bytes"))
+    return per.groupBy("mime").agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        tot_b.cast("long").alias("total_bytes"),
+        F.sum("chunk_bytes").cast("long").alias("unique_bytes"),
+        _r6n(F.sum("chunk_bytes").cast("double") / tot_b).alias("dedup_ratio"),
+        _r6n(tot_b.cast("double") / F.sum("cnt")).alias("mean_chunk_bytes"),
+    )
+
+
+
+_HURST_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS idx, v
+  FROM hourly
+),
+b AS (
+  SELECT s.event_type, n.n, s.idx, s.v,
+         ((s.idx - 1) // n.n) AS blk
+  FROM s, (SELECT unnest([8, 16, 32, 64]) AS n) n
+),
+w1 AS (
+  SELECT *,
+         sum(v) OVER p AS s1,
+         count(*) OVER p AS cnt,
+         sum(v::HUGEINT * v) OVER p AS s2
+  FROM b
+  WINDOW p AS (PARTITION BY event_type, n, blk)
+),
+cd AS (
+  SELECT *,
+         sum(v * n - s1) OVER (PARTITION BY event_type, n, blk ORDER BY idx
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM w1 WHERE cnt = n
+),
+blkagg AS (
+  SELECT event_type, n, blk,
+         max(cum) - min(cum) AS r_scaled,
+         any_value(n::HUGEINT * s2 - s1::HUGEINT * s1) AS q
+  FROM cd GROUP BY 1, 2, 3
+),
+rs AS (
+  SELECT event_type, n,
+         CAST(round(r_scaled::DOUBLE / sqrt(q::DOUBLE) * 1e6) AS BIGINT)
+           AS rs_micro
+  FROM blkagg WHERE q > 0
+),
+pern AS (
+  SELECT event_type, n,
+         log2(sum(rs_micro)::DOUBLE / count(*)) AS y
+  FROM rs GROUP BY 1, 2
+),
+piv AS (
+  SELECT event_type,
+         max(CASE WHEN n = 8 THEN y END) AS y8,
+         max(CASE WHEN n = 16 THEN y END) AS y16,
+         max(CASE WHEN n = 32 THEN y END) AS y32,
+         max(CASE WHEN n = 64 THEN y END) AS y64
+  FROM pern GROUP BY 1
+),
+nh AS (SELECT event_type, max(idx)::BIGINT AS n_hours FROM s GROUP BY 1)
+SELECT piv.event_type,
+       nh.n_hours,
+       {_r6n_sql("(1.5 * (y64 - y8) + 0.5 * (y32 - y16)) / 5")} AS hurst
+FROM piv JOIN nh USING (event_type)
+WHERE y8 IS NOT NULL AND y16 IS NOT NULL AND y32 IS NOT NULL
+  AND y64 IS NOT NULL
+"""
+
+
+@query("events_hurst_exponent", _HURST_ORACLE)
+def events_hurst_exponent(spark, sf_dir):
+    """Hurst exponent per event type via classical rescaled-range (R/S)
+    analysis (Hurst 1951; Mandelbrot & Wallis 1969): slice each type's
+    hourly mean-value series into blocks of 8/16/32/64 hours, compute
+    each full block's range of cumulative mean-deviations over its
+    population std, average R/S per block size, and fit log2(R/S)
+    against log2(n) — H≈0.5 is a memoryless series, H>0.5 long-range
+    persistence (trending load), H<0.5 mean reversion.  The capacity-
+    planning statistic for whether traffic burstiness self-averages or
+    compounds with horizon.
+
+    Determinism: hourly means snap to micro units, every within-block
+    deviation (v·n − Σv) and cumulative sum is EXACT integer arithmetic
+    (Σv² in 128-bit), R/S touches doubles only in the final
+    R/sqrt(n·Σv²−s1²) — an identical expression both engines — and is
+    immediately re-snapped to micro before the cross-block average; the
+    4-point regression is an explicit pivot expression (x values are the
+    constants 3,4,5,6), never an order-dependent aggregate.
+
+    Plan: one map-side-combined hourly aggregate (the only data-sized
+    shuffle), then all windows are partitioned by (type, n, block) —
+    ≤64 rows each — or bounded by the calendar-hour domain."""
+    from pyspark.sql import Window as _W
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.round(F.avg("value") * 1e6).cast("long").alias("v"))
+    s = hourly.select(
+        "event_type",
+        F.row_number()
+        .over(_W.partitionBy("event_type").orderBy("hr"))
+        .alias("idx"),
+        "v",
+    )
+    sizes = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64))).alias("n")
+    )
+    b = s.crossJoin(F.broadcast(sizes)).withColumn(
+        "blk", F.floor((F.col("idx") - 1) / F.col("n"))
+    )
+    p = _W.partitionBy("event_type", "n", "blk")
+    w1 = (
+        b.withColumn("s1", F.sum("v").over(p))
+        .withColumn("cnt", F.count(F.lit(1)).over(p))
+        .withColumn(
+            "s2", F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).over(p)
+        )
+        .where(F.col("cnt") == F.col("n"))
+    )
+    cd = w1.withColumn(
+        "cum",
+        F.sum(F.col("v") * F.col("n") - F.col("s1")).over(
+            p.orderBy("idx").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        ),
+    )
+    blkagg = cd.groupBy("event_type", "n", "blk").agg(
+        (F.max("cum") - F.min("cum")).alias("r_scaled"),
+        F.first(
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        ).alias("q"),
+    )
+    rs = blkagg.where(F.col("q") > 0).select(
+        "event_type",
+        "n",
+        F.round(
+            F.col("r_scaled").cast("double")
+            / F.sqrt(F.col("q").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("rs_micro"),
+    )
+    pern = rs.groupBy("event_type", "n").agg(
+        F.log2(F.sum("rs_micro").cast("double") / F.count(F.lit(1))).alias("y")
+    )
+    piv = pern.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("n") == k, F.col("y"))).alias(f"y{k}")
+            for k in (8, 16, 32, 64)
+        ]
+    )
+    nh = s.groupBy("event_type").agg(F.max("idx").cast("long").alias("n_hours"))
+    return (
+        piv.join(nh, "event_type")
+        .where(
+            F.col("y8").isNotNull()
+            & F.col("y16").isNotNull()
+            & F.col("y32").isNotNull()
+            & F.col("y64").isNotNull()
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            _r6n(
+                (
+                    1.5 * (F.col("y64") - F.col("y8"))
+                    + 0.5 * (F.col("y32") - F.col("y16"))
+                )
+                / 5
+            ).alias("hurst"),
+        )
+    )
+
+
+
+@query(
+    "events_sax_motifs",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS idx, v
+  FROM hourly
+),
+paa AS (
+  SELECT event_type, (idx - 1) // 4 AS frame, sum(v) AS pv,
+         count(*) AS cnt
+  FROM s GROUP BY 1, 2 HAVING count(*) = 4
+),
+sym AS (
+  SELECT event_type, frame,
+         ntile(4) OVER (PARTITION BY event_type ORDER BY pv, frame) AS sy
+  FROM paa
+),
+words AS (
+  SELECT event_type,
+         sy::VARCHAR
+         || lead(sy, 1) OVER w::VARCHAR
+         || lead(sy, 2) OVER w::VARCHAR AS word
+  FROM sym
+  WINDOW w AS (PARTITION BY event_type ORDER BY frame)
+),
+wc AS (
+  SELECT event_type, word, count(*)::BIGINT AS n_occ
+  FROM words WHERE word IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, rk, word, n_occ FROM (
+  SELECT event_type, word, n_occ,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n_occ DESC, word ASC)::BIGINT AS rk
+  FROM wc
+) WHERE rk <= 3
+""",
+)
+def events_sax_motifs(spark, sf_dir):
+    """Top time-series motifs per event type via SAX — Symbolic Aggregate
+    approXimation (Lin et al. 2003): PAA-compress each type's hourly
+    mean series into 4-hour frames, quantize frame means into quartile
+    symbols 1-4 (rank-based breakpoints, frame-index tie-break), slide a
+    3-symbol window into words, and report each type's three most
+    frequent words — the recurring intraday shapes ("ramp-up", "spike-
+    decay") that motif discovery and anomaly screens key on, computed
+    relationally instead of via the usual per-series Python loop.
+
+    Integer/string-exact end to end: micro-snapped hourly means, integer
+    PAA sums (the /4 is a rank-invariant constant, so it is never
+    divided), ntile + lead + count are order-deterministic on both
+    engines — no float crosses the output.
+
+    Plan: one data-sized hourly aggregate; every window afterwards is
+    partitioned per type and bounded by the calendar (≤ hours/4
+    frames)."""
+    from pyspark.sql import Window as _W
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.round(F.avg("value") * 1e6).cast("long").alias("v"))
+    s = hourly.select(
+        "event_type",
+        F.row_number()
+        .over(_W.partitionBy("event_type").orderBy("hr"))
+        .alias("idx"),
+        "v",
+    )
+    paa = (
+        s.groupBy("event_type", F.floor((F.col("idx") - 1) / 4).alias("frame"))
+        .agg(F.sum("v").alias("pv"), F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == 4)
+    )
+    sym = paa.select(
+        "event_type",
+        "frame",
+        F.ntile(4)
+        .over(_W.partitionBy("event_type").orderBy("pv", "frame"))
+        .alias("sy"),
+    )
+    w = _W.partitionBy("event_type").orderBy("frame")
+    words = sym.select(
+        "event_type",
+        F.concat(
+            F.col("sy").cast("string"),
+            F.lead("sy", 1).over(w).cast("string"),
+            F.lead("sy", 2).over(w).cast("string"),
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    wc = words.groupBy("event_type", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    ranked = wc.select(
+        "event_type",
+        F.row_number()
+        .over(
+            _W.partitionBy("event_type").orderBy(
+                F.col("n_occ").desc(), F.col("word").asc()
+            )
+        )
+        .cast("long")
+        .alias("rk"),
+        "word",
+        "n_occ",
+    )
+    return ranked.where(F.col("rk") <= 3)
+
+
+
+_GRANGER_ORACLE = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+cnts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+ser AS (
+  SELECT t.event_type, g.hr, coalesce(c.c, 0) AS c,
+         lag(coalesce(c.c, 0)) OVER (PARTITION BY t.event_type ORDER BY g.hr)
+           AS c_prev
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN cnts c ON c.event_type = t.event_type AND c.hr = g.hr
+),
+obs AS (
+  SELECT eff.event_type AS effect, cse.event_type AS cause,
+         eff.c AS y, eff.c_prev AS z1, cse.c_prev AS z2
+  FROM ser eff JOIN ser cse ON eff.hr = cse.hr
+  WHERE eff.event_type <> cse.event_type AND eff.c_prev IS NOT NULL
+),
+mom AS (
+  SELECT cause, effect,
+         count(*)::BIGINT AS t_obs,
+         sum(y)::DOUBLE AS sy, sum(z1)::DOUBLE AS s1, sum(z2)::DOUBLE AS s2,
+         sum(y::HUGEINT * y)::DOUBLE AS syy,
+         sum(z1::HUGEINT * z1)::DOUBLE AS s11,
+         sum(z2::HUGEINT * z2)::DOUBLE AS s22,
+         sum(z1::HUGEINT * y)::DOUBLE AS s1y,
+         sum(z2::HUGEINT * y)::DOUBLE AS s2y,
+         sum(z1::HUGEINT * z2)::DOUBLE AS s12
+  FROM obs GROUP BY 1, 2
+),
+cc AS (
+  SELECT cause, effect, t_obs,
+         t_obs * syy - sy * sy AS cyy,
+         t_obs * s11 - s1 * s1 AS c11,
+         t_obs * s22 - s2 * s2 AS c22,
+         t_obs * s1y - s1 * sy AS c1y,
+         t_obs * s2y - s2 * sy AS c2y,
+         t_obs * s12 - s1 * s2 AS c12
+  FROM mom
+),
+fstat AS (
+  SELECT cause, effect, t_obs,
+         (cyy - c1y * c1y / c11) AS rss_r,
+         (cyy - (c1y * c1y * c22 - 2 * c1y * c2y * c12 + c2y * c2y * c11)
+                / (c11 * c22 - c12 * c12)) AS rss_u
+  FROM cc
+  WHERE c11 > 0 AND (c11 * c22 - c12 * c12) > 0
+)
+SELECT cause, effect, t_obs,
+       {_r6n_sql("(rss_r - rss_u) * (t_obs - 3) / rss_u")} AS f_stat
+FROM fstat WHERE rss_u > 0
+"""
+
+
+@query("events_granger_lag1", _GRANGER_ORACLE)
+def events_granger_lag1(spark, sf_dir):
+    """Pairwise Granger causality (lag 1) between event-type arrival
+    series (Granger 1969): for every ordered type pair, regress the
+    effect type's hourly count on its own previous hour (restricted)
+    and on its own AND the cause type's previous hour (unrestricted),
+    and report the F statistic of the added lag — the screen for "does
+    type A's traffic help predict type B's" that incident-correlation
+    and leading-indicator dashboards run on.
+
+    Closed-form OLS from moment sums: the series is the zero-filled
+    calendar-hour grid (so both engines see identical observations),
+    all sums are over exact integer counts and cast to double once;
+    RSS_r, RSS_u and F are fixed expression trees — no iterative
+    fitting, no order-dependent reduction.  F = (RSS_r−RSS_u)·(T−3)/
+    RSS_u (the T factors of the centered-moment form cancel).
+
+    Plan: one map-side-combined (type, hour) count aggregate; the grid
+    cross-join and the pair self-join are calendar×|types| sized —
+    broadcast-friendly at any corpus scale; the data-sized scan happens
+    exactly once."""
+    from pyspark.sql import Window as _W
+
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    types = e.select("event_type").distinct()
+    cnts = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ser = (
+        grid.crossJoin(F.broadcast(types))
+        .join(cnts, ["event_type", "hr"], "left")
+        .select("event_type", "hr", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .withColumn(
+            "c_prev",
+            F.lag("c").over(_W.partitionBy("event_type").orderBy("hr")),
+        )
+    )
+    eff = ser.select(
+        F.col("event_type").alias("effect"),
+        "hr",
+        F.col("c").alias("y"),
+        F.col("c_prev").alias("z1"),
+    ).where(F.col("z1").isNotNull())
+    cse = ser.select(
+        F.col("event_type").alias("cause"),
+        "hr",
+        F.col("c_prev").alias("z2"),
+    )
+    obs = eff.join(cse, "hr").where(F.col("effect") != F.col("cause"))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    mom = obs.groupBy("cause", "effect").agg(
+        F.count(F.lit(1)).cast("long").alias("t_obs"),
+        dbl(F.sum("y")).alias("sy"),
+        dbl(F.sum("z1")).alias("s1"),
+        dbl(F.sum("z2")).alias("s2"),
+        dbl(F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))).alias("syy"),
+        dbl(F.sum(F.col("z1").cast("decimal(38,0)") * F.col("z1"))).alias("s11"),
+        dbl(F.sum(F.col("z2").cast("decimal(38,0)") * F.col("z2"))).alias("s22"),
+        dbl(F.sum(F.col("z1").cast("decimal(38,0)") * F.col("y"))).alias("s1y"),
+        dbl(F.sum(F.col("z2").cast("decimal(38,0)") * F.col("y"))).alias("s2y"),
+        dbl(F.sum(F.col("z1").cast("decimal(38,0)") * F.col("z2"))).alias("s12"),
+    )
+    t = F.col("t_obs")
+    cc = mom.select(
+        "cause",
+        "effect",
+        "t_obs",
+        (t * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+        (t * F.col("s11") - F.col("s1") * F.col("s1")).alias("c11"),
+        (t * F.col("s22") - F.col("s2") * F.col("s2")).alias("c22"),
+        (t * F.col("s1y") - F.col("s1") * F.col("sy")).alias("c1y"),
+        (t * F.col("s2y") - F.col("s2") * F.col("sy")).alias("c2y"),
+        (t * F.col("s12") - F.col("s1") * F.col("s2")).alias("c12"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    rss_r = F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11")
+    rss_u = F.col("cyy") - (
+        F.col("c1y") * F.col("c1y") * F.col("c22")
+        - 2 * F.col("c1y") * F.col("c2y") * F.col("c12")
+        + F.col("c2y") * F.col("c2y") * F.col("c11")
+    ) / det
+    fs = (
+        cc.where((F.col("c11") > 0) & (det > 0))
+        .select(
+            "cause",
+            "effect",
+            "t_obs",
+            rss_r.alias("rss_r"),
+            rss_u.alias("rss_u"),
+        )
+        .where(F.col("rss_u") > 0)
+    )
+    return fs.select(
+        "cause",
+        "effect",
+        "t_obs",
+        _r6n(
+            (F.col("rss_r") - F.col("rss_u"))
+            * (F.col("t_obs") - 3)
+            / F.col("rss_u")
+        ).alias("f_stat"),
+    )
+
+
+
+_ENERGY_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         (l_returnflag = 'R') AS is_x
+  FROM lineitem
+),
+hist AS (
+  SELECT v,
+         sum(CASE WHEN is_x THEN 1 ELSE 0 END)::HUGEINT AS a,
+         sum(CASE WHEN is_x THEN 0 ELSE 1 END)::HUGEINT AS b
+  FROM cents GROUP BY 1
+),
+cum AS (
+  SELECT v, a, b,
+         sum(a) OVER w - a AS cae,
+         sum(b) OVER w - b AS cbe,
+         sum(a * v) OVER w - a * v AS sae,
+         sum(b * v) OVER w - b * v AS sbe
+  FROM hist WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+tot AS (
+  SELECT sum(a)::BIGINT AS n, sum(b)::BIGINT AS m,
+         sum(a * (v * cae - sae)) AS dx,
+         sum(b * (v * cbe - sbe)) AS dy,
+         sum(a * (v * cbe - sbe) + b * (v * cae - sae)) AS dc
+  FROM cum
+)
+SELECT n AS n_x, m AS n_y,
+       {_r6n_sql("(2 * dx)::DOUBLE / n / n / 100")} AS e_within_x,
+       {_r6n_sql("(2 * dy)::DOUBLE / m / m / 100")} AS e_within_y,
+       {_r6n_sql("dc::DOUBLE / n / m / 100")} AS e_between,
+       {_r6n_sql(
+           "2 * (dc::DOUBLE / n / m / 100) "
+           "- ((2 * dx)::DOUBLE / n / n / 100) "
+           "- ((2 * dy)::DOUBLE / m / m / 100)"
+       )} AS energy_distance
+FROM tot
+"""
+
+
+@query("lineitem_energy_distance", _ENERGY_ORACLE)
+def lineitem_energy_distance(spark, sf_dir):
+    """Energy distance (Szekely & Rizzo 2004, V-statistic form) between
+    the returned and non-returned extended-price distributions:
+    E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — zero iff the distributions are
+    equal, metric-valued in dollars, and sensitive to EVERY moment
+    (location, scale, shape), unlike the KS statistic's sup-CDF view;
+    the two-sample drift test for "did returns shift the price mix".
+
+    The naive estimator is O(n²) pairwise |x−y|; this plan is the
+    order-statistics identity instead: on a value HISTOGRAM sorted by
+    price, each expectation is Σ cnt_i·(v_i·P_i − S_i) over exclusive
+    prefix counts/sums — one two-phase ``global_cumsum_multi`` pass
+    (range repartition, never a single-partition window) over the
+    distinct-cents relation, exact 128-bit integer arithmetic
+    throughout, doubles only in the final six divisions (identical
+    sequences both engines).
+
+    Reference tie-in: the histogram + prefix machinery is the same
+    shape as ``price_quantiles_binned``; the statistic family matches
+    ``source_score_wasserstein`` (which is the 1-Wasserstein on the
+    same device) — energy distance completes the distribution-drift
+    toolbox."""
+    from .functions.distribution import global_cumsum_multi  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        (F.col("l_returnflag") == "R").alias("is_x"),
+    )
+    hist = cents.groupBy("v").agg(
+        F.sum(F.when(F.col("is_x"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.sum(F.when(F.col("is_x"), 0).otherwise(1))
+        .cast("decimal(38,0)")
+        .alias("b"),
+    )
+    hist = hist.withColumn("av", F.col("a") * F.col("v")).withColumn(
+        "bv", F.col("b") * F.col("v")
+    )
+    cum = global_cumsum_multi(
+        hist, "v", {"ca": "a", "cb": "b", "csa": "av", "csb": "bv"}
+    )
+    ex = cum.select(
+        "v",
+        "a",
+        "b",
+        (F.col("ca") - F.col("a")).alias("cae"),
+        (F.col("cb") - F.col("b")).alias("cbe"),
+        (F.col("csa") - F.col("av")).alias("sae"),
+        (F.col("csb") - F.col("bv")).alias("sbe"),
+    )
+    v = F.col("v")
+    tot = ex.agg(
+        F.sum("a").cast("long").alias("n"),
+        F.sum("b").cast("long").alias("m"),
+        F.sum(F.col("a") * (v * F.col("cae") - F.col("sae"))).alias("dx"),
+        F.sum(F.col("b") * (v * F.col("cbe") - F.col("sbe"))).alias("dy"),
+        F.sum(
+            F.col("a") * (v * F.col("cbe") - F.col("sbe"))
+            + F.col("b") * (v * F.col("cae") - F.col("sae"))
+        ).alias("dc"),
+    )
+    n, m = F.col("n"), F.col("m")
+    e_xx = (2 * F.col("dx")).cast("double") / n / n / 100
+    e_yy = (2 * F.col("dy")).cast("double") / m / m / 100
+    e_xy = F.col("dc").cast("double") / n / m / 100
+    return tot.select(
+        n.alias("n_x"),
+        m.alias("n_y"),
+        _r6n(e_xx).alias("e_within_x"),
+        _r6n(e_yy).alias("e_within_y"),
+        _r6n(e_xy).alias("e_between"),
+        _r6n(2 * e_xy - e_xx - e_yy).alias("energy_distance"),
+    )
+
+
+
+_WILSON_Z = "1.959964"  # two-sided 95% normal quantile, literal both engines
+
+_OTIF_ORACLE = f"""
+WITH sh AS (
+  SELECT s.s_nationkey,
+         CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+              THEN 1 ELSE 0 END AS on_time
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+agg AS (
+  SELECT s_nationkey, count(*)::BIGINT AS n_shipments,
+         sum(on_time)::BIGINT AS n_on_time
+  FROM sh GROUP BY 1
+),
+wil AS (
+  SELECT n.n_name AS nation, n_shipments, n_on_time,
+         n_on_time::DOUBLE / n_shipments AS p,
+         {_WILSON_Z} * {_WILSON_Z} AS z2,
+         n_shipments::DOUBLE AS nn
+  FROM agg JOIN nation n ON n.n_nationkey = s_nationkey
+)
+SELECT nation, n_shipments, n_on_time,
+       {_r6n_sql("p")} AS otif_rate,
+       {_r6n_sql(
+           "((p + z2 / (2 * nn)) - " + _WILSON_Z
+           + " * sqrt(p * (1 - p) / nn + z2 / (4 * nn * nn)))"
+           " / (1 + z2 / nn)"
+       )} AS wilson_lo,
+       {_r6n_sql(
+           "((p + z2 / (2 * nn)) + " + _WILSON_Z
+           + " * sqrt(p * (1 - p) / nn + z2 / (4 * nn * nn)))"
+           " / (1 + z2 / nn)"
+       )} AS wilson_hi
+FROM wil
+"""
+
+
+@query("suppliers_otif_wilson", _OTIF_ORACLE)
+def suppliers_otif_wilson(spark, sf_dir):
+    """On-time shipping rate per supplier nation with a Wilson score 95%
+    confidence interval (Wilson 1927): a shipment is on time when it
+    ships within 30 days of the order date; the Wilson interval (unlike
+    the naive Wald ±z·√(p(1−p)/n)) stays inside [0,1], never collapses
+    to zero width at p∈{{0,1}}, and is the standard for comparing
+    binomial rates across groups of very different sizes — the vendor
+    scorecard that doesn't punish small suppliers with fake certainty.
+
+    Determinism: (k, n) are exact integers; the interval is one fixed
+    closed-form double expression from them (z pinned as a shared
+    literal), identical on both engines, 6-dp-nudge rounded.
+
+    Plan: lineitem joins orders on the shuffle key both sides already
+    have (orderkey) and suppliers/nations by BROADCAST; one map-side-
+    combined count aggregate to a 25-row relation — the 100 TB cost is
+    exactly one fact-fact co-partitioned join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_dim(spark, sf_dir, "nation")
+    sh = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_nationkey",
+            F.when(
+                F.col("l_shipdate")
+                <= F.col("o_orderdate") + F.expr("interval 30 days"),
+                1,
+            )
+            .otherwise(0)
+            .alias("on_time"),
+        )
+    )
+    agg = sh.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipments"),
+        F.sum("on_time").cast("long").alias("n_on_time"),
+    )
+    z = float(_WILSON_Z)
+    wil = agg.join(
+        F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_shipments",
+        "n_on_time",
+        (F.col("n_on_time").cast("double") / F.col("n_shipments")).alias("p"),
+        F.lit(z * z).alias("z2"),
+        F.col("n_shipments").cast("double").alias("nn"),
+    )
+    p, z2, nn = F.col("p"), F.col("z2"), F.col("nn")
+    half = F.lit(z) * F.sqrt(p * (1 - p) / nn + z2 / (4 * nn * nn))
+    denom = 1 + z2 / nn
+    return wil.select(
+        "nation",
+        "n_shipments",
+        "n_on_time",
+        _r6n(p).alias("otif_rate"),
+        _r6n(((p + z2 / (2 * nn)) - half) / denom).alias("wilson_lo"),
+        _r6n(((p + z2 / (2 * nn)) + half) / denom).alias("wilson_hi"),
+    )
+
+
+
+_MMD_ORACLE = f"""
+WITH dimvals AS (
+  SELECT label, i AS dim, embedding[i] AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+),
+mu AS (
+  SELECT label, dim, CAST(round(avg(x) * 1e6) AS BIGINT) AS m
+  FROM dimvals GROUP BY 1, 2
+),
+cnt AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1),
+pair AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum((a.m - b.m) * (a.m - b.m))::BIGINT AS d2
+  FROM mu a JOIN mu b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+       {_r6n_sql("d2::DOUBLE / 1e12")} AS mmd2
+FROM pair
+JOIN cnt ca ON ca.label = label_a
+JOIN cnt cb ON cb.label = label_b
+"""
+
+
+@query("embedding_label_mmd", _MMD_ORACLE)
+def embedding_label_mmd(spark, sf_dir):
+    """Maximum Mean Discrepancy (linear kernel) between every pair of
+    label populations in embedding space: MMD²(A,B) = ‖μ_A − μ_B‖² —
+    with the linear kernel the mean embedding IS the feature map, so the
+    kernel two-sample statistic (Gretton et al. 2012) reduces exactly to
+    the squared distance between class centroids.  The drift/separability
+    screen a training pipeline runs between data slices (labels, sources,
+    snapshots): near-zero MMD² between two classes predicts confusable
+    labels, a large value between snapshots flags embedding drift —
+    without the O(n²) pair kernel the RBF variant needs.
+
+    Determinism: per-(label, dim) means snap to micro units; the pair
+    distance is exact integer arithmetic on the snapped means; one double
+    division at the end.
+
+    Plan: one posexplode + map-side-combined aggregate takes the corpus
+    to a |labels|×dim relation; the pair join and count joins happen on
+    that tiny relation — the N-row embedding table is scanned once and
+    never self-joined."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dimvals = emb.select(
+        "label", F.posexplode("embedding").alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).alias("dim"), "x")
+    mu = dimvals.groupBy("label", "dim").agg(
+        F.round(F.avg("x") * 1e6).cast("long").alias("m")
+    )
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = mu.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = mu.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    pair = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    ca = cnt.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            _r6n(F.col("d2").cast("double") / 1e12).alias("mmd2"),
+        )
+    )
+
+
 #: queries with a green row in a driver CORRECTNESS file (r01 ∪ r02).  The
 #: driver's hard correctness gate covers only the first ~50 queries in
 #: registration order, so each round we rotate never-driver-verified

@@ -137,12 +137,15 @@ def main() -> int:
     # printed line therefore carries the suite total plus a fixed headline
     # subset and must stay under the capture window; the full dict lives in
     # BENCH_FULL_LAST.json next to this script.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LAST.json"
-    )
-    with open(full_path, "w") as f:
-        json.dump(result, f)
-        f.write("\n")
+    # subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the last
+    # FULL run's timings — they write only to SPARK_GRAFT_BENCH_OUT
+    if not only:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LAST.json"
+        )
+        with open(full_path, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
     # optional direct file output: unlike tee-ing stdout, this can never
     # be polluted by stray console writes, so the file always json.load's
     out = os.environ.get("SPARK_GRAFT_BENCH_OUT")

@@ -1,0 +1,80 @@
+"""Round-7 batch 3: burstiness / Hill / Page-Hinkley / semantic shards —
+operator-level contracts over the real sf0.001 tables."""
+
+from __future__ import annotations
+
+from datafusion_functions_extra_spark import suite
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_burstiness_content_words_exceed_function_words(spark):
+    rows = suite.QUERIES["text_term_burstiness"](spark, SF).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.burstiness >= 1.0  # cf >= df by construction
+        assert r.df <= r.cf
+        # bursty terms sit BELOW the Poisson document-frequency curve
+        assert r.df_ratio <= 1.0 + 1e-6, r
+
+
+def test_hill_alpha_positive_finite(spark):
+    r = suite.QUERIES["orders_hill_tail_index"](spark, SF).collect()[0]
+    assert r.k == 200
+    assert r.xmin_dollars > 0
+    assert 0.1 < r.hill_alpha < 100.0
+
+
+def test_page_hinkley_alarm_fields_consistent(spark):
+    rows = suite.QUERIES["events_page_hinkley"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.max_ph_micro >= 0
+        if r.n_alarm_hours == 0:
+            assert r.first_alarm_idx == -1
+        else:
+            assert 1 <= r.first_alarm_idx <= r.n_hours
+
+
+def test_semantic_shards_partition_everything(spark):
+    rows = suite.QUERIES["embedding_semantic_shards"](spark, SF).collect()
+    n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_members for r in rows) == n_emb  # shards tile the set
+    assert all(0 <= r.shard <= 15 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert -1.0 <= r.mean_intra_cos <= 1.0
+
+
+def test_slo_burn_alerts_exceed_both_thresholds(spark):
+    rows = suite.QUERIES["events_slo_burn_alerts"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.burn_1h > 1.1 - 1e-6 and r.burn_6h > 1.05 - 1e-6
+        assert r.e1 <= r.t1 and r.e6 <= r.t6
+        assert r.t6 >= r.t1  # the 6h window contains the hour
+
+
+def test_softdedup_retention_bounds(spark):
+    rows = suite.QUERIES["docs_softdedup_reweight"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.retention <= 1.0 + 1e-9
+        assert r.eff_tokens <= r.raw_tokens + 1e-6
+
+
+def test_croston_forecast_positive(spark):
+    rows = suite.QUERIES["parts_croston_demand"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_demand_weeks >= 8
+        assert r.z_hat > 0 and r.p_hat >= 1.0 - 1e-9
+        assert abs(r.sba_forecast - 0.9 * r.croston_forecast) < 1e-5
+
+
+def test_cdc_incremental_partitions_bytes(spark):
+    rows = suite.QUERIES["multimodal_cdc_incremental"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_dup_chunks <= r.n_chunks
+        assert 0.0 <= r.ingest_dedup_ratio <= 1.0

@@ -49,6 +49,17 @@ _GRID = (
 #: aggregate join-back, a broadcast query set, or a constant grid), never
 #: a data-sized relation.
 BNLJ_BOUNDED: dict[str, str] = {
+    "events_hurst_exponent": (
+        "build side is the 4-row block-size constant array (8/16/32/64) — "
+        "a literal, never data-sized"
+    ),
+    "events_granger_lag1": (
+        "build sides are the |types| domain relation (grid cross) and the "
+        "1-row min/max hour bounds — both calendar/domain-bounded"
+    ),
+    "text_term_burstiness": _SCALAR + " (doc-count join-back)",
+    "orders_hill_tail_index": _SCALAR + " (the 1-row x_(k+1) join-back)",
+    "embedding_semantic_shards": _SCALAR + " (total-count join-back)",
     "text_bm25_topk": _SCALAR,
     "hybrid_rrf_topk": _SCALAR + "; " + _QUERYSET,
     "corpus_heaps_curve": _GRID,
@@ -314,6 +325,17 @@ BNLJ_BOUNDED: dict[str, str] = {
 #: partition-count relation, or a calendar-sized rollup — never an
 #: unbounded data relation.
 UNPART_WINDOW_BOUNDED: dict[str, str] = {
+    "events_slo_burn_alerts": (
+        "sliding burn windows over the hourly error rollup — "
+        "calendar-bounded regardless of event volume"
+    ),
+    "lineitem_energy_distance": (
+        "two-phase global_cumsum_multi offset window (<= #partitions rows) "
+        "over the distinct-cent-value histogram"
+    ),
+    "orders_hill_tail_index": (
+        "row_number over the 201-row sort+limit head — bounded at k+1"
+    ),
     "orders_neyman_allocation": (
         "largest-remainder windows over the |strata|-row weight relation "
         "(5 order priorities) — domain-bounded"

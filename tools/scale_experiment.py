@@ -192,9 +192,38 @@ PROBES = (
 )
 
 
+def _read_existing(path: str) -> dict[str, dict[int, float]]:
+    """Parse the operator rows of a previously written SCALING.md so an
+    --only run can MERGE new probes instead of truncating the table."""
+    import re
+
+    rows: dict[str, dict[int, float]] = {}
+    if not os.path.exists(path):
+        return rows
+    for line in open(path):
+        m = re.match(
+            r"\| (\S+) \| ([\d.]+) \| ([\d.]+) \| ([\d.]+) \| [-\d.]+ \|",
+            line,
+        )
+        if m:
+            rows[m.group(1)] = {
+                1: float(m.group(2)),
+                3: float(m.group(3)),
+                10: float(m.group(4)),
+            }
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated probe names: time ONLY these and merge "
+        "into the existing SCALING.md rows (new probes must be suite "
+        "queries; unknown names error out)",
+    )
     args = ap.parse_args()
 
     import sys
@@ -207,8 +236,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     dirs = {m: build_scaled(spark, args.base, m) for m in SCALES}
-    rows: dict[str, dict[int, float]] = {}
-    for name in PROBES:
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    only = tuple(n for n in args.only.split(",") if n)
+    rows: dict[str, dict[int, float]] = (
+        _read_existing(os.path.join(repo_dir, "SCALING.md")) if only else {}
+    )
+    probes = only or PROBES
+    unknown = [n for n in probes if n not in suite.QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown probe names: {unknown}")
+    for name in probes:
         fn = suite.QUERIES[name]
         rows[name] = {}
         for m in SCALES:

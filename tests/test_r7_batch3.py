@@ -78,3 +78,35 @@ def test_cdc_incremental_partitions_bytes(spark):
     for r in rows:
         assert r.n_dup_chunks <= r.n_chunks
         assert 0.0 <= r.ingest_dedup_ratio <= 1.0
+
+
+def test_vocab_coverage_monotone(spark):
+    rows = {
+        r.k: r
+        for r in suite.QUERIES["corpus_vocab_coverage"](spark, SF).collect()
+    }
+    assert set(rows) == {100, 1000, 10000}
+    assert rows[100].coverage <= rows[1000].coverage <= rows[10000].coverage
+    for r in rows.values():
+        assert 0.0 < r.coverage <= 1.0 + 1e-9
+        assert abs(r.coverage + r.oov_rate - 1.0) < 2e-6
+        assert r.vocab_used <= r.k
+
+
+def test_spectral_entropy_bounds(spark):
+    rows = suite.QUERIES["events_spectral_entropy"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.normalized_entropy <= 1.0 + 1e-6
+        assert r.spectral_entropy >= 0.0
+
+
+def test_pot_gpd_moments_sane(spark):
+    r = suite.QUERIES["orders_pot_gpd"](spark, SF).collect()[0]
+    assert r.n_excesses > 0
+    assert r.mean_excess_dollars > 0
+    assert r.gpd_sigma_dollars > 0
+    # MoM xi can go well below -1 on a truncated/light tail with few
+    # excesses (m^2/s^2 > 3); it just can't be >= 0.5 where the MoM
+    # variance precondition fails upward
+    assert -5.0 < r.gpd_xi < 0.5

@@ -58,8 +58,14 @@ BNLJ_BOUNDED: dict[str, str] = {
         "1-row min/max hour bounds — both calendar/domain-bounded"
     ),
     "text_term_burstiness": _SCALAR + " (doc-count join-back)",
+    "corpus_vocab_coverage": (
+        "build side is the 3-row vocab-budget constant (theta <= probe "
+        "against the pre-pruned top-10k rank head) plus the 1-row "
+        "corpus-total join-back"
+    ),
     "orders_hill_tail_index": _SCALAR + " (the 1-row x_(k+1) join-back)",
     "embedding_semantic_shards": _SCALAR + " (total-count join-back)",
+    "orders_pot_gpd": _SCALAR + " (total-count row + 1-row threshold)",
     "text_bm25_topk": _SCALAR,
     "hybrid_rrf_topk": _SCALAR + "; " + _QUERYSET,
     "corpus_heaps_curve": _GRID,
@@ -325,6 +331,14 @@ BNLJ_BOUNDED: dict[str, str] = {
 #: partition-count relation, or a calendar-sized rollup — never an
 #: unbounded data relation.
 UNPART_WINDOW_BOUNDED: dict[str, str] = {
+    "corpus_vocab_coverage": (
+        "two-phase global_rank/global_cumsum offset windows "
+        "(<= #partitions rows) over the vocab histogram"
+    ),
+    "orders_pot_gpd": (
+        "two-phase global_cumsum offset window (<= #partitions rows) "
+        "over the distinct-cent-value histogram"
+    ),
     "events_slo_burn_alerts": (
         "sliding burn windows over the hourly error rollup — "
         "calendar-bounded regardless of event volume"

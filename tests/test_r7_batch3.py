@@ -110,3 +110,21 @@ def test_pot_gpd_moments_sane(spark):
     # excesses (m^2/s^2 > 3); it just can't be >= 0.5 where the MoM
     # variance precondition fails upward
     assert -5.0 < r.gpd_xi < 0.5
+
+
+def test_anisotropy_unit_norm_audit(spark):
+    rows = suite.QUERIES["embedding_anisotropy"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r.mean_self_sq - 1.0) < 1e-3  # snapping audit
+        assert -1.0 <= r.anisotropy <= 1.0
+
+
+def test_audio_centroid_bounds(spark):
+    rows = suite.QUERIES["audio_spectral_centroid"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows[:50]:
+        assert 2 <= r.dominant_period <= 14
+        # centroid is a power-weighted mean of 1/p over p in 2..14
+        assert 1 / 14 - 1e-6 <= r.spectral_centroid <= 0.5 + 1e-6

@@ -128,3 +128,21 @@ def test_audio_centroid_bounds(spark):
         assert 2 <= r.dominant_period <= 14
         # centroid is a power-weighted mean of 1/p over p in 2..14
         assert 1 / 14 - 1e-6 <= r.spectral_centroid <= 0.5 + 1e-6
+
+
+def test_matrix_profile_discords_and_motifs(spark):
+    rows = suite.QUERIES["events_matrix_profile"](spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault((r.event_type, r.kind), []).append(r)
+    for (_t, _k), grp in by_type.items():
+        assert len(grp) == 3
+        assert sorted(x.rk for x in grp) == [1, 2, 3]
+    for r in rows:
+        assert r.d2_micro >= 0
+        assert abs(r.i - r.j_nn) >= 24  # non-overlapping neighbor
+    # a type's worst discord distance >= its best motif distance
+    for t in {r.event_type for r in rows}:
+        d1 = next(r.d2_micro for r in rows if r.event_type == t and r.kind == "discord" and r.rk == 1)
+        m1 = next(r.d2_micro for r in rows if r.event_type == t and r.kind == "motif" and r.rk == 1)
+        assert d1 >= m1

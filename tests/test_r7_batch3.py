@@ -146,3 +146,11 @@ def test_matrix_profile_discords_and_motifs(spark):
         d1 = next(r.d2_micro for r in rows if r.event_type == t and r.kind == "discord" and r.rk == 1)
         m1 = next(r.d2_micro for r in rows if r.event_type == t and r.kind == "motif" and r.rk == 1)
         assert d1 >= m1
+
+
+def test_gravity_model_fit_sane(spark):
+    r = suite.QUERIES["nation_gravity_model"](spark, SF).collect()[0]
+    assert r.n_pairs > 10
+    assert 0.0 <= r.r_squared <= 1.0 + 1e-9
+    # size terms should carry positive elasticities on TPC-H-ish flows
+    assert r.beta_supplier_mass > 0 and r.beta_customer_wealth > 0

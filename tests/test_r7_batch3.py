@@ -154,3 +154,17 @@ def test_gravity_model_fit_sane(spark):
     assert 0.0 <= r.r_squared <= 1.0 + 1e-9
     # size terms should carry positive elasticities on TPC-H-ish flows
     assert r.beta_supplier_mass > 0 and r.beta_customer_wealth > 0
+
+
+def test_eb_shrinkage_pulls_toward_grand_mean(spark):
+    rows = suite.QUERIES["orders_eb_shrunk_segment_means"](spark, SF).collect()
+    assert len(rows) == 5
+    raw = [r.raw_mean_dollars for r in rows]
+    lo, hi = min(raw), max(raw)
+    for r in rows:
+        assert 0.0 <= r.shrink_weight <= 1.0
+        # posterior lies between the raw mean and the grand-mean side
+        assert lo - 1e-6 <= r.shrunk_mean_dollars <= hi + 1e-6
+    # shrinkage contracts the spread (or leaves it equal when tau2 -> inf)
+    shr = [r.shrunk_mean_dollars for r in rows]
+    assert max(shr) - min(shr) <= (hi - lo) + 1e-6

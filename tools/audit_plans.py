@@ -66,6 +66,9 @@ BNLJ_BOUNDED: dict[str, str] = {
     "orders_hill_tail_index": _SCALAR + " (the 1-row x_(k+1) join-back)",
     "embedding_semantic_shards": _SCALAR + " (total-count join-back)",
     "orders_pot_gpd": _SCALAR + " (total-count row + 1-row threshold)",
+    "orders_eb_shrunk_segment_means": (
+        _SCALAR + " (precision-weighted grand-mean row + 1-row tau2)"
+    ),
     "text_bm25_topk": _SCALAR,
     "hybrid_rrf_topk": _SCALAR + "; " + _QUERYSET,
     "corpus_heaps_curve": _GRID,

@@ -168,3 +168,15 @@ def test_eb_shrinkage_pulls_toward_grand_mean(spark):
     # shrinkage contracts the spread (or leaves it equal when tau2 -> inf)
     shr = [r.shrunk_mean_dollars for r in rows]
     assert max(shr) - min(shr) <= (hi - lo) + 1e-6
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    rows = suite.QUERIES["embedding_ivf_nprobe_recall"](spark, SF).collect()
+    assert len(rows) == 24  # 3 nprobe values x 8 queries
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, {})[r.nprobe] = r.hits
+    for q, h in by_q.items():
+        # probing more cells can only add candidates -> recall monotone
+        assert h[1] <= h[2] <= h[3], (q, h)
+        assert 0 <= h[3] <= 5

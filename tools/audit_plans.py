@@ -66,6 +66,10 @@ BNLJ_BOUNDED: dict[str, str] = {
     "orders_hill_tail_index": _SCALAR + " (the 1-row x_(k+1) join-back)",
     "embedding_semantic_shards": _SCALAR + " (total-count join-back)",
     "orders_pot_gpd": _SCALAR + " (total-count row + 1-row threshold)",
+    "embedding_ivf_nprobe_recall": (
+        _SEEDS + "; " + _QUERYSET + " (probe fan-out multiplies only the "
+        "8-row query side x the 3-row nprobe constant)"
+    ),
     "orders_eb_shrunk_segment_means": (
         _SCALAR + " (precision-weighted grand-mean row + 1-row tau2)"
     ),

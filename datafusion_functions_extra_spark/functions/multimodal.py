@@ -610,16 +610,26 @@ def cdc_chunks(
         )
 
     def bounds(bts: Column, L: Column) -> Column:
-        rule = F.filter(
-            F.sequence(F.lit(CDC_WINDOW), L),
-            lambda i: (
-                F.element_at(bts, i) * 131
-                + F.element_at(bts, i - 3) * 31
-                + F.element_at(bts, i - 7) * 7
-            )
-            % CDC_MOD
-            == 0,
-        )
+        # Guard L < CDC_WINDOW: F.sequence(8, L) would DESCEND for L<8
+        # (DuckDB's generate_series(8, L) is empty), making the lambda
+        # tap element_at(bts, i-7) at index 0 (runtime error) or a
+        # negative index (counts from the array END — silent
+        # mis-chunking).  Short payloads get an empty boundary list so
+        # the final-byte fallback below emits the documented
+        # whole-payload chunk, matching the oracle bit-for-bit.
+        rule = F.when(
+            L >= CDC_WINDOW,
+            F.filter(
+                F.sequence(F.lit(CDC_WINDOW), L),
+                lambda i: (
+                    F.element_at(bts, i) * 131
+                    + F.element_at(bts, i - 3) * 31
+                    + F.element_at(bts, i - 7) * 7
+                )
+                % CDC_MOD
+                == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
         return F.when(
             F.array_position(rule, L) > 0, rule
         ).otherwise(F.concat(rule, F.array(L)))

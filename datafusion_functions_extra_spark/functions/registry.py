@@ -84,8 +84,20 @@ def _extreme_by(values, orders, *, is_max: bool):
     return best[3]
 
 
-def register_all(spark: SparkSession, prefix: str = "extra_") -> list[str]:
+def register_all(
+    spark: SparkSession, prefix: str = "extra_", *, warn: bool = True
+) -> list[str]:
     """Register SQL-callable pandas-UDAF forms of all six aggregates.
+
+    .. warning:: The SQL forms are pandas GROUPED_AGG UDAFs: every group's
+       full value list crosses the JVM↔Python boundary and there is **no
+       partial (map-side) aggregation** — a skewed group concentrates on
+       one task.  They exist for SQL-text parity with the reference
+       (``tests/main.rs:48,60``); production plans should use the builder
+       API (:data:`FUNCTIONS`) or :func:`~..operators.mode.mode_agg`,
+       which compile to whole-stage-codegen JVM aggregates with partial
+       aggregation.  ``register_all`` emits a ``logging`` warning to this
+       effect once per call; pass ``warn=False`` to silence it.
 
     Numeric statistics drop NULLs before accumulating (matching the
     builders and the reference's ``.flatten()`` null-skip); mode, max_by
@@ -111,6 +123,18 @@ def register_all(spark: SparkSession, prefix: str = "extra_") -> list[str]:
     >>> ref.sql("SELECT mode(x) FROM t")  # doctest: +SKIP
     """
     from pyspark.sql.functions import pandas_udf
+
+    if warn:
+        log.warning(
+            "register_all: the %s* SQL aggregate forms are pandas "
+            "GROUPED_AGG UDAFs without partial aggregation (whole groups "
+            "cross the JVM<->Python boundary) — interactive-SQL "
+            "convenience only. For production/large-scale plans use the "
+            "builder API (datafusion_functions_extra_spark.FUNCTIONS) or "
+            "mode_agg, which stay JVM-side with map-side combine. Pass "
+            "warn=False to silence.",
+            prefix,
+        )
 
     @pandas_udf("double")
     def _skewness(v: pd.Series) -> float:

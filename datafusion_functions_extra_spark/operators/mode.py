@@ -100,6 +100,18 @@ def mode_agg(
     ordinary groups, like GROUP BY everywhere.  Pass
     ``keep_null_groups=False`` to filter NULL values before the first
     shuffle (smaller stage-1 keyspace; all-NULL groups drop out).
+
+    Float edge semantics (deliberate micro-deviation): the reference's
+    ``FloatModeAccumulator`` hashes raw f64 *bit patterns*
+    (``src/common/mode/native.rs:142-261``), so ``-0.0`` and ``0.0`` are
+    two distinct candidate keys there.  Spark's NormalizeFloatingNumbers
+    rule canonicalizes ``-0.0 == 0.0`` into one groupBy key — and DuckDB
+    (the correctness oracle) normalizes the same way — so this
+    implementation pins the normalized semantics: a corpus of three
+    ``-0.0`` + two ``0.0`` has mode ``0.0`` with count 5 here, versus the
+    reference seeing two keys of count 3 and 2.  NaN grouping agrees on
+    both engines (NaN is one key; all-NaN input yields NaN).  Pinned by
+    ``tests/test_r8_fixes.py::test_float_mode_zero_normalization_and_nan_grouping``.
     """
     _check_type(df, value)
     keys = list(keys or [])

@@ -2068,7 +2068,11 @@ def ensure_signatures_table(
 
 
 def lsh_eval_metrics(
-    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    eval_max_df: int = 256,
 ) -> DataFrame:
     """One row — (n_truth, n_pred, tp, fp, fn, precision, recall): the
     end-to-end quality of the MinHash-LSH near-dup pipeline (banding
@@ -2080,14 +2084,24 @@ def lsh_eval_metrics(
     candidates from an exact shared-shingle inverted index, which is
     linear in shingles but quadratic in documents sharing a hot
     boilerplate shingle, so unlike the production LSH path it is an
-    *evaluation* cost, paid on samples.  Sets and metrics are exact
-    integers; the two ratios are boundary-nudged.
+    *evaluation* cost, paid on samples.  As defense-in-depth the index
+    drops stop shingles with document frequency > ``eval_max_df``
+    (mirroring ``ngram_containment_pairs``), bounding any hot key to
+    ≤ eval_max_df² candidates; the default 256 is 10× the maximum df
+    observed at sf0.1 (25), so current-sf ground truth is unchanged — a
+    near-dup pair sharing ONLY >256-df boilerplate shingles would be the
+    only miss.  Sets and metrics are exact integers; the two ratios are
+    boundary-nudged.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles_or_whole(F.col(text_col))).alias("shs"),
     ).persist()
     ix = sh.select("id", F.explode("shs").alias("s"))
+    rare = ix.groupBy("s").agg(F.count(F.lit(1)).alias("df_s")).where(
+        F.col("df_s") <= eval_max_df
+    ).select("s")
+    ix = ix.join(rare, "s")
     cand = (
         ix.select(F.col("id").alias("id_a"), "s")
         .join(ix.select(F.col("id").alias("id_b"), "s"), "s")
@@ -2138,7 +2152,9 @@ def lsh_eval_metrics(
     )
 
 
-def lsh_eval_metrics_oracle_sql(threshold: float = 0.5) -> str:
+def lsh_eval_metrics_oracle_sql(
+    threshold: float = 0.5, eval_max_df: int = 256
+) -> str:
     eq = f"""list_sum(list_transform(generate_series(1, {MINHASH_K}),
         i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"""
     return f"""
@@ -2153,7 +2169,9 @@ pred AS (
 shs AS (
   SELECT id, list_distinct(shingles) AS shs FROM sh
 ),
-ix AS (SELECT id, unnest(shs) AS s FROM shs),
+ix0 AS (SELECT id, unnest(shs) AS s FROM shs),
+rare_s AS (SELECT s FROM ix0 GROUP BY s HAVING count(*) <= {eval_max_df}),
+ix AS (SELECT id, s FROM ix0 JOIN rare_s USING (s)),
 tcand AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM ix a JOIN ix b ON a.s = b.s AND a.id < b.id

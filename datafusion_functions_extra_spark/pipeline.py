@@ -46,8 +46,9 @@ class CurationConfig:
     id_col: str = "doc_id"
     #: identifies the input corpus snapshot for the signature stage's
     #: idempotency marker (table version / snapshot id on a lakehouse).
-    #: Empty = derive one from the exact-dedup stage this run just wrote
-    #: (file names+sizes+mtimes), so re-running against a DIFFERENT
+    #: Empty = derive a content token from the exact-dedup stage's rows
+    #: (row count + bit-XOR of xxhash64(id, text) — see
+    #: ``_content_snapshot_token``), so re-running against a DIFFERENT
     #: corpus with the same ``out_dir`` rebuilds signatures instead of
     #: silently reusing the stale stage.
     snapshot_token: str = ""

@@ -202,7 +202,9 @@ def _read_existing(path: str) -> dict[str, dict[int, float]]:
         return rows
     for line in open(path):
         m = re.match(
-            r"\| (\S+) \| ([\d.]+) \| ([\d.]+) \| ([\d.]+) \| [-\d.]+ \|",
+            # exponent column may be 'nan' (zero-time 1x probe) — accept
+            # it so an --only merge never silently drops such a row
+            r"\| (\S+) \| ([\d.]+) \| ([\d.]+) \| ([\d.]+) \| (?:[-\d.]+|nan) \|",
             line,
         )
         if m:

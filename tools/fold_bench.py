@@ -62,7 +62,7 @@ def main() -> int:
         + f"; {len(new_names)} additions take the median of {len(runs)} "
         f"supplied runs ({labels}); {len(known)} queries total"
         + (
-            f"; re-medianed after plan change: {', '.join(re_medianed)}"
+            f"; re-medianed (plan change or non-reproducing recorded median): {', '.join(re_medianed)}"
             if re_medianed
             else ""
         )

@@ -186,6 +186,9 @@ PROBES = (
     "dedup_normalization_ablation",  # 3-key one-scan distinct expand (r06)
     "text_token_fertility",        # pure projection + |langs| rollup (r06)
     "corpus_curation_funnel",      # the composed 5-stage pipeline (r06)
+    "nation_gravity_model",        # log-flow OLS, one pair-rollup agg (r07)
+    "orders_eb_shrunk_segment_means",  # per-segment moments + 1-row tau2 (r07)
+    "embedding_ivf_nprobe_recall",  # 3-probe IVF sweep vs exact top-k (r07)
     # embedding_knn_label_eval / _outliers are EXCLUDED like
     # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
     # design and documented eval-on-sample (SURVEY §9.5)

@@ -49,6 +49,27 @@ _GRID = (
 #: aggregate join-back, a broadcast query set, or a constant grid), never
 #: a data-sized relation.
 BNLJ_BOUNDED: dict[str, str] = {
+    "docs_bloom_decontam": (
+        "build sides are the three 1-row summary relations (pair counts, "
+        "doc counts, bench-gram/bit sizes) joined into the single output "
+        "row — never data-sized"
+    ),
+    "events_seq_patterns": (
+        "build side is the 1-row distinct-user total for the support "
+        "ratio — a single broadcast row"
+    ),
+    "lineitem_huber_price_model": (
+        "build sides are the 1-row OLS/IRLS fit relations (b0, b1, sigma) "
+        "joined back onto the base scan for each of the two fixed "
+        "reweighting passes — always exactly one row per fit, never "
+        "data-sized"
+    ),
+    "quality_platt_scaling": (
+        "build sides are the 1-row Newton fit (a, b) joined back onto the "
+        "score HISTOGRAM (not the corpus) for each of the three fixed "
+        "steps plus the log-loss pass and the 1-row totals join-back — "
+        "all single-row broadcasts"
+    ),
     "events_hurst_exponent": (
         "build side is the 4-row block-size constant array (8/16/32/64) — "
         "a literal, never data-sized"

@@ -101,6 +101,13 @@ def mode_agg(
     ``keep_null_groups=False`` to filter NULL values before the first
     shuffle (smaller stage-1 keyspace; all-NULL groups drop out).
 
+    Signature parity note: the reference declares ``mode`` as
+    ``variadic_any`` (``src/mode.rs:57``) but its accumulator dispatch
+    only ever consumes the FIRST argument; this builder makes the
+    one-value-column contract explicit in the signature instead of
+    accepting-and-ignoring extras (passing a list for ``value`` is a
+    ``TypeError`` at the ``df[value]`` resolution, loudly).
+
     Float edge semantics (deliberate micro-deviation): the reference's
     ``FloatModeAccumulator`` hashes raw f64 *bit patterns*
     (``src/common/mode/native.rs:142-261``), so ``-0.0`` and ``0.0`` are

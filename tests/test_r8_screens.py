@@ -63,3 +63,72 @@ def test_seq_patterns_apriori_monotonicity(spark):
             default=0,
         )
         assert best_ext <= s
+
+
+def test_capture_recapture_identities(spark):
+    r = (
+        suite.QUERIES["near_dup_capture_recapture"](spark, SF)
+        .collect()[0]
+        .asDict()
+    )
+    assert r["n_both"] <= min(r["n_a"], r["n_b"])
+    assert r["n_union"] == r["n_a"] + r["n_b"] - r["n_both"]
+    # Chapman >= observed union (equality only at full overlap), so the
+    # undetected estimate is never negative
+    assert r["undetected_est"] >= -1e-6
+    assert 0 < r["recall_minhash_est"] <= 1.0 + 1e-9
+    assert 0 < r["recall_simhash_est"] <= 1.0 + 1e-9
+
+
+def test_cka_bounds(spark):
+    rows = [
+        r.asDict()
+        for r in suite.QUERIES["embedding_cka_splits"](spark, SF).collect()
+    ]
+    assert {r["split"] for r in rows} == {"halves", "even_odd"}
+    for r in rows:
+        # Cauchy-Schwarz: ||Cxy||_F^2 <= ||Cxx||_F ||Cyy||_F => CKA in [0,1]
+        assert 0.0 <= r["cka"] <= 1.0
+        assert r["frob_xx"] > 0 and r["frob_yy"] > 0
+
+
+def test_bands_rows_tradeoff_nested_candidates(spark):
+    rows = {
+        r["n_bands"]: r.asDict()
+        for r in suite.QUERIES["near_dup_bands_rows_tradeoff"](
+            spark, SF
+        ).collect()
+    }
+    assert set(rows) == {2, 4, 8}
+    # agreement on an r-wide band implies agreement on its sub-bands, so
+    # candidate sets are NESTED: cand(2x8) ⊆ cand(4x4) ⊆ cand(8x2),
+    # and surviving pair counts inherit the monotonicity
+    assert rows[2]["n_candidates"] <= rows[4]["n_candidates"] <= rows[8][
+        "n_candidates"
+    ]
+    assert rows[2]["n_pairs"] <= rows[4]["n_pairs"] <= rows[8]["n_pairs"]
+    for r in rows.values():
+        assert r["n_pairs"] <= r["n_candidates"]
+        assert 0.0 < r["collision_p_at_50"] < 1.0
+    # theoretical S-curve ordering matches the banding direction
+    assert (
+        rows[2]["collision_p_at_50"]
+        < rows[4]["collision_p_at_50"]
+        < rows[8]["collision_p_at_50"]
+    )
+
+
+def test_silence_segments_invariants(spark):
+    rows = [
+        r.asDict()
+        for r in suite.QUERIES["audio_silence_segments"](spark, SF).collect()
+    ]
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r["n_quiet"] <= r["n_samples"]
+        assert 0 <= r["n_runs"] <= r["n_quiet"]
+        assert 0 <= r["longest_quiet_run"] <= r["n_quiet"]
+        if r["n_quiet"] > 0:
+            assert r["n_runs"] >= 1 and r["longest_quiet_run"] >= 1
+        # runs tile the quiet samples: longest * runs >= quiet count
+        assert r["longest_quiet_run"] * max(r["n_runs"], 1) >= r["n_quiet"]

@@ -49,6 +49,11 @@ _GRID = (
 #: aggregate join-back, a broadcast query set, or a constant grid), never
 #: a data-sized relation.
 BNLJ_BOUNDED: dict[str, str] = {
+    "near_dup_capture_recapture": (
+        "build sides are the three 1-row pair-count aggregates (n_b, "
+        "n_both, n_union) joined into the single Chapman row — never "
+        "data-sized"
+    ),
     "docs_bloom_decontam": (
         "build sides are the three 1-row summary relations (pair counts, "
         "doc counts, bench-gram/bit sizes) joined into the single output "

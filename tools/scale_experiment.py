@@ -189,6 +189,14 @@ PROBES = (
     "nation_gravity_model",        # log-flow OLS, one pair-rollup agg (r07)
     "orders_eb_shrunk_segment_means",  # per-segment moments + 1-row tau2 (r07)
     "embedding_ivf_nprobe_recall",  # 3-probe IVF sweep vs exact top-k (r07)
+    "orders_snis_segment_shift",   # 1 moment agg + 5-row closed form (r08)
+    "lineitem_huber_price_model",  # 3 fixed column-pruned scans (r08)
+    "minhash_estimator_ablation",  # banded candidates + in-row folds (r08)
+    "quality_platt_scaling",       # LSH label + histogram Newton (r08)
+    "events_ar2_forecast",         # calendar-bounded histogram self-joins (r08)
+    "docs_bloom_decontam",         # broadcast bitset probe, 1 corpus scan (r08)
+    "near_dup_band_jackknife",     # banded pairs + bitmask 1-row agg (r08)
+    "events_seq_patterns",         # |types|^2-bounded min-chain joins (r08)
     # embedding_knn_label_eval / _outliers are EXCLUDED like
     # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
     # design and documented eval-on-sample (SURVEY §9.5)

@@ -122,3 +122,41 @@ def test_binscatter_consistent_with_global_ols(spark):
     for r in rows:
         lo, hi = r["bin"] * 5 + 1, r["bin"] * 5 + 5
         assert lo - 1e-9 <= r["x_mean"] <= hi + 1e-9
+
+
+def test_twoway_fe_within_transform(spark):
+    r = (
+        suite.QUERIES["lineitem_twoway_fe_price"](spark, SF)
+        .collect()[0]
+        .asDict()
+    )
+    assert r["n_rows"] > 0 and r["n_groups_i"] > 1 and r["n_groups_t"] > 1
+    # within-R^2 is a squared correlation
+    assert 0.0 <= r["corr2_within"] <= 1.0
+    # absorbing nation/year effects moves the slope but keeps its scale
+    assert abs(r["slope_fe_dollars"]) < 10 * abs(
+        r["slope_pooled_dollars"]
+    ) + 1.0
+
+
+def test_payload_entropy_bounds(spark):
+    rows = [
+        r.asDict()
+        for r in suite.QUERIES["multimodal_payload_entropy"](
+            spark, SF
+        ).collect()
+    ]
+    assert len(rows) == 500
+    import math
+
+    for r in rows:
+        # Shannon entropy of a byte histogram: 0 <= H <= min(8, log2 of
+        # the support size) and the distinct-byte count bounds it
+        assert 0.0 <= r["entropy_bits"] <= 8.0 + 1e-9
+        assert r["entropy_bits"] <= math.log2(r["n_distinct_bytes"]) + 1e-6
+        assert 1 <= r["n_distinct_bytes"] <= min(256, r["n_bytes"])
+    # text-bodied payloads sit in the prose band, not the random band
+    import statistics
+
+    m = statistics.mean(r["entropy_bits"] for r in rows)
+    assert 3.0 < m < 6.5

@@ -132,3 +132,40 @@ def test_silence_segments_invariants(spark):
             assert r["n_runs"] >= 1 and r["longest_quiet_run"] >= 1
         # runs tile the quiet samples: longest * runs >= quiet count
         assert r["longest_quiet_run"] * max(r["n_runs"], 1) >= r["n_quiet"]
+
+
+def test_bass_fit_always_one_honest_row(spark):
+    r = (
+        suite.QUERIES["customers_bass_diffusion_fit"](spark, SF)
+        .collect()[0]
+        .asDict()
+    )
+    assert r["n_months"] >= 12
+    # regression coefficients always reported; structural params only
+    # when the quadratic is concave (bass_valid) — never silently absent
+    if r["bass_valid"]:
+        assert r["m_market_size"] > 0
+        assert r["p_innovation"] is not None and r["q_imitation"] is not None
+    else:
+        assert r["m_market_size"] is None
+        assert r["peak_time_days"] is None
+
+
+def test_greedy_cover_diminishing_returns(spark):
+    rows = [
+        r.asDict()
+        for r in suite.QUERIES["supplier_coverage_greedy"](spark, SF).collect()
+    ]
+    assert 1 <= len(rows) <= 5
+    gains = [r["newly_covered"] for r in rows]
+    # submodularity: marginal gains are non-increasing for greedy
+    assert gains == sorted(gains, reverse=True)
+    cums = [r["cum_covered"] for r in rows]
+    assert cums == sorted(cums)
+    # cumulative coverage equals the gain telescoping only if the picked
+    # supplier's parts were all previously uncovered — in general each
+    # round's cum increase IS its gain (greedy counts uncovered only)
+    for i, r in enumerate(rows):
+        prev = cums[i - 1] if i else 0
+        assert r["cum_covered"] == prev + r["newly_covered"]
+        assert 0 < r["coverage_ratio"] <= 1.0 + 1e-9

@@ -49,6 +49,16 @@ _GRID = (
 #: aggregate join-back, a broadcast query set, or a constant grid), never
 #: a data-sized relation.
 BNLJ_BOUNDED: dict[str, str] = {
+    "supplier_coverage_greedy": (
+        "build sides are the per-round 1-row argmax pick, 1-row "
+        "cumulative-coverage count, and the 1-row part universe — all "
+        "single broadcast rows, 5 fixed rounds"
+    ),
+    "lineitem_twoway_fe_price": (
+        "build sides are the |nations|/|years| group-mean relations and "
+        "three 1-row aggregates (global moments, group counts) — "
+        "domain-bounded, never fact-sized"
+    ),
     "near_dup_capture_recapture": (
         "build sides are the three 1-row pair-count aggregates (n_b, "
         "n_both, n_union) joined into the single Chapman row — never "

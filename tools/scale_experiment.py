@@ -197,6 +197,16 @@ PROBES = (
     "docs_bloom_decontam",         # broadcast bitset probe, 1 corpus scan (r08)
     "near_dup_band_jackknife",     # banded pairs + bitmask 1-row agg (r08)
     "events_seq_patterns",         # |types|^2-bounded min-chain joins (r08)
+    "near_dup_capture_recapture",  # two banded pair sets + overlap join (r08)
+    "embedding_cka_splits",        # dim^2 cov agg + 4096-row reductions (r08)
+    "embedding_effective_rank",    # same dim^2 cov, 1-row reduction (r08)
+    "lineitem_binscatter_price",   # 1 moment agg to <=10 bins (r08)
+    "near_dup_bands_rows_tradeoff",  # 3 bandings over one sig stage (r08)
+    "audio_silence_segments",      # row-local decode + gap lists (r08)
+    "lineitem_twoway_fe_price",    # 3 mean aggs + demeaned moment pass (r08)
+    "multimodal_payload_entropy",  # byte explode -> doc histogram (r08)
+    "customers_bass_diffusion_fit",  # month rollup + 1-row quadratic (r08)
+    "supplier_coverage_greedy",    # 5 fixed anti-join rounds (r08)
     # embedding_knn_label_eval / _outliers are EXCLUDED like
     # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
     # design and documented eval-on-sample (SURVEY §9.5)

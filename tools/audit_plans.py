@@ -374,6 +374,10 @@ BNLJ_BOUNDED: dict[str, str] = {
 #: partition-count relation, or a calendar-sized rollup — never an
 #: unbounded data relation.
 UNPART_WINDOW_BOUNDED: dict[str, str] = {
+    "customers_bass_diffusion_fit": (
+        "cumulative-adopter window runs over the MONTHLY rollup "
+        "(<= |months| rows however many customers), never raw orders"
+    ),
     "corpus_vocab_coverage": (
         "two-phase global_rank/global_cumsum offset windows "
         "(<= #partitions rows) over the vocab histogram"

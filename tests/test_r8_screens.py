@@ -148,7 +148,7 @@ def test_bass_fit_always_one_honest_row(spark):
         assert r["p_innovation"] is not None and r["q_imitation"] is not None
     else:
         assert r["m_market_size"] is None
-        assert r["peak_time_days"] is None
+        assert r["peak_time_months"] is None
 
 
 def test_greedy_cover_diminishing_returns(spark):

@@ -49,6 +49,17 @@ _GRID = (
 #: aggregate join-back, a broadcast query set, or a constant grid), never
 #: a data-sized relation.
 BNLJ_BOUNDED: dict[str, str] = {
+    "near_dup_bcubed_eval": (
+        "build sides are the 1-row BCubed term aggregate and the 1-row "
+        "pred/true cluster-count relations joined into the single output "
+        "row — never data-sized (the contingency relation itself joins "
+        "hash-equi on pred/true keys)"
+    ),
+    "minhash_oph_densified": (
+        "build sides are the fixed 32-row densification position grid "
+        "(2x OPH bins, a constant) and the 1-row empty-bin summary — the "
+        "corpus-sized signature/shingle relations all join hash-equi on id"
+    ),
     "supplier_coverage_greedy": (
         "build sides are the per-round 1-row argmax pick, 1-row "
         "cumulative-coverage count, and the 1-row part universe — all "

@@ -308,6 +308,19 @@ def main() -> int:
         )
     lines += [
         "",
+        "Exact all-pairs EVAL harnesses (`embedding_knn_label_eval`, "
+        "`embedding_knn_link_prediction`, `embedding_label_noise_screen`, "
+        "`embedding_label_propagation` (kNN-edge construction), "
+        "`near_dup_eval_metrics`, and round 9's `embedding_knn_shapley`) "
+        "are deliberately not probed: they are quadratic in the "
+        "eval-corpus size BY DESIGN (exact ground truth on a bounded eval "
+        "set; their docstrings name the ANN-candidate-set / "
+        "banded-candidate siblings as the production path at corpus "
+        "scale), so a probe would only re-measure the definition.  A 10x "
+        "`embedding_knn_shapley` attempt was started and abandoned at "
+        "~55 min — the expected ~100x pair blowup made visible, which is "
+        "exactly the behavior the harness label warns about.",
+        "",
         "Replicas are disjoint by construction (per-replica token suffixes, "
         "shifted keys), so duplicate/near-dup pair density is linear in the "
         "scale factor — growth beyond 1.0 in the LSH rows would indicate "

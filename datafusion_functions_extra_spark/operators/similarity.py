@@ -437,12 +437,17 @@ def components_from_pairs(
     return labels.select("id", F.col("label").alias("component"))
 
 
-def near_dup_components_oracle_sql(threshold: float = 0.5) -> str:
-    """Recursive-CTE connected components: with symmetric edges, the min
-    id reachable from a node IS its component min."""
-    return f"""
-WITH RECURSIVE {_sig_cte()}, {_bands_cte()},
-pairs AS (
+def components_reach_cte(threshold: float = 0.5) -> str:
+    """The shared ``pairs``/``edges``/``reach`` CTE block of the
+    connected-components oracle, parameterized by the MinHash-estimate
+    threshold.  Callers must open ``WITH RECURSIVE`` and include
+    :func:`_sig_cte` + :func:`_bands_cte` upstream; downstream CTEs read
+    ``reach(id, root)`` where ``min(root) GROUP BY id`` is the component
+    label.  Single definition so every oracle that depends on the
+    component semantics (components itself, BCubed eval, golden records,
+    …) stays in lockstep if the threshold convention or edge definition
+    changes (ADVICE r9 item 4)."""
+    return f"""pairs AS (
   SELECT cand.id_a, cand.id_b
   FROM cand
   JOIN sig sa ON sa.id = cand.id_a
@@ -460,7 +465,15 @@ reach(id, root) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.id_b, r.root FROM reach r JOIN edges e ON e.id_a = r.id
-)
+)"""
+
+
+def near_dup_components_oracle_sql(threshold: float = 0.5) -> str:
+    """Recursive-CTE connected components: with symmetric edges, the min
+    id reachable from a node IS its component min."""
+    return f"""
+WITH RECURSIVE {_sig_cte()}, {_bands_cte()},
+{components_reach_cte(threshold)}
 SELECT id AS doc_id, min(root) AS component FROM reach GROUP BY id
 """
 

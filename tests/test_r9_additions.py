@@ -92,6 +92,15 @@ def test_oph_bounds_and_budget_story(spark):
     assert row["mae_oph"] <= 1.0 and row["mae_kperm"] <= 1.0
 
 
+def _round_half_away(x: float) -> int:
+    """Half-away-from-zero rounding, matching Spark F.round and DuckDB
+    round() on doubles.  Python's built-in round() is banker's
+    (half-to-even), which first diverges at rank 1024 where 1e9/r is an
+    exact .5 — use this in the replica so it stays a true golden at
+    larger eval corpora (ADVICE r9 item 3)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def _np_knn_shapley_per_label(sf_dir: str, k: int = 5):
     """Independent NumPy replica of the query's full pipeline: L2
     normalize, 6-dp-rounded cosine, rank by (cos desc, neighbor asc),
@@ -114,10 +123,10 @@ def _np_knn_shapley_per_label(sf_dir: str, k: int = 5):
         terms = np.empty(nn, dtype=np.int64)
         for m in range(nn - 1):
             r = m + 1  # 1-based rank
-            terms[m] = round(
+            terms[m] = _round_half_away(
                 float(ind[m] - ind[m + 1]) * min(k, r) * 1e9 / (k * r)
             )
-        terms[nn - 1] = round(float(ind[nn - 1]) * 1e9 / nn)
+        terms[nn - 1] = _round_half_away(float(ind[nn - 1]) * 1e9 / nn)
         suffix = np.cumsum(terms[::-1])[::-1]
         for m, j in enumerate(key):
             tot_nano[j] = tot_nano.get(j, 0) + int(suffix[m])

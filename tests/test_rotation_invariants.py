@@ -38,16 +38,21 @@ def test_never_verified_sort_before_verified():
         )
 
 
-def test_rows_only_head_parked_or_dead_last():
+def test_rows_only_dead_last():
+    # r10+: the r09 one-shot head parking is cleared and CORRECTNESS_r09
+    # (committed) holds the sketches' documented-by-design rows, so the
+    # ONLY legal position is dead-last — "either head or tail" would let
+    # a forgotten parking silently burn 2 of ~50 window slots every
+    # round (ADVICE r9 item 2)
     names = list(suite.QUERIES)
     ranks = {n: i for i, n in enumerate(names)}
     n_total = len(names)
     for n in ROWS_ONLY:
         assert n in suite.QUERIES and n not in suite.ORACLES
         r = ranks[n]
-        assert r < len(ROWS_ONLY) or r >= n_total - len(ROWS_ONLY), (
-            f"{n} sits mid-order (rank {r}) — it can neither earn a hash "
-            "nor document itself there, it only burns a window slot"
+        assert r >= n_total - len(ROWS_ONLY), (
+            f"{n} is not dead-last (rank {r}/{n_total}) — it can never "
+            "earn a hash, any earlier slot is a wasted driver check"
         )
 
 

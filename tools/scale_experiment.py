@@ -207,6 +207,7 @@ PROBES = (
     "multimodal_payload_entropy",  # byte explode -> doc histogram (r08)
     "customers_bass_diffusion_fit",  # month rollup + 1-row quadratic (r08)
     "supplier_coverage_greedy",    # 5 fixed anti-join rounds (r08)
+    "embedding_knn_shapley_ann",   # bucketed Shapley + O(T·N) exact leg (r10)
     # embedding_knn_label_eval / _outliers are EXCLUDED like
     # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
     # design and documented eval-on-sample (SURVEY §9.5)
@@ -319,7 +320,11 @@ def main() -> int:
         "scale), so a probe would only re-measure the definition.  A 10x "
         "`embedding_knn_shapley` attempt was started and abandoned at "
         "~55 min — the expected ~100x pair blowup made visible, which is "
-        "exactly the behavior the harness label warns about.",
+        "exactly the behavior the harness label warns about.  As of r10 "
+        "the Shapley production path IS runnable and probed: "
+        "`embedding_knn_shapley_ann` (bounded 16-point test set, "
+        "multi-probe LSH candidates, truncated recursion) appears in the "
+        "table above with its measured exponent.",
         "",
         "Replicas are disjoint by construction (per-replica token suffixes, "
         "shifted keys), so duplicate/near-dup pair density is linear in the "

@@ -168,6 +168,51 @@ def test_semantic_decontam_sweep_monotone(spark):
             assert r["mean_max_cos_flagged"] >= r["threshold"]
 
 
+def test_facility_location_greedy_diminishing_returns(spark):
+    rows = sorted(
+        suite.QUERIES["embedding_facility_location_greedy"](
+            spark, SF
+        ).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == list(range(1, suite._FL_ROUNDS + 1))
+    # greedy on a submodular objective has non-increasing marginal gains
+    gains = [r["marginal_gain"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(gains, gains[1:])), gains
+    # objective and coverage are monotone non-decreasing
+    objs = [r["objective_mean"] for r in rows]
+    covs = [r["coverage_frac"] for r in rows]
+    assert objs == sorted(objs)
+    assert covs == sorted(covs)
+    assert 0.0 < covs[-1] <= 1.0
+    # picks are distinct while gains are positive
+    picked = [r["vec_id"] for r in rows if r["marginal_gain"] > 0]
+    assert len(picked) == len(set(picked))
+
+
+def test_partition_planning_arithmetic(spark):
+    rows = {
+        r["table_name"]: r
+        for r in suite.QUERIES["tables_partition_planning"](
+            spark, SF
+        ).collect()
+    }
+    assert set(rows) == set(suite._PP_TABLES)
+    for t, (fixed, scols) in suite._PP_TABLES.items():
+        r = rows[t]
+        assert r["n_rows"] > 0
+        # avg row at least the fixed width + one prefix byte per string
+        assert r["avg_row_bytes"] >= fixed + 4 * len(scols)
+        assert r["partitions_128mib"] >= 1
+        # partitions * rows_per_partition covers the table
+        assert (
+            r["partitions_128mib"] * r["rows_per_partition"] >= r["n_rows"]
+        )
+        # est_total_mib consistent with avg_row_bytes * n_rows
+        est = r["avg_row_bytes"] * r["n_rows"] / 1048576.0
+        assert abs(est - r["est_total_mib"]) / max(r["est_total_mib"], 1e-9) < 1e-3
+
+
 def test_knn_shapley_ann_agreement_is_meaningful(spark):
     """The production path must actually agree with exact better than
     chance: positive rank correlation and nonzero top-D recall at the

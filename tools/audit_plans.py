@@ -49,6 +49,26 @@ _GRID = (
 #: aggregate join-back, a broadcast query set, or a constant grid), never
 #: a data-sized relation.
 BNLJ_BOUNDED: dict[str, str] = {
+    "embedding_knn_shapley_ann": (
+        "build sides are the 1-row summary relations (coverage counts, "
+        "Spearman power sums, top-50 overlap count, corpus totals) "
+        "joined into the single output row, plus the 1-row n_train "
+        "scalar for the top-D denominators — never data-sized (the "
+        "candidate and exact scoring joins are bucket/broadcast "
+        "equi-joins)"
+    ),
+    "embedding_semantic_decontam": (
+        "build sides are the fixed 3-row threshold grid and the two "
+        "1-row count summaries joined into the 3-row sweep — never "
+        "data-sized (the candidate join is a bucket equi-join with a "
+        "broadcast bench probe side)"
+    ),
+    "embedding_facility_location_greedy": (
+        "build sides are the per-round 1-row argmax pick and 1-row "
+        "objective/coverage stats plus the final 1-row corpus count — "
+        "all single broadcast rows, 5 fixed rounds (the edge build is a "
+        "576-row broadcast probe side bucket equi-join)"
+    ),
     "near_dup_bcubed_eval": (
         "build sides are the 1-row BCubed term aggregate and the 1-row "
         "pred/true cluster-count relations joined into the single output "
@@ -385,6 +405,11 @@ BNLJ_BOUNDED: dict[str, str] = {
 #: partition-count relation, or a calendar-sized rollup — never an
 #: unbounded data relation.
 UNPART_WINDOW_BOUNDED: dict[str, str] = {
+    "embedding_knn_shapley_ann": (
+        "two-phase global_cumsum offset windows (<= #partitions rows) "
+        "over the two per-value midrank histograms of the Spearman leg; "
+        "all Shapley windows are partitioned per test point"
+    ),
     "customers_bass_diffusion_fit": (
         "cumulative-adopter window runs over the MONTHLY rollup "
         "(<= |months| rows however many customers), never raw orders"

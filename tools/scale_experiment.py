@@ -208,6 +208,7 @@ PROBES = (
     "customers_bass_diffusion_fit",  # month rollup + 1-row quadratic (r08)
     "supplier_coverage_greedy",    # 5 fixed anti-join rounds (r08)
     "embedding_knn_shapley_ann",   # bucketed Shapley + O(T·N) exact leg (r10)
+    "embedding_facility_location_greedy",  # 64-pool FL greedy, 5 rounds (r10)
     # embedding_knn_label_eval / _outliers are EXCLUDED like
     # near_dup_eval_metrics: all-pairs EVAL harnesses are quadratic by
     # design and documented eval-on-sample (SURVEY §9.5)

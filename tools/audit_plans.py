@@ -254,6 +254,23 @@ BNLJ_BOUNDED: dict[str, str] = {
         "build sides are the 4-row level grid and |levels|-row stats "
         "relation — bounded by the ladder, never data-sized"
     ),
+    "corpus_scaling_law_fit": (
+        "build sides are the learning curve's 4-row level grid / "
+        "|levels|-row stats relations plus the final 1-row pivoted fit — "
+        "ladder-bounded, never data-sized"
+    ),
+    "docs_quality_logreg_gd": (
+        "build sides are the 1-row feature-moment stats relation and the "
+        "per-GD-step 1-row weight relation joined back onto the "
+        "checkpointed feature relation — always exactly one row per "
+        "step, never data-sized"
+    ),
+    "dedup_shard_locality_loss": (
+        "build sides are the 1-row pair/doc-count aggregates and the two "
+        "1-row max-shard-size relations unioned into the 2-row verdict — "
+        "never data-sized (pairs come from the banded equi-join; shard "
+        "lookups join hash-equi on id)"
+    ),
     "docs_k_anon_ladder": _SCALAR + " (4-row level grid explode)",
     "events_dau_mau_stickiness": (
         "build side is the observed-day grid (calendar-bounded)"

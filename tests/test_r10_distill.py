@@ -156,3 +156,86 @@ def test_shard_locality_band_beats_id_hash(spark):
     assert band["recall"] > idh["recall"]
     # random placement concentrates near 1/8 (loose envelope, small n)
     assert idh["recall"] < 0.5
+
+
+def _np_spectral(pairs, ids_x0):
+    """The near_dup_spectral_bipartition iteration replicated in NumPy:
+    lazy walk M = (I + D^-1/2 A D^-1/2)/2, v1 deflation, nano-snapped
+    cross-node sums — given the pair list and the init values."""
+    nodes = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n, dtype=np.int64)
+    for a, b in pairs:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    m2 = int(deg.sum())
+    v1 = np.sqrt(deg / m2)
+    x = np.array([ids_x0[v] for v in nodes])
+
+    def snap_sum_vec(terms):
+        return sum(_round_half_away(t * 1e9) for t in terms) / 1e9
+
+    def propagate_deflate(x):
+        s = np.zeros(n, dtype=np.int64)
+        xd = x / np.sqrt(deg.astype(float))
+        for a, b in pairs:
+            ia, ib = idx[a], idx[b]
+            s[ia] += _round_half_away(xd[ib] * 1e9)
+            s[ib] += _round_half_away(xd[ia] * 1e9)
+        y = (x + (s / 1e9) / np.sqrt(deg.astype(float))) / 2.0
+        dp = snap_sum_vec(v1 * y)
+        return y - dp * v1
+
+    for _ in range(suite._SP_ITERS):
+        y = propagate_deflate(x)
+        nr = math.sqrt(snap_sum_vec(y * y))
+        x = y / nr
+    zfin = propagate_deflate(x)
+    mu = snap_sum_vec(x * zfin)
+    pos = x >= 0.0
+    cut = sum(1 for a, b in pairs if pos[idx[a]] != pos[idx[b]])
+    vol_pos = int(deg[pos].sum())
+    vol_neg = int(deg[~pos].sum())
+    return {
+        "n_nodes": n,
+        "n_edges": len(pairs),
+        "n_side_pos": int(pos.sum()),
+        "n_side_neg": int((~pos).sum()),
+        "cut_edges": cut,
+        "conductance": (
+            cut / min(vol_pos, vol_neg) if min(vol_pos, vol_neg) > 0 else None
+        ),
+        "lambda2": 2.0 * mu - 1.0,
+        "cheeger_upper": math.sqrt(2.0 * max(0.0, 2.0 - 2.0 * mu)),
+    }
+
+
+def test_spectral_bipartition_numpy_replica(spark):
+    import hashlib
+
+    row = suite.QUERIES["near_dup_spectral_bipartition"](spark, SF).collect()[0]
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in suite.QUERIES["near_dup_pairs"](spark, SF).collect()
+    ]
+
+    def hash60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ids_x0 = {
+        v: ((hash60(f"sp:{v}") % 2001) - 1000) / 1000.0
+        for p in pairs
+        for v in p
+    }
+    want = _np_spectral(pairs, ids_x0)
+    for col in ("n_nodes", "n_edges", "n_side_pos", "n_side_neg", "cut_edges"):
+        assert row[col] == want[col], (col, row[col], want[col])
+    for col in ("conductance", "lambda2", "cheeger_upper"):
+        assert abs(row[col] - want[col]) < 2e-6, (col, row[col], want[col])
+    # the partitionability certificate on a union of duplicate clusters:
+    # a (near-)zero-conductance balanced cut with lambda2 at the top of
+    # the spectrum
+    assert row["conductance"] <= 0.5
+    assert row["lambda2"] <= 1.0 + 1e-9
+    assert abs(row["n_side_pos"] - row["n_side_neg"]) <= row["n_nodes"]

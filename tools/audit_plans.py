@@ -265,6 +265,13 @@ BNLJ_BOUNDED: dict[str, str] = {
         "checkpointed feature relation — always exactly one row per "
         "step, never data-sized"
     ),
+    "near_dup_spectral_bipartition": (
+        "build sides are the per-round 1-row deflation-dot and norm "
+        "relations, the 1-row 2m total, and the final 1-row "
+        "cut/volume/Rayleigh summaries — always single broadcast rows; "
+        "the propagation join is node-keyed hash-equi (adj x vector), "
+        "edges from the banded LSH equi-join"
+    ),
     "dedup_shard_locality_loss": (
         "build sides are the 1-row pair/doc-count aggregates and the two "
         "1-row max-shard-size relations unioned into the 2-row verdict — "

@@ -176,23 +176,29 @@ def _np_spectral(pairs, ids_x0):
     def snap_sum_vec(terms):
         return sum(_round_half_away(t * 1e9) for t in terms) / 1e9
 
-    def propagate_deflate(x):
+    v1n = snap_sum_vec(v1 * v1)
+
+    def lazy_step(x):
         s = np.zeros(n, dtype=np.int64)
         xd = x / np.sqrt(deg.astype(float))
         for a, b in pairs:
             ia, ib = idx[a], idx[b]
             s[ia] += _round_half_away(xd[ib] * 1e9)
             s[ib] += _round_half_away(xd[ia] * 1e9)
-        y = (x + (s / 1e9) / np.sqrt(deg.astype(float))) / 2.0
-        dp = snap_sum_vec(v1 * y)
-        return y - dp * v1
+        return (x + (s / 1e9) / np.sqrt(deg.astype(float))) / 2.0
 
     for _ in range(suite._SP_ITERS):
-        y = propagate_deflate(x)
-        nr = math.sqrt(snap_sum_vec(y * y))
-        x = y / nr
-    zfin = propagate_deflate(x)
-    mu = snap_sum_vec(x * zfin)
+        y = lazy_step(x)
+        dp = snap_sum_vec(v1 * y)
+        ss = snap_sum_vec(y * y)
+        # fused deflated norm: ||y - dp*v1||^2 = ss - 2dp^2 + dp^2*||v1||^2
+        nr = math.sqrt(ss - 2.0 * dp * dp + dp * dp * v1n)
+        x = (y - dp * v1) / nr
+    yf = lazy_step(x)
+    dpf = snap_sum_vec(v1 * yf)
+    sxy = snap_sum_vec(x * yf)
+    sxv = snap_sum_vec(x * v1)
+    mu = sxy - dpf * sxv
     pos = x >= 0.0
     cut = sum(1 for a, b in pairs if pos[idx[a]] != pos[idx[b]])
     vol_pos = int(deg[pos].sum())

@@ -364,7 +364,11 @@ def components_from_pairs(
     # the whole candidate-generation logical subtree (~6 shuffles) at each
     # reference — the analyzed plan grew ~60 shuffle nodes per round.
     # Checkpointing collapses edges to a LogicalRDD leaf, so each round
-    # adds only its own join+aggregate to the plan.
+    # adds only its own join+aggregate to the plan.  (r10 note: a
+    # repartition-by-join-key + persist layered on the checkpoint was
+    # tried and REVERTED — pinning the partition count defeats AQE's
+    # small-partition coalescing and turned every 1-task round stage
+    # into a 32-task one, a measured 2-4x regression at bench scale.)
     edges = (
         pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
         .distinct()
@@ -2383,10 +2387,17 @@ def near_dup_pagerank(
     from ..cache import persist_tracked
 
     pairs = near_dup_pairs(df, text_col, id_col, threshold).select("id_a", "id_b")
+    # eager checkpoint truncates the LSH subtree: a lazy persist inlines
+    # it at every one of the ~7 per-round references in the analyzed
+    # plan (measured: the truncation alone is a ~1.6x win; per-round
+    # exchanges of the tiny coalesced edge relation are cheap, so no
+    # fixed-count repartition is layered on top — see components note)
     edges = persist_tracked(
         pairs.union(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-        ).distinct()
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("id_a").alias("id"), "deg")

@@ -433,11 +433,16 @@ def semdedup(
     """
     from .similarity import cosine
 
-    assigned = kmeans_assign(emb, centroid_ids, n_iters, id_col, vec_col)
+    # r10: persist the trajectory and the (assignment, vec) relation —
+    # the cluster-blocked self-join reads j from BOTH sides and the final
+    # select references assigned a third time; unpinned, each reference
+    # re-executed the full n_iters Lloyd trajectory (measured 8.7s -> 3.3s
+    # warm at sf0.1, bit-identical output)
+    assigned = kmeans_assign(emb, centroid_ids, n_iters, id_col, vec_col).persist()
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
     )
-    j = assigned.join(vecs, "vec_id")
+    j = assigned.join(vecs, "vec_id").persist()
     a = j.select(
         F.col("vec_id").alias("id_a"), F.col("cluster"), F.col("vec").alias("v_a")
     )

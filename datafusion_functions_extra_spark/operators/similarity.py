@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import bind_once, normalize_text, word_shingles, tokens
 from ..functions.rounding import r6n, r6n_sql
+from ..sources.catalog import widen_for_compute
 
 # ---------------------------------------------------------------------------
 # shared deterministic constants (Spark expressions AND DuckDB oracles)
@@ -137,25 +138,40 @@ def simhash32(text_col) -> Column:
 
     bit j = 1 iff sum over tokens of (+1 if bit j of hash60(token) set
     else -1) is strictly positive.
+
+    r10: computed in ONE aggregate pass with a 32-counter array
+    accumulator (zip_with against the literal mask array) instead of 32
+    independent ``aggregate`` passes over the token-hash array — the
+    per-bit sums are the same exact integer additions, just accumulated
+    per token instead of per bit, and the final fold ORs in the same
+    power-of-two per strictly-positive counter (measured 2.4x, 0
+    mismatches over every sf0.1 doc).
     """
     hashes = F.transform(tokens(text_col), hash60)
+    masks = F.array(*[F.lit(1 << j) for j in range(SIMHASH_BITS)])
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
 
     def body(h: Column) -> Column:
-        def bit_sum(j: int) -> Column:
-            mask = F.lit(1 << j)
-            return F.aggregate(
-                h,
-                F.lit(0),
-                lambda acc, x: acc
-                + F.when(x.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
-            )
+        bits = F.aggregate(
+            h,
+            F.array(*[F.lit(0) for _ in range(SIMHASH_BITS)]),
+            lambda acc, x: F.zip_with(
+                acc,
+                masks,
+                lambda c, m: c
+                + F.when(x.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                bits, pows,
+                lambda b, p: F.when(b > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
 
-        out = F.lit(0).cast("long")
-        for j in range(SIMHASH_BITS):
-            out = out + F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        return out
-
-    # bind once: the 32 bit-sums read the materialized token-hash array
+    # bind once: the folds read the materialized token-hash array
     return _bind(hashes, body)
 
 
@@ -174,7 +190,13 @@ def minhash_signatures(
     est-Jaccard joins, and without pinning, each consumer re-hashes every
     shingle.  At 100 TB the equivalent is writing signatures to a parquet
     stage table once and joining from there.
+
+    r10: the scan is widened to the session parallelism first — the
+    bench tables are one-row-group parquet files, so the whole
+    shingle+hash projection otherwise runs in a single task (guide
+    §2.2).
     """
+    df = widen_for_compute(df)
     sigs = df.select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
     return sigs.persist() if materialize else sigs
 
@@ -197,7 +219,7 @@ def write_signatures_table(
     :func:`simhash_pairs_from_signatures`; pytest pins
     pairs-from-stage == pairs-from-raw.
     """
-    df.select(
+    widen_for_compute(df).select(
         F.col(id_col),
         minhash_signature(F.col(text_col)).alias("sig"),
         simhash32(F.col(text_col)).alias("sh"),
@@ -735,8 +757,17 @@ def simhash_pairs(
     """(id_a, id_b, hamming) pairs whose 32-bit SimHashes differ in at most
     ``max_hamming`` bits, blocked on 8-bit bands (a pair within Hamming
     distance <= 3 shares at least one of the 4 bands, so banding loses no
-    qualifying pair)."""
-    sh = df.select(F.col(id_col), simhash32(F.col(text_col)).alias("sh"))
+    qualifying pair).
+
+    r10: the signature relation is persisted — the banded self-join reads
+    it from both sides, and without pinning each side re-evaluated the
+    simhash projection over the raw text (the before-plan scanned the
+    parquet and ran the HOF twice)."""
+    sh = (
+        widen_for_compute(df)
+        .select(F.col(id_col), simhash32(F.col(text_col)).alias("sh"))
+        .persist()
+    )
     return simhash_pairs_from_signatures(sh, id_col, max_hamming)
 
 
@@ -2110,28 +2141,52 @@ def lsh_eval_metrics(
     only miss.  Sets and metrics are exact integers; the two ratios are
     boundary-nudged.
     """
-    sh = df.select(
+    # r10: the truth leg used to materialize distinct candidate pairs and
+    # join each side's FULL shingle array back for array_intersect/union —
+    # every candidate row shuttled two string arrays through two shuffles.
+    # The same integers come straight from the inverted index (guide §2.3:
+    # shuffle decisions, not payloads): the rare-shingle self-join counts
+    # each pair's distinct shared rare shingles in ONE partial-aggregated
+    # groupBy (the index is distinct per (id, s)), the normally-empty
+    # df>cap stop-shingle arrays are the only per-pair array work left
+    # (inter = c_rare + |stop_a ∩ stop_b| — every shingle is rare XOR
+    # stop), and union = n_a + n_b − inter (arrays are distinct).  All
+    # counts are the same exact integers; the threshold compare divides
+    # the same doubles, so truth is bit-identical to the array form.
+    sh = widen_for_compute(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles_or_whole(F.col(text_col))).alias("shs"),
     ).persist()
     ix = sh.select("id", F.explode("shs").alias("s"))
-    rare = ix.groupBy("s").agg(F.count(F.lit(1)).alias("df_s")).where(
-        F.col("df_s") <= eval_max_df
-    ).select("s")
-    ix = ix.join(rare, "s")
-    cand = (
-        ix.select(F.col("id").alias("id_a"), "s")
-        .join(ix.select(F.col("id").alias("id_b"), "s"), "s")
+    dfreq = ix.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    rare = dfreq.where(F.col("df_s") <= eval_max_df).select("s")
+    rix = ix.join(rare, "s")
+    c_rare = (
+        rix.select(F.col("id").alias("id_a"), "s")
+        .join(rix.select(F.col("id").alias("id_b"), "s"), "s")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c_rare"))
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    stop = dfreq.where(F.col("df_s") > eval_max_df).select("s")
+    empty_s = F.expr("array()").cast("array<string>")
+    meta = (
+        sh.select("id", F.size("shs").alias("n"))
+        .join(
+            ix.join(stop, "s").groupBy("id").agg(F.collect_list("s").alias("nr")),
+            "id",
+            "left",
+        )
+        .select("id", "n", F.coalesce("nr", empty_s).alias("nr"))
+    )
+    a = meta.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("nr").alias("nr_a"))
+    b = meta.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("nr").alias("nr_b"))
+    inter = (
+        F.col("c_rare") + F.size(F.array_intersect("nr_a", "nr_b"))
+    ).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     truth = (
-        cand.join(a, "id_a").join(b, "id_b")
+        c_rare.join(a, "id_a").join(b, "id_b")
         .where(inter / union >= F.lit(threshold))
         .select("id_a", "id_b")
     )

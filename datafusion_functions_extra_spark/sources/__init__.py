@@ -7,4 +7,5 @@ from .catalog import (  # noqa: F401
     load_table,
     load_tables,
     register_views,
+    widen_for_compute,
 )

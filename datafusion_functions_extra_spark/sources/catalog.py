@@ -38,6 +38,20 @@ def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+#: tables whose consumers are dominated by per-row-heavy projections
+#: (shingle/signature hashing, HOF folds, synthetic WAV/PNG decode) —
+#: widened to the session parallelism on load, because the bench-scale
+#: single-row-group parquet yields a ONE-partition scan that serializes
+#: all of that compute on one core (guide §2.2).  The exchange moves
+#: <1 MB once; at production scale the scan is already multi-partition
+#: and widening is a no-op (see widen_for_compute).
+_WIDEN_TABLES = frozenset({"documents", "embeddings"})
+
+#: (sf_dir, name) -> observed scan partition count; probing costs one
+#: physical-planning round-trip, so remember it per file
+_SCAN_PARTS: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -68,6 +82,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name in _WIDEN_TABLES:
+        n = spark.sparkContext.defaultParallelism
+        key = (sf_dir, name)
+        parts = _SCAN_PARTS.get(key)
+        if parts is None:
+            parts = df.rdd.getNumPartitions()
+            _SCAN_PARTS[key] = parts
+        if parts < n:
+            df = df.repartition(n)
+    return df
+
+
+def widen_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW scan up to the session's default
+    parallelism before per-row-heavy compute (signature hashing, HOF
+    folds, Arrow decode).
+
+    The bench-scale tables are single parquet files with one row group,
+    so the scan yields ONE partition and every downstream projection in
+    that stage runs on one core of ``local[n]`` (guide §2.2: partition
+    count mismatched to the compute).  Widening is conditional on the
+    observed partition count, so it is scale-adaptive, not a tuned
+    constant: at production scale (or lower bench core counts) inputs
+    that already match the parallelism pass through untouched, and
+    ``defaultParallelism`` follows the cluster/core count.  Only apply to
+    raw scans feeding expensive projections — the repartition exchange
+    moves the raw rows once, which only pays when the per-row compute
+    dominates the row bytes.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
     return df
 
 

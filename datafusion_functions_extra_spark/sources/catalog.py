@@ -113,6 +113,19 @@ def widen_for_compute(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
+    # Short-circuit WITHOUT touching df.rdd when the plan is already a
+    # round-robin/hash repartition (e.g. load_table widened this scan):
+    # under AQE, df.rdd on a plan containing an exchange EXECUTES the
+    # upstream query stages to finalize the plan — a measured ~2s job
+    # per probe that regressed every signature-pipeline consumer by
+    # 2-5x before this guard.  The .rdd probe below is only safe (and
+    # only reached) for exchange-free inputs such as raw scans.
+    root = df._jdf.queryExecution().analyzed()
+    cls = root.getClass().getSimpleName()
+    if cls == "RepartitionByExpression" or (
+        cls == "Repartition" and root.shuffle()  # coalesce() is Repartition(shuffle=false)
+    ):
+        return df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

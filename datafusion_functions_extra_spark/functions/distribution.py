@@ -188,9 +188,17 @@ def rank_sum_auc(
     """
     from .rounding import r6n
 
-    h = df.groupBy(score_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+    # the histogram is consumed twice (the cumsum AND the totals row);
+    # checkpoint it so the input subtree — often a full scoring scan plus
+    # an LSH label join — executes once (r10).  Histogram-sized by
+    # contract, so the materialization is cheap at any scale.
+    h = (
+        df.groupBy(score_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        )
+        .localCheckpoint(eager=True)
     )
     c = global_cumsum(h, score_col, "n", "cum")
     u = c.agg(

@@ -396,7 +396,23 @@ def components_from_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select("id", F.col("id").alias("label")).persist()
+    # EVERY round's labels are eager-checkpointed (r10; compress mode
+    # always did this — see the pointer-doubling note below).  The old
+    # non-compress protocol (lazy persist + periodic checkpoint every 5
+    # rounds) let the analyzed tree double per round — each round
+    # references labels TWICE (neighbor_min + the join back), so a graph
+    # converging at round 4 analyzed 2^4 tree copies in every round's
+    # convergence count AND handed consumers a 16-copy plan (measured:
+    # 3,195-line / 387-Exchange BCubed plan, 16s build on
+    # embedding_near_dup_components).  The checkpoint executes exactly
+    # the same per-round join+aggregate the convergence count used to
+    # trigger through the persist, so compute volume is unchanged; the
+    # count now joins two in-memory leaves.  A leaf is also what every
+    # multi-reference consumer (BCubed cells, golden-record rollups,
+    # soft-dedup weights) needs returned.
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.id)
@@ -415,48 +431,25 @@ def components_from_pairs(
         if compress:
             # pointer doubling: every label IS a node id, so the lookup
             # join is total; label[label] <= label by induction.  The
-            # self-join references the round's labels TWICE, which with
-            # lazy persist doubles the analyzed tree per round (2^5
-            # copies by the periodic checkpoint — measured 60s on a
-            # 55-node graph); truncate the lineage EVERY round instead.
+            # self-join references the round's labels TWICE, so the
+            # intermediate is checkpointed before the lookup join.
             base = new_labels.localCheckpoint(eager=True)
             lab2 = base.select(
                 F.col("id").alias("lid"), F.col("label").alias("llabel")
             )
-            new_labels = (
-                base.join(lab2, base.label == lab2.lid)
-                .select("id", F.least("label", "llabel").alias("label"))
-                .localCheckpoint(eager=True)
+            new_labels = base.join(lab2, base.label == lab2.lid).select(
+                "id", F.least("label", "llabel").alias("label")
             )
-        else:
-            new_labels = new_labels.persist()
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
-        since_ckpt = (it + 1) % 5
         if changed == 0:
             break
-        if since_ckpt == 0:
-            # truncate the unrolled logical plan — the convergence .count()
-            # above already materialized this round's labels, so the
-            # checkpoint is a cheap block copy, not a recompute
-            ckpt = labels.localCheckpoint(eager=True)
-            labels.unpersist()
-            labels = ckpt
-    # final checkpoint when MANY rounds ran past the last periodic one:
-    # each round references the label tree TWICE (neighbor_min + the
-    # join back), so uncommitted rounds double the analyzed tree per
-    # round — a graph converging at round 9 returned a 550-exchange
-    # plan.  Up to 3 uncommitted rounds (~2^3 tree copies, the ~30
-    # -exchange plans the audit always showed) analyze fine and skip the
-    # extra block copy; beyond that the copy is cheaper than analysis.
-    if since_ckpt > 3:
-        labels = labels.localCheckpoint(eager=True)
     # edges is a localCheckpoint: its blocks are released by the
     # ContextCleaner once the returned plan (whose LogicalRDD leaf pins
     # them) is garbage-collected — no unpersist handle to manage

@@ -93,7 +93,12 @@ def curate_corpus(
         funnel.append((name, n_in, df_out.count()))
         return df_out
 
-    # 1. quality + language gate (pure expression tree, fused into scan)
+    # 1. quality + language gate (pure expression tree, fused into scan).
+    # The gated survivors are eager-checkpointed BEFORE counting: the
+    # funnel count, the exact-dedup stage and its parquet write all
+    # consume this relation, and without truncation each of those jobs
+    # re-ran the quality-score projection over the full corpus (r10:
+    # three corpus scans + scores for one stage).
     scored = docs.withColumn("__q", TX.quality_score(c.text_col))
     kept = stage(
         "quality_language_filter",
@@ -101,15 +106,24 @@ def curate_corpus(
         scored.where(
             (F.col("__q") >= c.min_quality)
             & F.col("lang").isin(list(c.languages))
-        ).drop("__q"),
+        )
+        .drop("__q")
+        .localCheckpoint(eager=True),
     )
 
-    # 2. exact dedup (content-hash groupBy, min-id keep)
-    kept = stage(
-        "exact_dedup", funnel[-1][2], DD.exact_dedup(kept, c.text_col, c.id_col)
+    # 2. exact dedup (content-hash groupBy, min-id keep).  Write FIRST,
+    # then read the stage table back and count THAT: counting the lazy
+    # dedup relation before the write executed the dedup twice (r10);
+    # the parquet row count is the same number.
+    n_in = funnel[-1][2]
+    DD.exact_dedup(kept, c.text_col, c.id_col).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "exact_dedup.parquet")
     )
-    kept.write.mode("overwrite").parquet(os.path.join(out_dir, "exact_dedup.parquet"))
-    kept = spark.read.parquet(os.path.join(out_dir, "exact_dedup.parquet"))
+    kept = stage(
+        "exact_dedup",
+        n_in,
+        spark.read.parquet(os.path.join(out_dir, "exact_dedup.parquet")),
+    )
 
     # 3. near-dup dedup from the persistent signature stage (min-id keep).
     # The snapshot token is derived from the exact-dedup stage just

@@ -189,11 +189,12 @@ def _pq_train_sub(vecs: DataFrame, seed_ids, n_iters: int):
     for _ in range(n_iters - 1):
         centroids = _update(_assign(vecs, centroids))
     # the final k-row centroid relation is consumed twice (codebook
-    # output AND the final assign) — cache it so each subspace's Lloyd
-    # chain executes once, not once per consumer
-    from ..cache import persist_tracked
-
-    centroids = persist_tracked(centroids)
+    # output AND the final assign) — eager-checkpoint it so each
+    # subspace's Lloyd chain executes once AND collapses to an 8-row
+    # leaf in every consumer's analyzed plan (r10: a lazy persist
+    # re-inlined four subspaces' Lloyd chains into a 1,390-line /
+    # 122-Exchange pq_adc_topk plan)
+    centroids = centroids.localCheckpoint(eager=True)
     return centroids, _assign(vecs, centroids)
 
 

@@ -198,7 +198,13 @@ def minhash_signatures(
     """
     df = widen_for_compute(df)
     sigs = df.select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
-    return sigs.persist() if materialize else sigs
+    # r10: eager localCheckpoint, not lazy persist — persist dedupes
+    # execution but re-inlines the shingle+hash subtree at every
+    # consumer reference (band self-join sides, est-Jaccard joins, shard
+    # keys, ...), so multi-consumer queries carried 5-9 copies of the
+    # signature pipeline in their analyzed plans.  The leaf is the local
+    # analog of the parquet signature stage the docstring describes.
+    return sigs.localCheckpoint(eager=True) if materialize else sigs
 
 
 def write_signatures_table(
@@ -1833,6 +1839,9 @@ def source_overlap_jaccard(
     shingles.  At 100 TB the (source, shingle) relation is the thing to
     stage to parquet (same argument as write_signatures_table).
     """
+    # four consumers (both self-join sides + the per-source sizes used
+    # twice): checkpoint to a leaf, not a lazy persist that re-inlines
+    # the shingle explode per reference (r10)
     sh = (
         df.select(
             F.col(source_col).alias("src"),
@@ -1841,7 +1850,7 @@ def source_overlap_jaccard(
             ).alias("s"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     inter = (

@@ -720,3 +720,127 @@ chunk AS (
          (b[j] - coalesce(b[j - 1], 0))::BIGINT AS chunk_bytes
   FROM bd, unnest(generate_series(1, len(b))) AS t(j)
 )"""
+
+
+def cdc_chunks_np(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Arrow-batched twin of :func:`cdc_chunks` (guide §4.2): the same
+    boundary rule, hex windows and chunk md5s, computed per batch with
+    NumPy byte taps instead of per-byte interpreted ``conv(substring)``
+    expressions.  Everything is integer arithmetic on byte values plus
+    md5 over the exact UPPERCASE-hex chunk substring, so the rows are
+    bit-identical (pytest pins this against the JVM chunker; the DuckDB
+    oracle fragment is shared).  ``keep_cols`` pass through the Python
+    node untouched, so consumers still never join back to payloads."""
+    import hashlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, keeps, hashes, sizes = [], [[] for _ in keep_cols], [], []
+            for row_i, payload in enumerate(pdf[payload_col]):
+                b = bytes(payload)
+                n = len(b)
+                h = b.hex().upper()
+                bts = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                if n >= CDC_WINDOW:
+                    # 1-based boundary i in [CDC_WINDOW, n] where the
+                    # three byte taps (i, i-3, i-7) hit 0 mod CDC_MOD
+                    tap = (
+                        bts[CDC_WINDOW - 1 :] * 131
+                        + bts[CDC_WINDOW - 4 : n - 3] * 31
+                        + bts[: n - CDC_WINDOW + 1] * 7
+                    )
+                    rule = np.flatnonzero(tap % CDC_MOD == 0) + CDC_WINDOW
+                    bounds = (
+                        rule
+                        if len(rule) and rule[-1] == n
+                        else np.concatenate([rule, [n]])
+                    )
+                else:
+                    bounds = np.array([n])
+                did = pdf["id"].iloc[row_i]
+                prev = 0
+                for e in bounds:
+                    e = int(e)
+                    ids.append(did)
+                    for kc, col in zip(keeps, keep_cols):
+                        kc.append(pdf[col].iloc[row_i])
+                    hashes.append(
+                        hashlib.md5(
+                            h[prev * 2 : e * 2].encode()
+                        ).hexdigest()
+                    )
+                    sizes.append(e - prev)
+                    prev = e
+            out = {"id": ids}
+            for col, kc in zip(keep_cols, keeps):
+                out[col] = kc
+            out["chunk_hash"] = hashes
+            out["chunk_bytes"] = sizes
+            yield pd.DataFrame(out)
+
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    return df.select(
+        F.col(id_col).alias("id"), *keep_cols, payload_col
+    ).mapInPandas(
+        run,
+        f"id bigint{keep_schema}, chunk_hash string, chunk_bytes bigint",
+    )
+
+
+def byte_histogram_np(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-payload exact byte histogram ``(id, *keep_cols, n, b, c)``
+    via one ``np.bincount`` per payload — the counts are the identical
+    integers the explode->groupBy plan produced, but ≤256 rows per
+    payload cross the boundary instead of one row per BYTE, and the
+    per-byte ``conv(substring(hex))`` work disappears.  Float work
+    (the nano-snapped c·ln(c/n) entropy terms) stays in the JVM."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, keeps, ns, bs, cs = [], [[] for _ in keep_cols], [], [], []
+            for row_i, payload in enumerate(pdf[payload_col]):
+                b = bytes(payload)
+                hist = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8), minlength=0
+                )
+                nz = np.flatnonzero(hist)
+                did = pdf[id_col].iloc[row_i]
+                for v in nz:
+                    ids.append(did)
+                    for kc, col in zip(keeps, keep_cols):
+                        kc.append(pdf[col].iloc[row_i])
+                    ns.append(len(b))
+                    bs.append(int(v))
+                    cs.append(int(hist[v]))
+            out = {id_col: ids}
+            for col, kc in zip(keep_cols, keeps):
+                out[col] = kc
+            out["n"] = ns
+            out["b"] = bs
+            out["c"] = cs
+            yield pd.DataFrame(out)
+
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    return df.select(id_col, *keep_cols, payload_col).mapInPandas(
+        run,
+        f"{id_col} bigint{keep_schema}, n bigint, b bigint, c bigint",
+    )

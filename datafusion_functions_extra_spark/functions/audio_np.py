@@ -72,6 +72,16 @@ def _roundtrip_iter(ids, scale: int):
         yield d, meta, smp
 
 
+def _ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Project to the id column and widen a narrow scan to the session
+    parallelism — the per-clip decode below is exactly the
+    expensive-projection case ``widen_for_compute`` exists for (the
+    bench-scale parquet is one row group = ONE scan partition)."""
+    from ..sources.catalog import widen_for_compute
+
+    return widen_for_compute(df.select(id_col))
+
+
 def wav_fingerprints(
     df: DataFrame, id_col: str, scale: int = 8
 ) -> DataFrame:
@@ -98,7 +108,7 @@ def wav_fingerprints(
                 {id_col: ids, "n_samples": ns, "fp": fps}
             )
 
-    return df.select(id_col).mapInPandas(
+    return _ids(df, id_col).mapInPandas(
         run, f"{id_col} bigint, n_samples bigint, fp string"
     )
 
@@ -141,7 +151,7 @@ def wav_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ],
             )
 
-    return df.select(id_col).mapInPandas(
+    return _ids(df, id_col).mapInPandas(
         run,
         f"{id_col} bigint, n_channels bigint, sample_rate bigint, "
         "bits_per_sample bigint, n_samples bigint, data_bytes bigint, "
@@ -185,7 +195,7 @@ def silence_segments(
                 ],
             )
 
-    return df.select(id_col).mapInPandas(
+    return _ids(df, id_col).mapInPandas(
         run,
         f"{id_col} bigint, n_samples bigint, n_quiet bigint, "
         "n_runs bigint, longest_quiet_run bigint",
@@ -234,4 +244,4 @@ def dft_twiddle_sums(
             yield pd.DataFrame(rows, columns=[id_col, *cols])
 
     schema = ", ".join([f"{id_col} bigint"] + [f"{c} bigint" for c in cols])
-    return df.select(id_col).mapInPandas(run, schema)
+    return _ids(df, id_col).mapInPandas(run, schema)

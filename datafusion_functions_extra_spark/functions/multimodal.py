@@ -789,8 +789,10 @@ def cdc_chunks_np(
     keep_schema = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
     )
-    return df.select(
-        F.col(id_col).alias("id"), *keep_cols, payload_col
+    from ..sources.catalog import widen_for_compute  # noqa: PLC0415
+
+    return widen_for_compute(
+        df.select(F.col(id_col).alias("id"), *keep_cols, payload_col)
     ).mapInPandas(
         run,
         f"id bigint{keep_schema}, chunk_hash string, chunk_bytes bigint",
@@ -840,7 +842,11 @@ def byte_histogram_np(
     keep_schema = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
     )
-    return df.select(id_col, *keep_cols, payload_col).mapInPandas(
+    from ..sources.catalog import widen_for_compute  # noqa: PLC0415
+
+    return widen_for_compute(
+        df.select(id_col, *keep_cols, payload_col)
+    ).mapInPandas(
         run,
         f"{id_col} bigint{keep_schema}, n bigint, b bigint, c bigint",
     )

@@ -38,20 +38,6 @@ def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
-#: tables whose consumers are dominated by per-row-heavy projections
-#: (shingle/signature hashing, HOF folds, synthetic WAV/PNG decode) —
-#: widened to the session parallelism on load, because the bench-scale
-#: single-row-group parquet yields a ONE-partition scan that serializes
-#: all of that compute on one core (guide §2.2).  The exchange moves
-#: <1 MB once; at production scale the scan is already multi-partition
-#: and widening is a no-op (see widen_for_compute).
-_WIDEN_TABLES = frozenset({"documents", "embeddings"})
-
-#: (sf_dir, name) -> observed scan partition count; probing costs one
-#: physical-planning round-trip, so remember it per file
-_SCAN_PARTS: dict = {}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -82,15 +68,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if name in _WIDEN_TABLES:
-        n = spark.sparkContext.defaultParallelism
-        key = (sf_dir, name)
-        parts = _SCAN_PARTS.get(key)
-        if parts is None:
-            parts = df.rdd.getNumPartitions()
-            _SCAN_PARTS[key] = parts
-        if parts < n:
-            df = df.repartition(n)
+    # NOTE (r10): documents/embeddings were briefly widened HERE on every
+    # load; reverted after a dedicated A/B showed the unconditional
+    # repartition exchange taxed every LIGHT consumer of those tables
+    # (~150 queries at +0.2-0.8s each: dedup_exact_stats 1.66->0.81s,
+    # docs_snapshot_diff 2.14->0.74s, lang_source_chi2 1.12->0.40s with
+    # load-widen off) while the HEAVY paths never needed it — the
+    # signature/simhash/shingle operators and the Arrow decode helpers
+    # call widen_for_compute at their own entry points, where the
+    # per-row compute that justifies the exchange actually lives.
     return df
 
 

@@ -48,6 +48,30 @@ _GRID = (
 #: makes it safe: every entry is a scalar/constant-size build side (1-row
 #: aggregate join-back, a broadcast query set, or a constant grid), never
 #: a data-sized relation.
+#: queries whose executed plan carries Python-on-executor operators BY
+#: DESIGN — each an Arrow-batched worker that is either the decode
+#: plumbing itself or an r10 NumPy twin pytest-pinned bit-identical to
+#: the JVM expression pipeline it replaced (tests/test_r10_arrow_np.py,
+#: tests/test_r10_knn_scorer.py).  Python anywhere else still flags.
+PY_OK = {
+    "multimodal_decode_meta",   # Arrow decode plumbing — Python IS the op
+    "multimodal_frame_samples", # same (frame sampling + md5)
+    "audio_fingerprint_pairs",  # audio_np WAV round-trip twin (2 scorers)
+    "audio_wav_stats",          # audio_np twin
+    "audio_silence_segments",   # audio_np twin
+    "audio_spectral_centroid",  # audio_np twiddle sums (checkpointed leaf)
+    "multimodal_cdc_chunks",    # cdc_chunks_np byte chunker
+    "multimodal_cdc_incremental",  # same, behind an eager checkpoint
+    "multimodal_payload_entropy",  # byte_histogram_np (np.bincount)
+    "embedding_knn_label_eval",    # kNN Arrow block scorer (r10 §7)
+    "embedding_knn_outliers",      # same
+    "embedding_label_noise_screen",  # same (lazy persist: plan shows k nodes, executes once)
+    "embedding_knn_link_prediction",  # same
+    "embedding_label_propagation",    # same
+    "embedding_knn_shapley",          # same (checkpointed half relation)
+    "embedding_knn_shapley_ann",      # same
+}
+
 BNLJ_BOUNDED: dict[str, str] = {
     "embedding_knn_shapley_ann": (
         "build sides are the 1-row summary relations (coverage counts, "
@@ -630,8 +654,11 @@ def main() -> int:
         "",
         f"Generated by `tools/audit_plans.py` at sf-dir `{args.sf_dir}`.",
         "Health criteria: no CartesianProduct anywhere; SortMergeJoin only",
-        "where both sides are large; Python operators only in the explicit",
-        "mapInPandas decode query; parquet ReadSchema pruned to used columns;",
+        "where both sides are large; Python operators only in the annotated",
+        "Arrow-batched worker queries (PY_OK below — decode plumbing, the",
+        "r10 NumPy byte/WAV twins and the kNN block scorer, each",
+        "pytest-pinned bit-identical to the JVM expressions they replaced);",
+        "parquet ReadSchema pruned to used columns;",
         "BroadcastNestedLoopJoin only for annotated scalar join-backs;",
         "single-partition WindowExec only over annotated BOUNDED relations",
         "(sort+limit heads, fixed bucket counts) — never an unbounded one.",
@@ -651,10 +678,7 @@ def main() -> int:
         plan = executed_plan_str(df)
         a = audit(plan)
         flag = ""
-        # the two multimodal queries run the Arrow-batched mapInPandas
-        # decode plumbing by design — Python there is the point
-        py_ok = {"multimodal_decode_meta", "multimodal_frame_samples"}
-        if a["cartesian"] or (a["python_ops"] and name not in py_ok):
+        if a["cartesian"] or (a["python_ops"] and name not in PY_OK):
             flag = " ⚠"
         if a["bnlj"]:
             if name in BNLJ_BOUNDED:

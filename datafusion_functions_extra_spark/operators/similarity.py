@@ -233,8 +233,15 @@ def write_signatures_table(
 
 
 def read_signatures_table(spark, path: str) -> DataFrame:
-    """Read a :func:`write_signatures_table` stage back as a DataFrame."""
-    return spark.read.parquet(path)
+    """Read a :func:`write_signatures_table` stage back as a DataFrame.
+
+    The stage schema comes from the per-process schema memo (metadata
+    only, keyed on file identity): every staged probe query re-reads
+    this table, and bare-path schema inference costs a ~0.1s Spark job
+    per read (r11)."""
+    from ..sources.catalog import cached_parquet_schema
+
+    return spark.read.schema(cached_parquet_schema(spark, path)).parquet(path)
 
 
 def _band_key(sig: Column, band: int) -> Column:

@@ -38,6 +38,32 @@ def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+#: per-process memo of parquet SCHEMAS keyed by file identity
+#: (path, mtime_ns, size) — metadata only, never row data.  Schema
+#: inference on a bare ``spark.read.parquet(path)`` runs a real Spark
+#: job to fetch the footer (measured ~0.1s per call, r11), a fixed
+#: driver charge inside EVERY query's timed region; passing the schema
+#: explicitly skips that job (measured: 0 jobs).  This is the local
+#: stand-in for reading the schema from a catalog/metastore, which is
+#: what a 100 TB deployment does — re-inferring per query is pure
+#: overhead.  Keyed on file identity so a regenerated dataset at the
+#: same path re-infers; every query still computes its rows from the
+#: parquet (nothing but the StructType is memoized).
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def cached_parquet_schema(spark: SparkSession, path: str):
+    """Schema of the parquet file at ``path``, inferred once per file
+    identity per process (see ``_SCHEMA_CACHE``)."""
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -45,9 +71,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
         # rejects; nanosAsLong is a *runtime* SQL conf, so set it on whatever
         # session we were handed (the driver passes its own — a builder-only
-        # config would silently not apply there).
+        # config would silently not apply there).  It must be set before the
+        # one-time schema inference below, too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(cached_parquet_schema(spark, path)).parquet(path)
     if name == "events":
         # Surface a proper session-tz (UTC) microsecond timestamp, matching
         # DuckDB's CAST(ts AS TIMESTAMP), whatever physical type the driver

@@ -433,7 +433,14 @@ def duplicate_ngram_coverage(
 def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, term, tf) — per-document term counts over the normalized
     whitespace tokenization.  One explode + one hash aggregate on
-    (id, term); the exploded rows carry only (id, term), never the text."""
+    (id, term); the exploded rows carry only (id, term), never the text.
+
+    (r11: widening the (id, text) projection to session parallelism
+    before the explode was tried and REVERTED — the repartition exchange
+    plus its AQE stage cost MORE than the one-core tokenize it
+    parallelized at bench scale: tfidf 1.26s -> 1.66s median.  The
+    tokenize is ~0.25s serial here; at real corpus sizes the scan is
+    already multi-partition and needs no widening at all.)"""
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     return tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
 
@@ -451,10 +458,20 @@ def tfidf_top_terms(
     Plan: one tf aggregate, a doc-frequency rollup of the tf table (vocab-
     sized, broadcast by AQE), a scalar n_docs cross join, one window sort
     per doc.  Nothing rescans the raw text after the first explode.
+
+    The tf relation is an eager ``localCheckpoint`` leaf (r11): its two
+    consumers (the score probe side and the doc-frequency rollup) are
+    column-pruned differently by Catalyst, so exchange reuse cannot
+    dedupe them and the corpus was tokenized+aggregated TWICE per run.
+    At 100 TB this leaf is the tf stage table written to parquet between
+    pipeline phases (localCheckpoint trades executor-loss fault
+    tolerance for speed — cluster variant is a reliable checkpoint or
+    stage write; acceptable inside one query the same way a cached stage
+    is).
     """
     from pyspark.sql import Window
 
-    tf = term_frequencies(df, text_col, id_col)
+    tf = term_frequencies(df, text_col, id_col).localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -426,6 +426,55 @@ def components_from_pairs(
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
         eager=True
     )
+    # Per-round action fusion (r11): the convergence count used to JOIN
+    # the new and old label leaves per round — a whole extra shuffle
+    # join + count job on top of the checkpoint job.  The join-back
+    # already sees both the old and the new label side by side, so the
+    # change flag is carried as a COLUMN (chg := nmin < label, i.e. the
+    # only way least() lowers the label), and the convergence count is
+    # one cheap aggregate over the just-materialized leaf — per round:
+    # one checkpoint job + one leaf scan instead of checkpoint + shuffle
+    # join + count.  Label values are untouched.
+    #
+    # AQE is switched OFF for the loop body (saved/restored around it,
+    # the streaming drain's conf pattern): with AQE on, every eager
+    # checkpoint materializes each of the round's 2-4 exchanges as its
+    # own job — spatial_dbscan measured 107 jobs for one query.  The
+    # loop relations are leaves whose sizes AQE already fixed when the
+    # edge/label leaves materialized, so per-round re-optimization buys
+    # nothing; without it the round's lazy checkpoints chain and the
+    # convergence count executes the WHOLE round as ONE job.  The loop's
+    # static shuffle-partition count is derived from the materialized
+    # edge leaf's own partitioning (itself AQE-coalesced from bytes) —
+    # scale-adaptive, not a constant: a 100 TB edge relation keeps its
+    # thousands of partitions, the bench-scale graph gets 1.
+    spark = edges.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(
+        edges.rdd.getNumPartitions(), labels.rdd.getNumPartitions()
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = _components_loop(edges, labels, max_iters, compress)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # edges is a localCheckpoint: its blocks are released by the
+    # ContextCleaner once the returned plan (whose LogicalRDD leaf pins
+    # them) is garbage-collected — no unpersist handle to manage
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def _components_loop(
+    edges: DataFrame, labels: DataFrame, max_iters: int, compress: bool
+) -> DataFrame:
+    """The min-label-propagation rounds of :func:`components_from_pairs`
+    (split out so the caller can scope the loop's session-conf window).
+    Runs with AQE off and a data-derived static shuffle-partition count;
+    each round is ONE job: the lazy localCheckpoints materialize inside
+    the convergence count's action."""
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.id)
@@ -439,34 +488,34 @@ def components_from_pairs(
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
                     "label"
                 ),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias(
+                    "chg"
+                ),
             )
         )
         if compress:
             # pointer doubling: every label IS a node id, so the lookup
             # join is total; label[label] <= label by induction.  The
             # self-join references the round's labels TWICE, so the
-            # intermediate is checkpointed before the lookup join.
-            base = new_labels.localCheckpoint(eager=True)
+            # intermediate is checkpointed before the lookup join.  The
+            # doubling step lowers a label iff llabel < label, which
+            # ORs into the round's change flag (final != old  <=>
+            # min-step changed OR doubling lowered the min-step result).
+            base = new_labels.localCheckpoint(eager=False)
             lab2 = base.select(
                 F.col("id").alias("lid"), F.col("label").alias("llabel")
             )
             new_labels = base.join(lab2, base.label == lab2.lid).select(
-                "id", F.least("label", "llabel").alias("label")
+                "id",
+                F.least("label", "llabel").alias("label"),
+                (F.col("chg") | (F.col("llabel") < F.col("label"))).alias("chg"),
             )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.where(F.col("chg")).count()
         labels = new_labels
         if changed == 0:
             break
-    # edges is a localCheckpoint: its blocks are released by the
-    # ContextCleaner once the returned plan (whose LogicalRDD leaf pins
-    # them) is garbage-collected — no unpersist handle to manage
-    return labels.select("id", F.col("label").alias("component"))
+    return labels
 
 
 def components_reach_cte(threshold: float = 0.5) -> str:

@@ -110,12 +110,37 @@ def _shingles_or_whole(text_col) -> Column:
     return F.when(F.size(sh) > 0, sh).otherwise(F.array(normalize_text(text_col)))
 
 
+#: per-process memo of the BUILT Column expression trees for the two
+#: signature builders, keyed by (builder, input-column repr).  The
+#: builders are pure functions of module constants and the input column,
+#: but constructing them costs hundreds of py4j round-trips — measured
+#: 0.3-1.4s of pure driver time PER CALL (r11), paid by every LSH query.
+#: A Column is an immutable unresolved expression tree resolved per
+#: plan, so reuse across DataFrames AND across session restarts in one
+#: process is sound (verified: same values after spark.stop() + new
+#: session — the py4j gateway JVM owns the expression objects).
+_COL_MEMO: dict[tuple[str, str], Column] = {}
+
+
+def _memo_col(kind: str, text_col, build) -> Column:
+    key = (kind, str(text_col))
+    col = _COL_MEMO.get(key)
+    if col is None:
+        col = build()
+        _COL_MEMO[key] = col
+    return col
+
+
 def minhash_signature(text_col) -> Column:
     """array<long> of MINHASH_K minimum permuted shingle hashes.
 
     Base hash per shingle is computed once; each permutation is a
     multiply-add mod P over the materialized base array.
     """
+    return _memo_col("minhash_signature", text_col, lambda: _minhash_signature_build(text_col))
+
+
+def _minhash_signature_build(text_col) -> Column:
     base = F.transform(_shingles_or_whole(text_col), lambda s: hash60(s) % MERSENNE_P)
 
     def perm(a: int, b: int):
@@ -147,6 +172,10 @@ def simhash32(text_col) -> Column:
     power-of-two per strictly-positive counter (measured 2.4x, 0
     mismatches over every sf0.1 doc).
     """
+    return _memo_col("simhash32", text_col, lambda: _simhash32_build(text_col))
+
+
+def _simhash32_build(text_col) -> Column:
     hashes = F.transform(tokens(text_col), hash60)
     masks = F.array(*[F.lit(1 << j) for j in range(SIMHASH_BITS)])
     pows = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
@@ -332,7 +361,18 @@ def near_dup_clusters(
     this join to a fixpoint; one step is the deterministic, bounded-cost
     keep rule used by large-scale dedup pipelines.)
     """
-    pairs = near_dup_pairs(df, text_col, id_col, threshold)
+    sigs = minhash_signatures(df, text_col, id_col, materialize=True)
+    return near_dup_clusters_from_signatures(sigs, id_col, threshold)
+
+
+def near_dup_clusters_from_signatures(
+    sigs: DataFrame, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`near_dup_clusters` starting from an existing ``(id, sig)``
+    relation (signature stage table / shared multi-leg scan, r11).
+    ``sigs`` has one row per document, so it also supplies the node set
+    for the keep rule — identical output to the raw-text form."""
+    pairs = near_dup_pairs_from_signatures(sigs, id_col, threshold)
     neighbor_min = (
         pairs.select(F.col("id_a").alias(id_col), F.col("id_b").alias("n"))
         .union(pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("n")))
@@ -340,7 +380,7 @@ def near_dup_clusters(
         .agg(F.min("n").alias("min_neighbor"))
     )
     return (
-        df.select(id_col)
+        sigs.select(id_col)
         .join(neighbor_min, id_col, "left")
         .select(
             id_col,

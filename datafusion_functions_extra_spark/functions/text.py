@@ -40,6 +40,37 @@ BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 SHINGLE_WORDS = 3
 
 
+#: per-process memo of built Column expression trees for the pure
+#: builders below, keyed by (builder, arg reprs).  Same rationale and
+#: safety argument as operators/similarity._COL_MEMO (r11): the builders
+#: are pure functions of module constants and their inputs, Columns are
+#: immutable unresolved expression trees resolved per plan (valid across
+#: DataFrames and in-process session restarts), and constructing the
+#: bigger ones costs 0.1-0.4s of py4j round-trips per call — paid by
+#: every text/quality query's timed region.
+_COL_MEMO: dict = {}
+
+
+def memo_column(fn):
+    """Memoize a pure Column-builder by its args' string reprs."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        key = (
+            fn.__name__,
+            tuple(str(a) for a in args),
+            tuple(sorted((k, str(v)) for k, v in kwargs.items())),
+        )
+        col = _COL_MEMO.get(key)
+        if col is None:
+            col = fn(*args, **kwargs)
+            _COL_MEMO[key] = col
+        return col
+
+    return wrapper
+
+
 def bind_once(col: Column, fn) -> Column:
     """Evaluate ``col`` once per row and pass the materialized value to
     ``fn`` as a lambda variable.
@@ -64,6 +95,7 @@ def tokens(c: ColumnOrName) -> Column:
     return F.split(normalize_text(c), " ")
 
 
+@memo_column
 def token_count(c: ColumnOrName) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
     return bind_once(
@@ -74,6 +106,7 @@ def token_count(c: ColumnOrName) -> Column:
     )
 
 
+@memo_column
 def bpe_token_count(c: ColumnOrName) -> Column:
     """Token count under a BPE-style pre-tokenization regex.
 
@@ -84,6 +117,7 @@ def bpe_token_count(c: ColumnOrName) -> Column:
     return F.regexp_count(F.lower(_col(c)), F.lit(BPE_TOKEN_RE))
 
 
+@memo_column
 def distinct_token_ratio(c: ColumnOrName) -> Column:
     return bind_once(
         tokens(c),
@@ -92,6 +126,7 @@ def distinct_token_ratio(c: ColumnOrName) -> Column:
     )
 
 
+@memo_column
 def stopword_ratio(c: ColumnOrName) -> Column:
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     return bind_once(
@@ -103,6 +138,7 @@ def stopword_ratio(c: ColumnOrName) -> Column:
     )
 
 
+@memo_column
 def quality_score(c: ColumnOrName, target_chars: int = 500) -> Column:
     """Heuristic document quality in [0, 1]:
 
@@ -148,6 +184,7 @@ def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:
     return out
 
 
+@memo_column
 def lang_id(c: ColumnOrName) -> Column:
     """Deterministic argmax over lang_scores: max score, tie -> max lang.
 
@@ -172,6 +209,7 @@ def lang_id(c: ColumnOrName) -> Column:
     return bind_once(tokens(c), argmax)
 
 
+@memo_column
 def word_shingles(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
     """Overlapping k-word shingles (array<string>); empty if < k tokens."""
 
@@ -188,6 +226,7 @@ def word_shingles(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
     return bind_once(tokens(c), build)
 
 
+@memo_column
 def shingles_or_whole(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
     """k-word shingles, falling back to the single whole normalized text
     for docs shorter than k words — so every doc yields >= 1 gram (the
@@ -199,6 +238,7 @@ def shingles_or_whole(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
     )
 
 
+@memo_column
 def doc_fingerprint(c: ColumnOrName, k: int = SHINGLE_WORDS) -> Column:
     """Rolling-hash document fingerprint: min md5 over k-word shingles
     (a 1-permutation MinHash); texts shorter than k words hash whole."""

@@ -53,6 +53,17 @@ _STREAM_PART_BYTES = int(
     os.environ.get("SPARK_GRAFT_STREAM_PART_BYTES", str(8 * 1024 * 1024))
 )
 
+#: session-conf flag set by builders whose STATE cardinality scales with
+#: sketch width x open windows rather than input bytes (CMS counters,
+#: HLL registers): a 2 MB replay file yields 1 bytes-derived partition,
+#: but ~300k (window, r, c) state keys in ONE store cost 7.4s of
+#: single-threaded restore/update/commit (measured, r11) vs 1.4s across
+#: 32 — while a pure-JVM windowed agg's per-partition fixed cost is only
+#: ~10 ms/partition, so flooring these plans at the session parallelism
+#: is cheap even on tiny streams.  Read-and-cleared per drain like the
+#: bytes key.
+_STREAM_STATE_HEAVY_KEY = "spark.dfx.streaming.stateHeavy"
+
 
 def declare_stream_input(spark: SparkSession, *paths: str) -> None:
     """Record the total byte size of a streaming source for the next
@@ -754,6 +765,15 @@ def run_available_now(
         # and wants the bytes-derived count alone.
         if "FlatMapGroupsInPandasWithState" in sdf._jdf.queryExecution().analyzed().toString():
             parts = max(parts, spark.sparkContext.defaultParallelism)
+        # state-heavy sketch aggregations (see _STREAM_STATE_HEAVY_KEY):
+        # state keys scale with sketch width x open windows, so the
+        # store must be partitioned by compute capacity, not input bytes
+        try:
+            if spark.conf.get(_STREAM_STATE_HEAVY_KEY) == "true":
+                parts = max(parts, spark.sparkContext.defaultParallelism)
+        except Exception:  # noqa: BLE001 — flag absent: bytes rule stands
+            pass
+        spark.conf.unset(_STREAM_STATE_HEAVY_KEY)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
@@ -773,6 +793,25 @@ def run_available_now(
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def _widen_stream_compute(events: DataFrame) -> DataFrame:
+    """Round-robin the event stream to the session parallelism before a
+    per-event md5-hash projection (the two sketch builders below).
+
+    The bench replay's source is a single one-row-group parquet file, so
+    the whole scan stage — including the per-event md5 — runs in ONE
+    task regardless of core count (measured: the CMS drain's only batch
+    spent 2.6s in addBatch, all of it single-core hashing; the bytes-
+    derived STATE partition count stays 1 and is untouched — this
+    exchange widens only the map side, upstream of the keyed shuffle).
+    ``defaultParallelism`` is compute-capacity-sized, not data-sized: at
+    production scale the exchange moves each event once and the hash
+    then uses every core, the same per-row-heavy compute-site rule as
+    ``widen_for_compute`` (a streaming DF cannot be partition-probed, so
+    the widen is unconditional here and scoped to the two md5-sketch
+    builders — the light windowed aggregations keep the bare scan)."""
+    return events.repartition(events.sparkSession.sparkContext.defaultParallelism)
 
 
 def streaming_hll_users(
@@ -795,8 +834,10 @@ def streaming_hll_users(
     from ..operators.similarity import hash60
 
     h = hash60(F.col("user_id").cast("string"))
+    events.sparkSession.conf.set(_STREAM_STATE_HEAVY_KEY, "true")
     keyed = (
-        events.withWatermark("ts", watermark)
+        _widen_stream_compute(events)
+        .withWatermark("ts", watermark)
         .select(
             "ts",
             "event_type",
@@ -846,8 +887,10 @@ def streaming_cms_values(
             for r in range(CMS_DEPTH)
         ]
     )
+    events.sparkSession.conf.set(_STREAM_STATE_HEAVY_KEY, "true")
     return (
-        events.withWatermark("ts", watermark)
+        _widen_stream_compute(events)
+        .withWatermark("ts", watermark)
         .select("ts", h)
         .select("ts", F.explode(rows).alias("rc"))
         .groupBy(F.window("ts", window), F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))

@@ -2815,25 +2815,35 @@ def pagerank_topn(
         .select("v", base.alias("pr"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        inflow = (
-            ew.join(pr, ew.src == pr.v)
-            .groupBy("dst")
-            .agg(F.sum(F.expr("pr div deg")).cast("long").alias("inflow"))
-        )
-        pr = (
-            nodes.crossJoin(F.broadcast(ncnt))
-            .join(inflow, F.col("v") == F.col("dst"), "left")
-            .select(
-                "v",
-                F.expr(
-                    f"CAST((15 * (CAST({PAGERANK_SCALE} AS BIGINT) div n_nodes)"
-                    f" + 85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"
-                    " AS BIGINT)"
-                ).alias("pr"),
+    # r11: rounds run under loop_conf (AQE off, leaf-derived static
+    # partitions) with LAZY checkpoints — the near-dup graph's edge and
+    # rank relations are tiny (LSH-pruned), so static planning of the
+    # per-round joins is safe (unlike the corpus-sized facility-location
+    # coverage join, where this conversion was measured 2x WORSE and
+    # reverted), and the 6 per-round eager checkpoint job storms
+    # collapse into the final consumer's job chain.
+    from ..cache import loop_conf
+
+    with loop_conf(ew.sparkSession, ew, nodes, pr):
+        for _ in range(rounds):
+            inflow = (
+                ew.join(pr, ew.src == pr.v)
+                .groupBy("dst")
+                .agg(F.sum(F.expr("pr div deg")).cast("long").alias("inflow"))
             )
-            .localCheckpoint(eager=True)
-        )
+            pr = (
+                nodes.crossJoin(F.broadcast(ncnt))
+                .join(inflow, F.col("v") == F.col("dst"), "left")
+                .select(
+                    "v",
+                    F.expr(
+                        f"CAST((15 * (CAST({PAGERANK_SCALE} AS BIGINT) div n_nodes)"
+                        f" + 85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"
+                        " AS BIGINT)"
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=False)
+            )
     top = pr.orderBy(F.col("pr").desc(), F.col("v").asc()).limit(n_top)
     from pyspark.sql import Window
 

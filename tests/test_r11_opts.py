@@ -11,14 +11,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
-@pytest.fixture(scope="module")
-def spark():
-    from datafusion_functions_extra_spark.sources import get_spark
-
-    s = get_spark("test-r11-opts", cpus=4)
-    s.sparkContext.setLogLevel("ERROR")
-    yield s
-    s.stop()
+# uses the session-scoped ``spark`` fixture from conftest.py — a
+# module-local get_spark(...).getOrCreate() would RETURN the shared
+# session and its teardown stop() would kill it for every later module
 
 
 def test_oph_inrow_matches_relational_form(spark):

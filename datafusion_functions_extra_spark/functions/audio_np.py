@@ -33,7 +33,14 @@ from .audio import N_BASE, N_MOD, RATE_CHOICES
 
 
 def _synth_wav_bytes(d: int, scale: int) -> bytes:
-    """Byte-identical twin of :func:`.audio.synth_wav` (pytest-pinned)."""
+    """Byte-identical twin of :func:`.audio.synth_wav` (pytest-pinned).
+
+    PRECONDITION: ``d`` (the doc id) must be non-negative — Python's
+    ``%`` follows the divisor's sign while Spark's remainder follows the
+    dividend's, so the twins only agree on non-negative ids (ADVICE r10
+    item 5; suite doc_ids are non-negative by construction, and
+    tests/test_r11_opts.py pins one negative-id divergence guard)."""
+    assert d >= 0, "synth twin requires non-negative doc id (sign of %)"
     n = d % N_MOD + N_BASE
     rate = RATE_CHOICES[d % 3]
     data_bytes = 2 * n

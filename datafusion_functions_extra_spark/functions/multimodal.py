@@ -745,6 +745,10 @@ def cdc_chunks_np(
         for pdf in batches:
             ids, keeps, hashes, sizes = [], [[] for _ in keep_cols], [], []
             for row_i, payload in enumerate(pdf[payload_col]):
+                if payload is None:
+                    # replicate the JVM path's explode-of-NULL row drop
+                    # (hex(NULL) -> no rows); ADVICE r10 item 1
+                    continue
                 b = bytes(payload)
                 n = len(b)
                 h = b.hex().upper()
@@ -818,6 +822,10 @@ def byte_histogram_np(
         for pdf in batches:
             ids, keeps, ns, bs, cs = [], [[] for _ in keep_cols], [], [], []
             for row_i, payload in enumerate(pdf[payload_col]):
+                if payload is None:
+                    # NULL payload contributes no histogram rows (the
+                    # JVM explode path's semantics); ADVICE r10 item 1
+                    continue
                 b = bytes(payload)
                 hist = np.bincount(
                     np.frombuffer(b, dtype=np.uint8), minlength=0

@@ -67,11 +67,50 @@ _STREAM_STATE_HEAVY_KEY = "spark.dfx.streaming.stateHeavy"
 
 def declare_stream_input(spark: SparkSession, *paths: str) -> None:
     """Record the total byte size of a streaming source for the next
-    :func:`run_available_now` drain (scale-adaptive state sizing)."""
-    spark.conf.set(
-        _STREAM_INPUT_BYTES_KEY,
-        str(sum(os.path.getsize(p) for p in paths)),
-    )
+    :func:`run_available_now` drain (scale-adaptive state sizing).
+
+    ACCUMULATES into any not-yet-consumed declaration (r11, ADVICE r10
+    item 2): a query that reads two streams (e.g. a stream-stream join
+    draining after two reader calls) sizes its state from BOTH sources;
+    the drain still read-and-clears the slot."""
+    new_bytes = sum(os.path.getsize(p) for p in paths)
+    try:
+        new_bytes += int(spark.conf.get(_STREAM_INPUT_BYTES_KEY))
+    except Exception:  # noqa: BLE001 — no pending declaration
+        pass
+    spark.conf.set(_STREAM_INPUT_BYTES_KEY, str(new_bytes))
+
+
+#: analyzed-plan node names whose per-GROUP compute runs in the Python
+#: worker — these need at least the session parallelism in state
+#: partitions or one worker serializes every group (ADVICE r10 item 3:
+#: match the known Python-stateful operators, not one literal).
+_PY_STATEFUL_NODES = (
+    "FlatMapGroupsInPandasWithState",
+    "TransformWithStateInPandas",
+)
+
+
+def _drain_partitions(
+    stream_bytes: int,
+    default_parallelism: int,
+    *,
+    python_stateful: bool = False,
+    state_heavy: bool = False,
+    part_bytes: int | None = None,
+) -> int:
+    """Shuffle-partition (= state-store instance) count for one drain:
+    ``ceil(bytes / part_bytes)`` capped at 32x the parallelism, floored
+    at the parallelism for Python-stateful plans (per-group Python
+    compute needs the cores) and for declared state-heavy sketch
+    aggregations (state keys scale with sketch width x open windows,
+    not input bytes).  Pure so the derivation is unit-testable."""
+    pb = part_bytes or _STREAM_PART_BYTES
+    cap = 32 * default_parallelism
+    parts = max(1, min(-(-stream_bytes // pb), cap))
+    if python_stateful or state_heavy:
+        parts = max(parts, default_parallelism)
+    return parts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,25 +794,26 @@ def run_available_now(
     prev_parts = None
     if stream_bytes is not None:
         spark.conf.unset(_STREAM_INPUT_BYTES_KEY)
-        cap = 32 * spark.sparkContext.defaultParallelism
-        parts = max(1, min(-(-stream_bytes // _STREAM_PART_BYTES), cap))
-        # Python-stateful operators (applyInPandasWithState) do real
-        # per-GROUP compute in the Python worker — for those the state
-        # partition count must also cover the cores, or one worker
-        # serializes every group (measured 4x slower on the dedup op);
-        # pure JVM state (joins, windowed aggs) is fixed-cost-dominated
-        # and wants the bytes-derived count alone.
-        if "FlatMapGroupsInPandasWithState" in sdf._jdf.queryExecution().analyzed().toString():
-            parts = max(parts, spark.sparkContext.defaultParallelism)
-        # state-heavy sketch aggregations (see _STREAM_STATE_HEAVY_KEY):
-        # state keys scale with sketch width x open windows, so the
-        # store must be partitioned by compute capacity, not input bytes
+        # Python-stateful operators do real per-GROUP compute in the
+        # Python worker — for those the state partition count must also
+        # cover the cores, or one worker serializes every group
+        # (measured 4x slower on the dedup op); pure JVM state (joins,
+        # windowed aggs) is fixed-cost-dominated and wants the
+        # bytes-derived count alone, EXCEPT declared state-heavy sketch
+        # aggregations (see _STREAM_STATE_HEAVY_KEY).
+        analyzed = sdf._jdf.queryExecution().analyzed().toString()
+        py_stateful = any(n in analyzed for n in _PY_STATEFUL_NODES)
         try:
-            if spark.conf.get(_STREAM_STATE_HEAVY_KEY) == "true":
-                parts = max(parts, spark.sparkContext.defaultParallelism)
+            state_heavy = spark.conf.get(_STREAM_STATE_HEAVY_KEY) == "true"
         except Exception:  # noqa: BLE001 — flag absent: bytes rule stands
-            pass
+            state_heavy = False
         spark.conf.unset(_STREAM_STATE_HEAVY_KEY)
+        parts = _drain_partitions(
+            stream_bytes,
+            spark.sparkContext.defaultParallelism,
+            python_stateful=py_stateful,
+            state_heavy=state_heavy,
+        )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:

@@ -193,3 +193,94 @@ def test_cached_parquet_schema_is_metadata_only(spark):
     assert (path, st.st_mtime_ns, st.st_size) in _SCHEMA_CACHE
     # second call hits the memo (same object)
     assert cached_parquet_schema(spark, path) is memo
+
+
+def test_drain_partitions_derivation():
+    """Pin the streaming drain's partition rule (VERDICT r10 item 9 /
+    r11 state-heavy extension): bytes-derived with a 32x-parallelism
+    cap, floored at the parallelism for Python-stateful plans and for
+    declared state-heavy sketch aggregations."""
+    from datafusion_functions_extra_spark.streaming.events import (
+        _drain_partitions,
+    )
+
+    MB = 1024 * 1024
+    # bytes rule: 8 MiB per partition, min 1
+    assert _drain_partitions(2 * MB, 32, part_bytes=8 * MB) == 1
+    assert _drain_partitions(64 * MB, 32, part_bytes=8 * MB) == 8
+    # cap at 32x parallelism
+    assert _drain_partitions(10**15, 4, part_bytes=8 * MB) == 128
+    # Python-stateful and state-heavy plans floor at the parallelism
+    assert _drain_partitions(2 * MB, 32, python_stateful=True, part_bytes=8 * MB) == 32
+    assert _drain_partitions(2 * MB, 32, state_heavy=True, part_bytes=8 * MB) == 32
+    # floors never LOWER a bytes-derived count
+    assert _drain_partitions(640 * MB, 4, state_heavy=True, part_bytes=8 * MB) == 80
+
+
+def test_declare_stream_input_accumulates(spark):
+    """Two reader declarations before one drain must size state from the
+    SUM of both sources (ADVICE r10 item 2)."""
+    import os
+
+    from datafusion_functions_extra_spark.streaming.events import (
+        _STREAM_INPUT_BYTES_KEY,
+        declare_stream_input,
+    )
+
+    p1 = "/root/testdata/sf0.001/events.parquet"
+    p2 = "/root/testdata/sf0.001/documents.parquet"
+    spark.conf.unset(_STREAM_INPUT_BYTES_KEY)
+    declare_stream_input(spark, p1)
+    declare_stream_input(spark, p2)
+    declared = int(spark.conf.get(_STREAM_INPUT_BYTES_KEY))
+    assert declared == os.path.getsize(p1) + os.path.getsize(p2)
+    spark.conf.unset(_STREAM_INPUT_BYTES_KEY)
+
+
+def test_cdc_and_histogram_workers_drop_null_payloads(spark):
+    """NULL payloads must contribute no rows — the JVM hex(NULL)->explode
+    path's semantics (ADVICE r10 item 1)."""
+    from datafusion_functions_extra_spark.functions.multimodal import (
+        byte_histogram_np,
+        cdc_chunks_np,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world payload bytes")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    chunks = cdc_chunks_np(df, "payload", "doc_id").collect()
+    assert chunks and {r["id"] for r in chunks} == {1}
+    hist = byte_histogram_np(df, "payload", "doc_id").collect()
+    assert hist and {r["doc_id"] for r in hist} == {1}
+
+
+def test_synth_wav_twin_rejects_negative_ids():
+    """The NumPy synth twin only matches the JVM remainder semantics for
+    non-negative doc ids; a negative id must fail loudly, not diverge
+    silently (ADVICE r10 item 5)."""
+    from datafusion_functions_extra_spark.functions.audio_np import (
+        _synth_wav_bytes,
+    )
+
+    _synth_wav_bytes(7, 1)  # non-negative: fine
+    with pytest.raises(AssertionError):
+        _synth_wav_bytes(-1, 1)
+
+
+def test_knn_shapley_nn_literal_matches_per_vec_count(spark):
+    """embedding_knn_shapley derives nn = count(embeddings) - 1 from the
+    construction of the unfiltered all-ordered-pairs relation; if that
+    shared relation is ever thinned the literal goes stale (ADVICE r10
+    item 4) — pin the invariant on a small sf."""
+    from datafusion_functions_extra_spark.sources import load_table
+    from datafusion_functions_extra_spark.suite import _knn_scored_sym
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    scored = _knn_scored_sym(spark, sf)
+    per_vec = (
+        scored.groupBy("vec_id").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_vec] == [n - 1]

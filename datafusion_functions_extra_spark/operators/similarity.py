@@ -433,7 +433,12 @@ def components_from_pairs(
     loop was built for, but a SPATIAL eps-graph forms long chains whose
     diameter exceeds any fixed round budget — path compression makes
     convergence O(log diameter), caught when spatial_dbscan at sf0.1
-    disagreed with the recursive-CTE oracle after 20 plain rounds."""
+    disagreed with the recursive-CTE oracle after 20 plain rounds.
+
+    Fault tolerance: the per-round ``localCheckpoint`` leaves trade
+    executor-loss recovery for speed (SURVEY §11.1) — the cluster
+    variant is a reliable checkpoint or a per-round label stage table,
+    the standard distributed-CC pattern."""
     # localCheckpoint (not just persist): every iteration references the
     # edge relation twice, and persist dedupes EXECUTION but still inlines
     # the whole candidate-generation logical subtree (~6 shuffles) at each

@@ -835,23 +835,13 @@ def run_available_now(
     return spark.table(name)
 
 
-def _widen_stream_compute(events: DataFrame) -> DataFrame:
-    """Round-robin the event stream to the session parallelism before a
-    per-event md5-hash projection (the two sketch builders below).
-
-    The bench replay's source is a single one-row-group parquet file, so
-    the whole scan stage — including the per-event md5 — runs in ONE
-    task regardless of core count (measured: the CMS drain's only batch
-    spent 2.6s in addBatch, all of it single-core hashing; the bytes-
-    derived STATE partition count stays 1 and is untouched — this
-    exchange widens only the map side, upstream of the keyed shuffle).
-    ``defaultParallelism`` is compute-capacity-sized, not data-sized: at
-    production scale the exchange moves each event once and the hash
-    then uses every core, the same per-row-heavy compute-site rule as
-    ``widen_for_compute`` (a streaming DF cannot be partition-probed, so
-    the widen is unconditional here and scoped to the two md5-sketch
-    builders — the light windowed aggregations keep the bare scan)."""
-    return events.repartition(events.sparkSession.sparkContext.defaultParallelism)
+# r11 note: a round-robin repartition of the stream before the sketch
+# builders' per-event md5 ("widen the map side") was tried and REVERTED:
+# measured on the HLL drain, widen+1 state partition was CATASTROPHIC
+# (7.5s vs 2.0s without — random partial-agg states stop collapsing and
+# one reducer merges 32 partials per key) and neutral at 32 partitions
+# (1.84 vs 1.78s).  The state-heavy partition floor below is the whole
+# win; the hash parallelizes with the state partitions themselves.
 
 
 def streaming_hll_users(
@@ -876,8 +866,7 @@ def streaming_hll_users(
     h = hash60(F.col("user_id").cast("string"))
     events.sparkSession.conf.set(_STREAM_STATE_HEAVY_KEY, "true")
     keyed = (
-        _widen_stream_compute(events)
-        .withWatermark("ts", watermark)
+        events.withWatermark("ts", watermark)
         .select(
             "ts",
             "event_type",
@@ -929,8 +918,7 @@ def streaming_cms_values(
     )
     events.sparkSession.conf.set(_STREAM_STATE_HEAVY_KEY, "true")
     return (
-        _widen_stream_compute(events)
-        .withWatermark("ts", watermark)
+        events.withWatermark("ts", watermark)
         .select("ts", h)
         .select("ts", F.explode(rows).alias("rc"))
         .groupBy(F.window("ts", window), F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
